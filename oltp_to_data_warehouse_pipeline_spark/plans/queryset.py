@@ -1,0 +1,863 @@
+"""The engine's named query set + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 against the
+driver fixtures (TESTDATA.md), with a matching ANSI-SQL oracle.  Invariants
+that keep the differential harness honest:
+
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are round()ed in BOTH engines (summation order differs);
+- integer-kind columns are cast to the same width on both sides (DuckDB
+  SUM(int) is HUGEINT, month() is BIGINT, row_number() is BIGINT …);
+- no raw timestamps in outputs (formatted to strings / epoch seconds), so
+  value hashing is representation-independent.
+
+Spark-side scale notes are on each builder; plans are checked with
+``.explain`` for broadcast joins + pushed filters (see tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+from oltp_to_data_warehouse_pipeline_spark.functions import cleaning, dates, text
+from oltp_to_data_warehouse_pipeline_spark.operators import dedup, quality, similarity
+from oltp_to_data_warehouse_pipeline_spark.plans import warehouse
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(avg(l_discount), 4)      AS avg_disc,
+           count(*)                       AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — grouped SUM/AVG/COUNT over the transaction-grain table.
+
+    Scale: partial (map-side) aggregation before the shuffle; the group key
+    has tiny cardinality, so the exchange is a few KB per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "star_join_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS total_revenue,
+           count(*) AS num_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A4 — the reference's star-join aggregate (`DB.sql:109-124`, B7
+    fixed) on the fixture star.  Dims broadcast; fact never shuffles until
+    the (tiny-key) final aggregation.
+    """
+    fact = warehouse.build_fact(load_table(spark, sf_dir, "orders"))
+    cust = warehouse.build_customer_dim(load_table(spark, sf_dir, "customer"))
+    joined = warehouse.star_join(
+        fact, cust, load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(F.sum("amount"), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("num_orders"),
+    )
+
+
+@query(
+    "kpi_cards",
+    """
+    SELECT count(*) AS num_customers,
+           round(sum(c_acctbal), 2) AS total_balance,
+           round(max(c_acctbal), 2) AS max_balance,
+           round(min(c_acctbal), 2) AS min_balance
+    FROM customer
+    """,
+)
+def kpi_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — global KPI cards (count/sum/max/min), one single-stage agg."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("num_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+        F.round(F.min("c_acctbal"), 2).alias("min_balance"),
+    )
+
+
+@query(
+    "segment_stats",
+    """
+    SELECT c_mktsegment AS segment,
+           count(*) AS num_customers,
+           round(sum(c_acctbal), 2) AS total_balance,
+           round(avg(c_acctbal), 4) AS avg_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 — the dashboard's by-Employment_Status sums/avgs/counts."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("num_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+    )
+
+
+@query(
+    "monthly_trend",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           round(sum(o_totalprice), 2) AS total_amount,
+           count(*) AS num_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — monthly trend of amounts (`DATA BI.pdf p.1` "Monthly Trend")."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+        F.count(F.lit(1)).alias("num_orders"),
+    )
+
+
+@query(
+    "sum_by_category",
+    """
+    SELECT l_returnflag AS narration,
+           round(sum(abs(l_extendedprice)), 2) AS total_amount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sum_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + F4 — abs-normalized amount by category (by-Narration sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("narration")).agg(
+        F.round(F.sum(cleaning.abs_amount("l_extendedprice")), 2).alias("total_amount")
+    )
+
+
+@query(
+    "yearly_category_matrix",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           o_orderstatus AS status,
+           round(sum(o_totalprice), 2) AS total_amount,
+           count(*) AS n
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+    GROUP BY 1, 2
+    """,
+)
+def yearly_category_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's year-slicer: category sums under a year-range filter.
+
+    The year predicate folds to a date range → parquet row-group pruning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.year("o_orderdate").between(1995, 1997))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "revenue_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS total_revenue,
+           count(*) AS num_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP totals (region, nation, grand) — native Catalyst expand."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("num_orders"),
+    )
+
+
+@query(
+    "distinct_counts",
+    """
+    SELECT count(*) AS total_rows,
+           count(DISTINCT o_custkey)  AS unique_customers,
+           count(DISTINCT o_orderkey) AS unique_orders
+    FROM orders
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 + D2 — row/distinct-count profile (B8 fixed: separate metrics)."""
+    return quality.distinct_profile(
+        load_table(spark, sf_dir, "orders"), ["o_custkey", "o_orderkey"]
+    ).select(
+        "total_rows",
+        F.col("unique_o_custkey").alias("unique_customers"),
+        F.col("unique_o_orderkey").alias("unique_orders"),
+    )
+
+
+@query(
+    "null_profile_orders",
+    """
+    SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls
+    FROM orders
+    """,
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — one-pass per-column null counts (`quality_checks.py:14-20`)."""
+    return quality.null_profile(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "qc_summary_quantity",
+    """
+    SELECT count(l_quantity) AS n,
+           round(avg(l_quantity), 4) AS mean,
+           round(stddev_samp(l_quantity), 4) AS stddev,
+           min(l_quantity) AS min,
+           max(l_quantity) AS max
+    FROM lineitem
+    """,
+)
+def qc_summary_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — describe()-style summary statistics, single pass."""
+    return quality.summary_stats(load_table(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: dedup / sort / window (SURVEY §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    "SELECT count(*) AS n_rows FROM (SELECT DISTINCT * FROM lineitem)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — full-row dropDuplicates (`spark_etl.py:61-62`), counted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup.exact_dedup(li).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           round(value, 4) AS value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — last-writer-wins per key (`mongo_postgres_cdc.py:373-378`):
+    one shuffle on the key, per-partition sort, rank-1 filter."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = dedup.lww_dedup(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+    )
+
+
+@query(
+    "top_revenue_customers",
+    """
+    SELECT o_custkey AS customer_id,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS num_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY sum(o_totalprice) DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/top-k — global top-10 by revenue.  Spark plans TakeOrderedAndProject:
+    per-partition heaps + driver merge of 10×partitions rows, no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.sum("o_totalprice").alias("__rev"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+        .orderBy(F.col("__rev").desc(), F.col("customer_id"))
+        .limit(10)
+        .select("customer_id", F.round("__rev", 2).alias("revenue"), "num_orders")
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey AS customer_id, c_mktsegment AS segment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (free from `df.join(how='left_anti')`, SURVEY §2.3).
+
+    Broadcast of the distinct key set when it fits; else shuffled anti join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.col("c_custkey").alias("customer_id"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference surface: cleaning + warehouse build (SURVEY §2.2, §2.7, §3.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cleaning_pipeline",
+    """
+    SELECT o_orderkey AS order_id,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 1
+                WHEN o_orderpriority LIKE '2%' THEN 2
+                WHEN o_orderpriority LIKE '3%' THEN 3
+                WHEN o_orderpriority LIKE '4%' THEN 4
+                WHEN o_orderpriority LIKE '5%' THEN 5
+                ELSE 0 END AS priority_code,
+           CAST(substring(trim(o_orderpriority), 1, 1) AS INTEGER) AS priority_lead,
+           round(abs(o_totalprice), 2) AS amount_abs,
+           strftime(o_orderdate, '%Y%m%d') AS date_key,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+    FROM orders
+    """,
+)
+def cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6/F7/F11 — the spark_etl cleaning semantics (intended forms,
+    B1 fixed) as one narrow projection: LIKE-chain recode, leading-substring
+    int, abs-normalize, yyyymmdd date key, flag derivation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        cleaning.like_recode(
+            "o_orderpriority",
+            [("1%", 1), ("2%", 2), ("3%", 3), ("4%", 4), ("5%", 5)],
+            otherwise=F.lit(0),
+        ).cast("int").alias("priority_code"),
+        cleaning.leading_int("o_orderpriority", 1).alias("priority_lead"),
+        F.round(cleaning.abs_amount("o_totalprice"), 2).alias("amount_abs"),
+        dates.date_key("o_orderdate").alias("date_key"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("int").alias("is_final"),
+    )
+
+
+@query(
+    "dim_date_build",
+    """
+    SELECT DISTINCT
+           strftime(o_orderdate, '%Y%m%d') AS date_id,
+           CAST(o_orderdate AS DATE) AS date_full,
+           year(o_orderdate) AS year,
+           CAST(month(o_orderdate) AS VARCHAR)      AS month,
+           CAST(quarter(o_orderdate) AS VARCHAR)    AS quarter,
+           CAST(weekofyear(o_orderdate) AS VARCHAR) AS week,
+           CAST(day(o_orderdate) AS INTEGER) AS day,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS day_of_week,
+           dayname(o_orderdate) AS day_name,
+           monthname(o_orderdate) AS month_name,
+           CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 0 ELSE 1 END AS is_weekday,
+           CASE WHEN (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+                     OR year(o_orderdate) % 400 = 0 THEN 1 ELSE 0 END AS is_leapyear
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    """,
+)
+def dim_date_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11-F18 — the dim_date derivation set (`DB.sql:54-102`) with the
+    Postgres DOW convention (Sunday=0) and the intended leap-year flag (B6).
+
+    Distinct happens BEFORE the derivations: the shuffle carries only the
+    date column, then the 11 derived columns are a narrow projection.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return warehouse.build_dim_date(o, "o_orderdate")
+
+
+@query(
+    "customer_dim_build",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           CAST(c_nationkey AS INTEGER) AS nation_id,
+           CAST(c_acctbal AS DOUBLE) AS account_balance,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def customer_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/P1 — Customer_dim projection (`DB.sql:37-45`)."""
+    return warehouse.build_customer_dim(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "transaction_dim_build",
+    """
+    SELECT l_orderkey || '-' || l_linenumber AS transaction_id,
+           CAST(l_shipdate AS DATE) AS transaction_date,
+           CAST(l_extendedprice AS DOUBLE) AS transaction_amount,
+           CAST(abs(l_extendedprice) AS DOUBLE) AS amount_updated,
+           l_returnflag AS narration
+    FROM lineitem
+    """,
+)
+def transaction_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/P1/F4 — Transaction_dim projection (`DB.sql:11-18`) with the
+    abs-normalized `Transaction_amt_updated` derivation."""
+    return warehouse.build_transaction_dim(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "fact_build",
+    """
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           strftime(o_orderdate, '%Y%m%d') AS date_id,
+           CAST(o_totalprice AS DOUBLE) AS amount,
+           o_orderstatus AS status
+    FROM orders
+    """,
+)
+def fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact build minus the surrogate key (xxhash64 is engine-specific, so
+    the oracle checks the deterministic columns; surrogate stability has its
+    own unit test)."""
+    return warehouse.build_fact(load_table(spark, sf_dir, "orders")).drop("fact_id")
+
+
+@query(
+    "incremental_delta",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_amount,
+           max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey > 3000
+    """,
+)
+def incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + A1 — high-watermark incremental extract (`spark_etl.py:143-144`,
+    B5 fixed): the predicate is pushed to the parquet scan (row-group stats
+    pruning); A1's MAX feeds the next watermark."""
+    o = load_table(spark, sf_dir, "orders")
+    delta = cleaning.watermark_delta(o, "o_orderkey", 3000)
+    return delta.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_amount"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON normalization + time bucketing (SURVEY §2.7 F21-F23, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_flatten_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def json_flatten_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/F23 — JSON payload parse + flatten to typed columns
+    (`mongo_postgres_cdc.py:289-356` made native)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@query(
+    "hourly_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the §2.8 streaming extension;
+    the streaming twin in streaming/windows.py uses the same expressions)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis (task brief; SURVEY §7.8)
+# ---------------------------------------------------------------------------
+
+_EN_STOPS = "('the','a','of','and','to','in','is')"
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) AS INTEGER)
+             AS n_stopwords,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + fingerprinting over the documents table."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        text.stopword_count("text", text.LANG_STOPWORDS["en"]).cast("int").alias("n_stopwords"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           round(length(replace(text, ' ', '')) /
+                 greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) /
+                 greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
+           round(CAST(
+             (CASE WHEN length(text) >= 50 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN length(replace(text, ' ', '')) /
+                      greatest(len(string_split(text, ' ')), 1) BETWEEN 3 AND 10
+                THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) /
+                      greatest(len(string_split(text, ' ')), 1) >= 0.02
+                THEN 0.3 ELSE 0.0 END) AS DOUBLE), 1) AS quality_score
+    FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality heuristics as one narrow projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(text.stopword_ratio("text"), 4).alias("stop_ratio"),
+        text.quality_score("text").alias("quality_score"),
+    )
+
+
+@query(
+    "lang_id",
+    """
+    WITH counts AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('der','die','das','und','ist','ein'))) AS INTEGER) AS n_de,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS INTEGER) AS n_en,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('el','la','los','y','es','un'))) AS INTEGER) AS n_es,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('le','la','les','et','est','un'))) AS INTEGER) AS n_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+                WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+                WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM counts
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family); `lang` column is
+    retained so downstream accuracy checks are a trivial filter."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_guess("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(lower(trim(text))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via normalized fingerprint: group on the hash
+    (not the full text) so the shuffle carries 32-byte keys, keep min id."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower(F.trim("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join (no n²)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+@query(
+    "minhash_lsh_candidates",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc,
+             min(md5('0|' || sh)) AS sig_0, min(md5('1|' || sh)) AS sig_1,
+             min(md5('2|' || sh)) AS sig_2, min(md5('3|' || sh)) AS sig_3,
+             min(md5('4|' || sh)) AS sig_4, min(md5('5|' || sh)) AS sig_5,
+             min(md5('6|' || sh)) AS sig_6, min(md5('7|' || sh)) AS sig_7
+      FROM sh GROUP BY doc
+    ),
+    banded AS (
+      SELECT doc, 0 AS band, md5(sig_0 || '|' || sig_1) AS key FROM sigs
+      UNION ALL SELECT doc, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL SELECT doc, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL SELECT doc, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    )
+    SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+    FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs.
+
+    Signatures are engine-portable (lexicographic min of salted md5); the
+    candidate join is an equi-join on band keys — this is the shape that
+    scales to billions of documents (no cross join anywhere).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    """
+    SELECT doc_id,
+      CAST((
+        (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),1,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),2,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),3,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),4,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),5,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 16 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),6,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 32 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),7,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 64 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+           CASE WHEN substring(md5(x),8,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 128 ELSE 0 END)
+      ) AS BIGINT) AS simhash
+    FROM documents
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit SimHash (md5-hex-parity bits — engine-portable); near-dup = low
+    Hamming distance between fingerprints (operators.dedup.hamming_dist)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=8)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: embedding similarity search
+# ---------------------------------------------------------------------------
+
+_COS_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim_raw
+      FROM q CROSS JOIN e c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(sim_raw, 4) AS sim
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@query("cosine_topk", _COS_ORACLE)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): queries broadcast,
+    candidates scanned once, per-query top-k via window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@query(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math via higher-order functions (zip_with/aggregate) — the
+    JVM-side fast path for narrow vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = similarity.as_double_vec("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(similarity.l2_norm(vec), 4).alias("l2_norm"),
+    )
+
+
+def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    return dict(QUERIES), dict(ORACLES)

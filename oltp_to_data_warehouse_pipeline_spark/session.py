@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets large clusters (100 TB inputs) but is tested on
+``local[N]``.  All scale-relevant behavior is expressed via conf, not code:
+AQE does runtime partition coalescing / skew-join splitting, broadcast
+thresholds make the star joins broadcast-hash, and Arrow is enabled for the
+(rare) pandas exchanges used by the vectorized UDF escape hatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the same
+# keys are what an operator would tune (values here are safe there too —
+# AQE re-plans shuffle parallelism at runtime from actual stage statistics).
+_ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime coalescing of shuffle partitions, skew-join
+    # splitting, and join-strategy switching (sort-merge -> broadcast when a
+    # side turns out small).  This is the 100-TB safety net.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables in the star schema are small; let Catalyst broadcast
+    # them instead of shuffling the fact table.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas_udf / toPandas exchange (vectorized, not per-row).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition-overwrite used by the idempotent upsert sink (sources.upsert).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # ANSI off: the reference's cleaning semantics are permissive casts
+    # (non-castable -> NULL, spark_etl.py:34), which is non-ANSI behavior.
+    "spark.sql.ansi.enabled": "false",
+    # Timestamps in the fixtures are naive; pin a zone for determinism.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "oltp-to-dw-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster
+    pass ``None`` after setting the master externally (spark-submit).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local harness: one shuffle partition per core.  On a cluster this
+        # would be ~2-3x total cores; AQE coalesces the excess.
+        shuffle_partitions = int(cpus)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
