@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from oltp_to_data_warehouse_pipeline_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

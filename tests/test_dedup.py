@@ -1,0 +1,72 @@
+"""Dedup operators: exact, last-writer-wins, MinHash-LSH, n-gram Jaccard,
+SimHash (SURVEY §2.5 + LLM extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+
+DOC = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+FAR = "completely different words about spark engines and columnar execution plans"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, NEAR), (3, FAR), (4, DOC)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    assert dedup.exact_dedup(df).count() == 2
+    assert dedup.exact_dedup(df, ["v"]).count() == 2
+
+
+def test_lww_dedup_last_wins_and_idempotent(spark):
+    rows = [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = dedup.lww_dedup(df, ["k"], [F.col("ts").desc()])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+    # idempotence: applying twice == once (D3 upsert contract)
+    again = dedup.lww_dedup(out, ["k"], [F.col("ts").desc()])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    sigs = dedup.minhash_signatures(_docs(spark), "doc_id", "text", num_hashes=4)
+    by_id = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(4)) for r in sigs.collect()}
+    assert by_id[1] == by_id[4]          # identical text -> identical signature
+    assert by_id[1] != by_id[3]          # unrelated text -> different
+
+
+def test_lsh_catches_exact_and_near_dups(spark):
+    sigs = dedup.minhash_signatures(_docs(spark), "doc_id", "text", num_hashes=8)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, "doc_id", 8, 4).collect()
+    }
+    assert (1, 4) in pairs               # exact dup always collides in every band
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", 3, threshold=0.2)
+    scores = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert scores[(1, 4)] == 1.0
+    assert 0.5 < scores[(1, 2)] < 1.0    # one-word change -> high but <1
+    assert not any(3 in k for k in scores)
+
+
+def test_simhash_hamming(spark):
+    fp = dedup.simhash(_docs(spark), "doc_id", "text", bits=16)
+    j = fp.alias("a").crossJoin(fp.alias("b")).select(
+        F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+        dedup.hamming_dist(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+    )
+    h = {(r["ia"], r["ib"]): r["h"] for r in j.collect()}
+    assert h[(1, 4)] == 0                        # identical
+    assert h[(1, 2)] <= h[(1, 3)]                # near-dup at most as far as unrelated
+    assert h[(1, 2)] < 8                         # near-dup is close in hamming space

@@ -1,0 +1,36 @@
+"""Quality-check operators (`quality_checks.py` surface, B8 fixed)."""
+
+from __future__ import annotations
+
+from oltp_to_data_warehouse_pipeline_spark.operators import quality
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 6.0)], ["id", "s", "x"]
+    )
+
+
+def test_null_profile(spark):
+    row = quality.null_profile(_df(spark)).first()
+    assert row["id_nulls"] == 0 and row["s_nulls"] == 1 and row["x_nulls"] == 1
+
+
+def test_distinct_profile(spark):
+    row = quality.distinct_profile(_df(spark), ["id", "s"]).first()
+    assert row["total_rows"] == 3
+    assert row["unique_id"] == 2
+    assert row["unique_s"] == 2  # countDistinct ignores NULL
+
+
+def test_summary_stats(spark):
+    row = quality.summary_stats(_df(spark), "x").first()
+    assert row["n"] == 2 and row["mean"] == 5.5 and row["min"] == 5.0 and row["max"] == 6.0
+
+
+def test_quality_gate(spark):
+    res = quality.quality_gate(_df(spark), key_cols=["id"], not_null_cols=["s"])
+    assert res == {"non_empty": True, "unique_id": False, "no_nulls_s": False}
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    res2 = quality.quality_gate(ok, ["id"], ["s"])
+    assert all(res2.values())

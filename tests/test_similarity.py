@@ -1,0 +1,60 @@
+"""Embedding similarity: exact cosine top-k + hyperplane-LSH ANN."""
+
+from __future__ import annotations
+
+from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),   # near vec 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal
+        (3, [-1.0, 0.0, 0.0]),    # opposite
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_cosine_topk_order(spark):
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    out = similarity.cosine_topk(emb, q, k=4)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 4, 2, 3]
+    assert rows[0]["sim"] > 0.999
+    assert rows[-1]["sim"] == -1.0
+    assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_cosine_topk_excludes_self(spark):
+    emb = _emb(spark)
+    out = similarity.cosine_topk(emb, emb, k=10)
+    assert out.where("query_id = neighbor_id").count() == 0
+
+
+def test_seeded_planes_deterministic():
+    a = similarity.seeded_planes(4, 8, seed=7)
+    b = similarity.seeded_planes(4, 8, seed=7)
+    c = similarity.seeded_planes(4, 8, seed=8)
+    assert a == b and a != c
+    assert len(a) == 4 and len(a[0]) == 8
+
+
+def test_ann_lsh_finds_identical_vector(spark):
+    emb = _emb(spark)
+    planes = similarity.seeded_planes(4, 3)
+    q = emb.where("vec_id = 0")
+    out = similarity.ann_topk_lsh(emb, q, planes, k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    # vec 1 is nearly identical to vec 0 -> same bucket with overwhelming
+    # probability under any plane set -> must be rank 1
+    assert rows and rows[0]["neighbor_id"] == 1
+
+
+def test_hyperplane_buckets_cover_all(spark):
+    emb = _emb(spark)
+    planes = similarity.seeded_planes(4, 3)
+    out = similarity.hyperplane_buckets(emb, planes)
+    assert out.count() == 5
+    assert out.select("bucket").distinct().count() >= 2  # signs actually vary

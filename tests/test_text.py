@@ -1,0 +1,48 @@
+"""Text-analysis expressions: tokenization, quality, language ID, prints."""
+
+from __future__ import annotations
+
+from oltp_to_data_warehouse_pipeline_spark.functions import text
+
+
+def _val(spark, s: str, expr_builder):
+    df = spark.createDataFrame([(s,)], ["t"])
+    return df.select(expr_builder("t").alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert _val(spark, "a b  c", text.token_count) == 3  # regex split handles runs
+    assert _val(spark, "one", text.token_count) == 1
+
+
+def test_bpe_ish_token_count(spark):
+    # 2 words, 11 chars -> ceil((2 + 11/4)/2) = ceil(2.375) = 3
+    assert _val(spark, "hello world", text.bpe_ish_token_count) == 3
+
+
+def test_stopword_ratio(spark):
+    assert _val(spark, "the cat and the dog", text.stopword_ratio) == 0.6
+
+
+def test_avg_token_len(spark):
+    assert _val(spark, "ab cd", text.avg_token_len) == 2.0
+
+
+def test_quality_score_range(spark):
+    long_good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    assert _val(spark, long_good, text.quality_score) == 1.0
+    assert _val(spark, "x", text.quality_score) == 0.0
+
+
+def test_lang_guess(spark):
+    assert _val(spark, "the cat is in the house and of note", text.lang_guess) == "en"
+    assert _val(spark, "der hund ist ein tier und das haus", text.lang_guess) == "de"
+    assert _val(spark, "le chat est un animal et les chiens", text.lang_guess) == "fr"
+    assert _val(spark, "qqq www zzz", text.lang_guess) == "und"
+
+
+def test_fingerprints(spark):
+    a = _val(spark, "Hello  World", text.normalized_fingerprint)
+    b = _val(spark, "hello world", text.normalized_fingerprint)
+    assert a == b
+    assert _val(spark, "x", text.fingerprint) != _val(spark, "y", text.fingerprint)
