@@ -1,0 +1,102 @@
+"""The batch ETL pipeline — `spark_etl.py`'s flagship path, composed.
+
+Lifecycle (SURVEY §3.1, intended task order from `Airflow.py:73` / B10):
+watermark → incremental extract → clean/transform → QC gate → load.
+
+The cleaning stage reproduces the reference's loan-domain rules
+(`spark_etl.py:29-95`) as a declarative rule list over configurable column
+names, so the same pipeline runs on the loan fixtures (FIXTURES.md §B) or
+any conforming table.  One narrow projection per rule chain — the only
+shuffle in the whole pipeline is dropDuplicates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.functions import cleaning
+
+
+@dataclass(frozen=True)
+class LoanCleaningConfig:
+    """Column bindings for the spark_etl cleaning semantics."""
+
+    amount_cols: tuple[str, ...] = ("Loan_Amount", "Annual_Income", "Transaction_Amount", "Balance")
+    abs_cols: tuple[str, ...] = ("Transaction_Amount", "Balance")
+    date_cols: tuple[str, ...] = ("Loan_Application_Date", "Transaction_Date")
+    emp_length_col: str | None = "emp_length"
+    term_col: str | None = "term"
+    verification_col: str | None = "verification_status"
+    required_col: str | None = "member_id"
+    int_fill_cols: tuple[str, ...] = ("delinq_2yrs", "inq_last_6mths")
+    na_tokens: tuple[str, ...] = ("n/a",)
+
+
+def clean_loan_data(df: DataFrame, cfg: LoanCleaningConfig = LoanCleaningConfig()) -> DataFrame:
+    """The full `clean_and_transform_data` chain (`spark_etl.py:149-156`),
+    intended semantics (B1 fixed), order-preserved:
+
+    numeric coercion+fill (F1/F8) → date casts (F3) → abs-normalize (F4,
+    producing ``<col>_updated``) → dedup (D1) → 'n/a' scrub (F10) →
+    emp-length recode (F5/F6) → term substring (F7) → verification fill
+    (F9) → int coercion+fill → credit-policy filter (P3).
+    """
+    cols = set(df.columns)
+    out = df
+
+    present_amounts = [c for c in cfg.amount_cols if c in cols]
+    for c in present_amounts:
+        out = out.withColumn(c, cleaning.cast_double(c))
+    out = cleaning.fill_nulls(out, numeric_zero=present_amounts)
+
+    for c in (c for c in cfg.date_cols if c in cols):
+        out = out.withColumn(c, cleaning.cast_date(c))
+
+    for c in (c for c in cfg.abs_cols if c in cols):
+        out = out.withColumn(f"{c}_updated", cleaning.abs_amount(c))
+
+    out = out.dropDuplicates()
+    out = cleaning.replace_na_tokens(out, cfg.na_tokens)
+
+    if cfg.emp_length_col and cfg.emp_length_col in cols:
+        out = out.withColumn(cfg.emp_length_col, cleaning.emp_length_recode(cfg.emp_length_col))
+    if cfg.term_col and cfg.term_col in cols:
+        out = out.withColumn(cfg.term_col, cleaning.leading_int(cfg.term_col, 2))
+    if cfg.verification_col and cfg.verification_col in cols:
+        out = cleaning.fill_nulls(out, string_fills={cfg.verification_col: "Not Verified"})
+
+    present_ints = [c for c in cfg.int_fill_cols if c in cols]
+    for c in present_ints:
+        out = out.withColumn(c, cleaning.cast_int(c))
+    out = cleaning.fill_nulls(out, numeric_zero=present_ints)
+
+    if cfg.required_col and cfg.required_col in cols:
+        out = cleaning.not_null_filter(out, cfg.required_col)
+    return out
+
+
+@dataclass
+class IncrementalRun:
+    """One watermark-driven pipeline run (the Airflow DAG's task chain)."""
+
+    watermark_col: str
+    quality_keys: tuple[str, ...] = ()
+    quality_not_null: tuple[str, ...] = ()
+    cleaning_cfg: LoanCleaningConfig = field(default_factory=LoanCleaningConfig)
+
+    def run(self, source: DataFrame, prior_watermark: int | None) -> tuple[DataFrame, int | None, dict[str, bool]]:
+        """extract → transform → QC; returns (cleaned delta, new watermark,
+        qc results).  The caller owns the load step (sink choice)."""
+        from oltp_to_data_warehouse_pipeline_spark.operators.quality import quality_gate
+
+        delta = cleaning.watermark_delta(source, self.watermark_col, prior_watermark)
+        cleaned = clean_loan_data(delta, self.cleaning_cfg)
+        row = cleaned.agg(F.max(self.watermark_col).alias("m")).first()
+        new_watermark = row["m"] if row else None
+        qc = quality_gate(
+            cleaned, list(self.quality_keys), list(self.quality_not_null)
+        ) if (self.quality_keys or self.quality_not_null) else {"non_empty": cleaned.limit(1).count() > 0}
+        return cleaned, new_watermark, qc

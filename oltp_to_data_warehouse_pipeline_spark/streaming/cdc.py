@@ -1,0 +1,141 @@
+"""CDC pipeline wiring: Kafka (or any) stream → normalize → upsert.
+
+Reference lifecycle (`mongo_postgres_cdc.py:408-478`): poll → per-message
+parse/flatten/upsert → commit offsets.  Spark-native equivalent (SURVEY
+§3.3): ``readStream`` → the declarative normalizer → ``foreachBatch`` doing
+a set-oriented LWW upsert per topic, with offsets checkpointed by Structured
+Streaming.  At-least-once delivery + idempotent upsert = exactly-once table
+state (ST3).
+
+The micro-batch function is stream-agnostic, so tests drive it with batch
+DataFrames and a file-source stream — no Kafka broker needed (the Kafka
+source is config wiring, ST1/ST2/ST6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.sources.upsert import upsert_parquet
+from oltp_to_data_warehouse_pipeline_spark.streaming import normalizer as norm
+
+SAMPLE_SIZE = 200
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str],
+    max_offsets_per_trigger: int = 10_000,
+) -> DataFrame:
+    """ST1/ST2 — multi-topic Kafka source with bounded micro-batches
+    (`max_poll_records` analog).  Offsets live in the checkpoint (ST3)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+        .select(
+            F.col("value").cast("string").alias("value"),
+            F.col("topic").alias("topic"),
+        )
+    )
+
+
+def process_microbatch(
+    spark: SparkSession,
+    batch: DataFrame,
+    warehouse_dir: str,
+    num_buckets: int = 64,
+) -> list[str]:
+    """One micro-batch: route per topic (ST4), infer/evolve schema, normalize,
+    LWW-upsert.  Returns the landing-table names written.
+
+    Corrupt messages (unparseable JSON / no primary key) are dropped by the
+    normalizer's pk filter — poison tolerance (ST5) without a per-row
+    try/except.
+    """
+    topics = [r["topic"] for r in batch.select("topic").distinct().collect()]
+    written: list[str] = []
+    for topic in topics:
+        msgs = batch.where(F.col("topic") == topic)
+        sample = [r["value"] for r in msgs.select("value").limit(SAMPLE_SIZE).collect()]
+        schema = norm.infer_schema(sample)
+        prior = _load_schema(warehouse_dir, topic)
+        if prior is not None:
+            schema = prior.merge(schema)  # additive evolution across batches (B9 fixed)
+        if not schema.fields:
+            continue
+        table = norm.topic_to_table(topic)
+        normalized = norm.normalize(msgs, schema)
+        upsert_parquet(
+            spark,
+            normalized,
+            os.path.join(warehouse_dir, table),
+            key="kafka_primary_key",
+            order_cols=["updated_at"],
+            num_buckets=num_buckets,
+        )
+        _save_schema(warehouse_dir, topic, schema)
+        written.append(table)
+    return written
+
+
+def start_cdc(
+    spark: SparkSession,
+    stream: DataFrame,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = 10,
+):
+    """Attach the micro-batch upsert to any streaming DataFrame with columns
+    (value string, topic string).  ``query.stop()`` = graceful shutdown (ST6).
+    """
+    writer = stream.writeStream.foreachBatch(
+        lambda df, _epoch: process_microbatch(spark, df, warehouse_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+# -- tiny schema registry (per-topic JSON file beside the landing tables) ----
+
+
+def _schema_path(warehouse_dir: str, topic: str) -> str:
+    return os.path.join(warehouse_dir, f"_schema_{norm.topic_to_table(topic)}.json")
+
+
+def _save_schema(warehouse_dir: str, topic: str, schema: norm.InferredSchema) -> None:
+    import json
+
+    os.makedirs(warehouse_dir, exist_ok=True)
+    payload = {
+        name: {"sql_type": f.sql_type, "path": f.path, "is_json_blob": f.is_json_blob}
+        for name, f in schema.fields.items()
+    }
+    with open(_schema_path(warehouse_dir, topic), "w") as fh:
+        json.dump(payload, fh)
+
+
+def _load_schema(warehouse_dir: str, topic: str) -> norm.InferredSchema | None:
+    import json
+
+    p = _schema_path(warehouse_dir, topic)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        payload = json.load(fh)
+    return norm.InferredSchema(
+        {
+            name: norm.InferredField(d["sql_type"], d["path"], d["is_json_blob"])
+            for name, d in payload.items()
+        }
+    )

@@ -1,0 +1,80 @@
+"""Event-time window aggregates with watermarks (SURVEY §7 step 7).
+
+Beyond the reference's surface (§2.8 lists these as absent) but a natural
+extension over the driver's ``events`` stream table: tumbling / sliding /
+session windows with late-data handling.  The same builders work on batch
+DataFrames (no watermark) and streaming DataFrames (with watermark), so the
+batch twin is the oracle for the streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling window: count + sum(value) per (window, group)."""
+    src = _with_watermark(df, ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_len), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding window: overlapping windows, global counts."""
+    src = _with_watermark(df, ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_len, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("user_id",),
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session window: activity sessions separated by ≥ ``gap`` idle time."""
+    src = _with_watermark(df, ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+        )
+    )

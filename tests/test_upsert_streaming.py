@@ -1,0 +1,111 @@
+"""Upsert sink idempotence + CDC micro-batch + streaming windows."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.sources.upsert import read_upserted, upsert_parquet
+from oltp_to_data_warehouse_pipeline_spark.streaming import windows
+from oltp_to_data_warehouse_pipeline_spark.streaming.cdc import process_microbatch
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, ["k", "updated_at", "v"])
+
+
+def test_upsert_insert_update_and_idempotence(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b1 = _batch(spark, [("a", 1, "v1"), ("b", 1, "v1")])
+    upsert_parquet(spark, b1, path, "k", ["updated_at"])
+    assert {(r["k"], r["v"]) for r in read_upserted(spark, path).collect()} == {("a", "v1"), ("b", "v1")}
+
+    # update a, insert c; replay the same batch twice -> same state (ST3)
+    b2 = _batch(spark, [("a", 2, "v2"), ("c", 1, "v1")])
+    for _ in range(2):
+        upsert_parquet(spark, b2, path, "k", ["updated_at"])
+        state = {(r["k"], r["v"]) for r in read_upserted(spark, path).collect()}
+        assert state == {("a", "v2"), ("b", "v1"), ("c", "v1")}
+
+    # stale replay of b1 must NOT resurrect v1 (LWW on updated_at)
+    upsert_parquet(spark, b1, path, "k", ["updated_at"])
+    state = {(r["k"], r["v"]) for r in read_upserted(spark, path).collect()}
+    assert state == {("a", "v2"), ("b", "v1"), ("c", "v1")}
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_parquet(spark, _batch(spark, [("a", 1, "v1")]), path, "k", ["updated_at"])
+    wider = spark.createDataFrame([("b", 1, "v1", 42)], ["k", "updated_at", "v", "extra"])
+    upsert_parquet(spark, wider, path, "k", ["updated_at"])
+    out = read_upserted(spark, path)
+    assert "extra" in out.columns
+    got = {r["k"]: r["extra"] for r in out.collect()}
+    assert got["b"] == 42 and got["a"] is None
+
+
+def test_cdc_microbatch_routing_and_upsert(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    rows = [
+        (json.dumps({"id": "1", "name": "alice", "age": 30}), "users"),
+        (json.dumps({"id": "2", "name": "bob", "age": 31}), "users"),
+        (json.dumps({"id": "o1", "total": 9.5}), "orders.v1"),
+    ]
+    df = spark.createDataFrame(rows, ["value", "topic"])
+    written = process_microbatch(spark, df, wh)
+    assert sorted(written) == ["orders_v1", "users"]
+    users = read_upserted(spark, f"{wh}/users")
+    assert users.count() == 2
+
+    # second batch: update id=1, new column appears (additive evolution)
+    rows2 = [(json.dumps({"id": "1", "name": "alice2", "vip": True}), "users")]
+    process_microbatch(spark, spark.createDataFrame(rows2, ["value", "topic"]), wh)
+    users = read_upserted(spark, f"{wh}/users")
+    row = {r["kafka_primary_key"]: r for r in users.collect()}
+    assert row["1"]["name"] == "alice2"
+    assert row["1"]["vip"] is True
+    assert row["2"]["name"] == "bob"          # untouched key survives
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    """File-source stream through tumbling_counts == batch twin (ST oracle)."""
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    src_dir, out = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    q = (
+        windows.tumbling_counts(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_sink").collect()
+    }
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in windows.tumbling_counts(ev, watermark=None).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_windows_batch(spark):
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"), (1, "2024-01-01 01:30:00"), (2, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.col("s").cast("timestamp").alias("ts"), F.lit(1.0).alias("value")
+    )
+    out = windows.session_counts(df, gap="30 minutes", watermark=None).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]      # two sessions: (0:00,0:10) and (1:30)
+    assert per_user[2] == [1]
