@@ -182,3 +182,51 @@ def hamming_dist(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs within ``max_hamming`` of each other, WITHOUT a cross join.
+
+    Pigeonhole candidate generation: split the fingerprint into ``bands``
+    chunks; any pair with ≤ ``bands - 1`` differing bits shares at least one
+    identical chunk, so an equi-join on (chunk_idx, chunk_value) is a
+    complete candidate set for ``max_hamming ≤ bands - 1``.  Exact Hamming
+    filter afterwards.  This is the formulation that scales (shuffle on
+    chunk values, no n²).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("completeness requires max_hamming <= bands - 1 (pigeonhole)")
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.expr(f"({sim_col} div {1 << (i * chunk_bits)}) % {mask + 1}").alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = fingerprints.select(
+        F.col(id_col).alias("doc"), F.col(sim_col).alias("h"), F.explode(chunks).alias("c")
+    ).select("doc", "h", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["idx", "val"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming_dist(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -859,5 +859,144 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Custom operators beyond stock Spark: as-of join, banded SimHash pairs,
+# analytic window functions, multimodal content hashing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_last_click_asof",
+    """
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+           round(c.value, 4) AS last_click_value,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS last_click_ts_epoch
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): for each purchase, the user's most
+    recent click at-or-before it.  Union + single keyed window — one shuffle,
+    no range explosion (operators/asof.py); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        F.round("value_asof", 4).alias("last_click_value"),
+        F.unix_timestamp("ts_asof").cast("bigint").alias("last_click_ts_epoch"),
+    )
+
+
+@query(
+    "simhash_near_pairs",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+        CAST((
+          (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),1,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),2,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),3,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),4,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),5,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 16 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),6,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 32 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),7,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 64 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(string_split(text,' '), x ->
+             CASE WHEN substring(md5(x),8,1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 THEN 128 ELSE 0 END)
+        ) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 1
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs WITHOUT a cross join: pigeonhole banding makes
+    candidate generation an equi-join (complete for hamming ≤ bands-1); the
+    brute-force oracle confirms completeness."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash(d, "doc_id", "text", bits=8)
+    pairs = dedup.simhash_near_pairs(fp, "doc_id", "simhash", bits=8, bands=2, max_hamming=1)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "customer_order_ranks",
+    """
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS INTEGER) AS recency_rank,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_revenue
+    FROM orders
+    """,
+)
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (beyond the reference's §2.6 'none'):
+    per-customer recency rank + running revenue, one shuffle on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.row_number().over(w_rank).alias("recency_rank"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_revenue"),
+    )
+
+
+@query(
+    "media_content_hash",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def media_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal content addressing on a binary column: the documents text
+    re-encoded as binary stands in for media bytes; sha256 content hash +
+    byte size (the dedup key for binary blobs)."""
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("bigint").alias("size_bytes"),
+        F.lower(F.sha2(bin_col, 256)).alias("content_hash"),
+    )
+
+
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return dict(QUERIES), dict(ORACLES)

@@ -1,0 +1,99 @@
+"""As-of join semantics + multimodal column plumbing."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.functions import multimodal
+from oltp_to_data_warehouse_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "t1"), (1, _ts("2024-01-01 12:00:00"), "t2"),
+         (2, _ts("2024-01-01 10:00:00"), "t3")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 100.0), (1, _ts("2024-01-01 11:30:00"), 200.0),
+         (2, _ts("2024-01-01 11:00:00"), 300.0)],
+        ["k", "rts", "price"],
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    got = {r["tag"]: (r["price"], r["rts"]) for r in out.collect()}
+    assert got["t1"] == (100.0, _ts("2024-01-01 09:00:00"))
+    assert got["t2"] == (200.0, _ts("2024-01-01 11:30:00"))
+    assert got["t3"] == (None, None)           # right row is later -> no match
+
+
+def test_asof_join_tie_inclusive(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), "t")], ["k", "ts", "tag"])
+    right = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), 5.0)], ["k", "rts", "v"])
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    assert out.first()["v"] == 5.0
+
+
+def test_asof_join_null_payload_no_lookthrough(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 12:00:00"), "t")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0), (1, _ts("2024-01-01 11:00:00"), None)],
+        "k: long, rts: timestamp, v: double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    row = out.first()
+    # nearest right row has NULL payload — must NOT look through to 10:00
+    assert row["v"] is None and row["rts"] == _ts("2024-01-01 11:00:00")
+
+
+def _media(spark):
+    rows = [(1, b"\x89PNG-fake-bytes-1"), (2, b"\x89PNG-fake-bytes-2"), (3, None)]
+    return spark.createDataFrame(rows, "media_id: long, content: binary")
+
+
+def test_attach_metadata(spark):
+    df = multimodal.attach_metadata(_media(spark), "content", "image", "png")
+    row = df.where("media_id = 1").first()
+    assert row["media_meta"]["media_type"] == "image"
+    assert row["media_meta"]["size_bytes"] == 17
+    assert row["media_meta"]["width"] is None
+
+
+def test_decode_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
+
+
+def test_fake_decode_deterministic():
+    a = multimodal.fake_decode(b"abc", dim=8)
+    assert a == multimodal.fake_decode(b"abc", dim=8)
+    assert a != multimodal.fake_decode(b"abd", dim=8)
+    assert len(a) == 8 and all(0 <= x < 1 for x in a)
+
+
+def test_extract_features_mapinpandas(spark):
+    out = multimodal.extract_features(_media(spark), dim=4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows[1]["feature"]) == 4
+    assert rows[1]["content_hash"] != rows[2]["content_hash"]
+    assert rows[3]["feature"] is None and rows[3]["content_hash"] is None
+    # distributed result == local fake codec (plumbing is lossless)
+    local = multimodal.fake_decode(b"\x89PNG-fake-bytes-1", dim=4)
+    assert [pytest.approx(x) for x in rows[1]["feature"]] == local
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"v")], "media_id: long, content: binary")
+    df = multimodal.attach_metadata(df, "content", "video", "mp4")
+    df = df.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(3500).cast("bigint")),
+    )
+    out = multimodal.frame_sample_plan(df, "media_id", every_ms=1000)
+    assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]

@@ -60,6 +60,23 @@ def test_ngram_jaccard_scores(spark):
     assert not any(3 in k for k in scores)
 
 
+def test_simhash_near_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole banding must find exactly the brute-force pair set."""
+    rows = [(i, t) for i, t in enumerate([DOC, NEAR, FAR, DOC, "one two three four five six seven"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = dedup.simhash(df, "doc_id", "text", bits=16)
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(fp, bits=16, bands=4, max_hamming=3).collect()
+    }
+    brute = fp.alias("a").crossJoin(fp.alias("b")).where(F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+        dedup.hamming_dist(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+    )
+    expected = {(r["doc_a"], r["doc_b"], r["h"]) for r in brute.collect() if r["h"] <= 3}
+    assert banded == expected and (0, 3, 0) in banded  # identical docs pair at distance 0
+
+
 def test_simhash_hamming(spark):
     fp = dedup.simhash(_docs(spark), "doc_id", "text", bits=16)
     j = fp.alias("a").crossJoin(fp.alias("b")).select(
