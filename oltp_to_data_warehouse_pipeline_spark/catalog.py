@@ -76,4 +76,4 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

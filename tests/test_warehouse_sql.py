@@ -1,0 +1,48 @@
+"""SQL warehouse-build path: idempotent rebuild + parity with the DataFrame
+builders (the two paths must produce identical analytics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oltp_to_data_warehouse_pipeline_spark.plans import warehouse_sql
+from oltp_to_data_warehouse_pipeline_spark.plans.queryset import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    created = warehouse_sql.build_warehouse(spark, SF, prefix="t_wh_")
+    yield created
+    for t in created:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_build_creates_all_tables(spark, built):
+    assert built == ["t_wh_customer_dim", "t_wh_transaction_dim", "t_wh_dim_date", "t_wh_loan_facts"]
+    for t in built:
+        assert spark.table(t).count() > 0
+
+
+def test_rebuild_is_idempotent(spark, built):
+    before = spark.table("t_wh_dim_date").count()
+    warehouse_sql.build_warehouse(spark, SF, prefix="t_wh_")
+    assert spark.table("t_wh_dim_date").count() == before
+
+
+def test_fact_partitioned_by_year(spark, built):
+    parts = spark.sql("SHOW PARTITIONS t_wh_loan_facts").collect()
+    assert len(parts) >= 5  # orders span 1995-2001
+
+
+def test_sql_path_matches_dataframe_path(spark, built):
+    sql_result = {
+        (r["region"], r["nation"]): (r["total_revenue"], r["num_orders"])
+        for r in warehouse_sql.analytic_query(spark, prefix="t_wh_").collect()
+    }
+    df_result = {
+        (r["region"], r["nation"]): (r["total_revenue"], r["num_orders"])
+        for r in QUERIES["star_join_revenue"](spark, SF).collect()
+    }
+    assert sql_result == df_result
