@@ -53,46 +53,39 @@ def lww_dedup(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataF
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of a text column, as array<string>.
 
-    Pure expression (split + transform over an index sequence) — executes in
-    whole-stage codegen.
+    Pure expression (split + transform over an index sequence; the repeated
+    ``split`` subtree is eliminated by codegen subexpression elimination).
+    For texts shorter than n words the single clamped slice = whole text.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(c, " ")
-    shingle = F.expr(
-        f"transform(sequence(0, greatest(size(split({_name(text_col)}, ' ')) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(split({_name(text_col)}, ' '), i + 1, {n})))"
-    )
-    # For texts shorter than n words the sequence above yields the whole text
-    # as the single shingle (slice clamps); dedupe shingles.
-    _ = words  # words kept for readability; shingle expr is self-contained
-    return F.array_distinct(shingle)
-
-
-def _name(c: Column | str) -> str:
-    if isinstance(c, str):
-        return c
-    raise TypeError("word_shingles requires a column *name* (expression rebuilt in SQL)")
-
-
-def minhash_component(shingle: Column | str, salt: int) -> Column:
-    """One MinHash signature component: min(md5(salt || '|' || shingle)).
-
-    Lexicographic min over hex digests ≡ min over a uniform 128-bit hash.
-    """
-    c = F.col(shingle) if isinstance(shingle, str) else shingle
-    return F.min(F.md5(F.concat(F.lit(f"{salt}|"), c)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.array_distinct(shingles)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: explode shingles, agg k salted mins.
+    """MinHash signature per document — NO shuffle.
 
-    One shuffle (groupBy id).  Output: id + sig_0..sig_{k-1} (hex strings).
+    sig_i = array_min(transform(shingles, s -> md5(i||'|'||s))): the min over
+    a document's shingle set computed per row (narrow map), identical to the
+    explode+groupBy formulation but with zero exchanges.  Output: id +
+    sig_0..sig_{k-1} (hex strings).
     """
-    shingled = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__shingle"))
-    aggs = [minhash_component("__shingle", i).alias(f"sig_{i}") for i in range(num_hashes)]
-    return shingled.groupBy(id_col).agg(*aggs)
+    out = df.withColumn("__sh", word_shingles(text_col, shingle_n))
+
+    def salted(salt: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would make transform()
+        # pass the array index as the second argument.
+        return lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("__sh"), salted(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return out.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
@@ -133,10 +126,11 @@ def ngram_jaccard_pairs(
     removal) before the join; here df is document-scale so the raw join is
     fine.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    ).distinct()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    # shingle arrays are already distinct per doc -> exploded rows are unique
+    # without a shuffle, and set sizes are a narrow size() projection.
+    base = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh"))
+    sh = base.select("doc", F.explode("__sh").alias("sh"))
+    sizes = base.select("doc", F.size("__sh").alias("n_sh"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
@@ -165,15 +159,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     array) — narrow map, no shuffle.
     """
     odd = "('1','3','5','7','9','b','d','f')"
-    bit_exprs = []
-    for b in range(bits):
-        contrib = (
-            f"aggregate(transform(split({text_col}, ' '), x -> "
-            f"CASE WHEN substring(md5(x), {b + 1}, 1) IN {odd} THEN 1 ELSE -1 END), "
-            f"0, (acc, v) -> acc + v)"
-        )
-        bit_exprs.append(f"(CASE WHEN ({contrib}) > 0 THEN {1 << b} ELSE 0 END)")
-    sim = F.expr(" + ".join(bit_exprs)).cast("bigint").alias("simhash")
+    # Single pass: md5 once per token, then one aggregate accumulating all
+    # per-bit counts as an int array, then fold counts -> fingerprint.
+    # (The naive form — one full-text aggregate per bit — does `bits`×
+    # the hashing work; at 100 TB that's the whole job.)
+    md5s = f"transform(split({text_col}, ' '), x -> md5(x))"
+    bit_vec = f"transform(sequence(1, {bits}), b -> CASE WHEN substring(m, b, 1) IN {odd} THEN 1 ELSE -1 END)"
+    counts = (
+        f"aggregate({md5s}, array_repeat(0, {bits}), "
+        f"(acc, m) -> zip_with(acc, {bit_vec}, (a, v) -> a + v))"
+    )
+    weights = f"transform(sequence(0, {bits - 1}), b -> cast(shiftleft(1L, b) as bigint))"
+    sim = F.expr(
+        f"aggregate(zip_with({counts}, {weights}, (c, p) -> CASE WHEN c > 0 THEN p ELSE 0L END), "
+        f"0L, (acc, v) -> acc + v)"
+    ).cast("bigint").alias("simhash")
     return df.select(F.col(id_col), sim)
 
 
