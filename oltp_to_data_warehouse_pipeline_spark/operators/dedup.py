@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """D1 — drop exact duplicate rows (`spark_etl.py:61-62`).
@@ -74,7 +76,7 @@ def minhash_signatures(
     explode+groupBy formulation but with zero exchanges.  Output: id +
     sig_0..sig_{k-1} (hex strings).
     """
-    out = df.withColumn("__sh", word_shingles(text_col, shingle_n))
+    out = ensure_min_parallelism(df).withColumn("__sh", word_shingles(text_col, shingle_n))
 
     def salted(salt: int):
         # NB: must be a 1-arg lambda — a 2-arg lambda would make transform()
@@ -126,26 +128,31 @@ def ngram_jaccard_pairs(
     removal) before the join; here df is document-scale so the raw join is
     fine.
     """
-    # shingle arrays are already distinct per doc -> exploded rows are unique
-    # without a shuffle, and set sizes are a narrow size() projection.
-    base = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh"))
-    sh = base.select("doc", F.explode("__sh").alias("sh"))
-    sizes = base.select("doc", F.size("__sh").alias("n_sh"))
+    # Shingle arrays are already distinct per doc -> exploded rows are unique
+    # without any dedup shuffle.  The set size rides along with every posting
+    # (one extra int per row) so |A| and |B| arrive with the counted pairs and
+    # no extra joins against a sizes relation are needed — the whole operator
+    # is: explode -> one equi-join -> one aggregation.
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh")
+    )
+    sh = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("sh"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
         .where(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    return (
+        pairs.withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -174,7 +181,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         f"aggregate(zip_with({counts}, {weights}, (c, p) -> CASE WHEN c > 0 THEN p ELSE 0L END), "
         f"0L, (acc, v) -> acc + v)"
     ).cast("bigint").alias("simhash")
-    return df.select(F.col(id_col), sim)
+    return ensure_min_parallelism(df).select(F.col(id_col), sim)
 
 
 def hamming_dist(a: Column | str, b: Column | str) -> Column:

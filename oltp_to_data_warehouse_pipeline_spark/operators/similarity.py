@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
 
 def as_double_vec(c: Column | str) -> Column:
     """array<float> → array<double> so dot products run in double precision
@@ -48,9 +50,11 @@ def cosine_topk(
     per-partition heap via mapInPandas).
     Excludes self-matches.  Deterministic tiebreak: (sim desc, candidate id).
     """
-    cand = emb.select(
-        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec")
-    ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    cand = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
+        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec")
     ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
@@ -104,7 +108,7 @@ def ann_topk_lsh(
     equi-join on bucket — linear shuffle, no cross join: this is the path
     that survives 10⁹+ vectors.
     """
-    cand = hyperplane_buckets(emb, planes, id_col, vec_col).select(
+    cand = hyperplane_buckets(ensure_min_parallelism(emb), planes, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__craw"), "bucket"
     )
     q = hyperplane_buckets(queries, planes, id_col, vec_col).select(
