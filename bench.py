@@ -35,6 +35,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "cosine_topk",
+    "embedding_near_dup_lsh",
 ]
 
 

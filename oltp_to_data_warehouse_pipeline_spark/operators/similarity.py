@@ -133,6 +133,89 @@ def ann_topk_lsh(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (a < b) with cos ≥ threshold.
+
+    This is the *verification* path (all-pairs, O(n²) dot products — a
+    broadcast nested-loop join); dense cosine has no lossless inverted-index
+    prune, so the scale path is :func:`cosine_near_dup_lsh` (candidate
+    generation via hyperplane banding, recall < 1 by construction), with this
+    operator as its ground truth on samples.
+    """
+    base = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+        .withColumn("sim", dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")))
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path cosine near-dup: hyperplane-band candidates + exact verify.
+
+    The plane set is split into ``bands`` groups of ``len(planes)/bands``
+    sign bits; two vectors are candidates iff they agree on EVERY bit of at
+    least one band (equi-join on (band, key) — linear shuffle, no n²).  Each
+    candidate pair is then verified with the exact cosine, so precision is 1;
+    recall < 1 is the LSH approximation (more bands / fewer rows-per-band →
+    higher recall).  Deterministic (seeded planes) — reproducible across
+    engines, which is what lets the DuckDB oracle run the identical algorithm.
+    """
+    rows = len(planes) // bands
+    vec = as_double_vec(vec_col)
+    band_keys = []
+    for bidx in range(bands):
+        bits = []
+        for r in range(rows):
+            lit = F.array(*[F.lit(float(x)) for x in planes[bidx * rows + r]])
+            bits.append(F.when(dot(vec, lit) >= 0, F.lit(1 << r)).otherwise(F.lit(0)))
+        key = bits[0]
+        for x in bits[1:]:
+            key = key + x
+        band_keys.append(F.struct(F.lit(bidx).alias("band"), key.cast("int").alias("key")))
+    exploded = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col).alias("id"), vec.alias("v"), F.explode(F.array(*band_keys)).alias("bk"))
+        .select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.first("sim"), 4).alias("sim"))
+    )
+
+
 def seeded_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (pure Python LCG — no numpy
     dependency in the plan layer, reproducible across runs/engines)."""
@@ -146,3 +229,125 @@ def seeded_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]
             row.append(state / 2147483647.0 - 0.5)
         planes.append(row)
     return planes
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — centroid-partitioned search, the billion-vector
+# alternative to hyperplane LSH: cells adapt to the data distribution.
+# ---------------------------------------------------------------------------
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² in one pass (no norm precomputation needed)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cell_entries(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """(distance, cell_id) structs against each centroid literal — the
+    centroid 'model' is embedded in the plan, so assignment is a narrow map
+    with zero shuffle (the k×dim floats broadcast with the task binary)."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(F.struct(sq_dist(vec, lit).alias("d"), F.lit(i).alias("i")))
+    return entries
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin cell id (struct array_min: min distance, cell id tiebreak)."""
+    return F.array_min(F.array(*_cell_entries(vec, centroids))).getField("i")
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids: deterministic seeding + Lloyd iterations.
+
+    Seeds are the k vectors with the smallest md5(id) — pseudo-random but
+    reproducible.  Each Lloyd step assigns every vector to its nearest
+    centroid (narrow map over centroid literals) and recomputes per-cell
+    per-dimension means via posexplode + groupBy — one shuffle of n×dim
+    (cell, pos, val) rows.  Train on a sample at 100 TB scale (`emb.sample`);
+    the model is k×dim floats of driver-side state, like any ANN index.
+    Empty cells keep their previous centroid.
+    """
+    base = ensure_min_parallelism(emb).select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    )
+    seeds = (
+        base.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        # NB: nearest_cell must be projected BEFORE posexplode — a Generate in
+        # the same select strips the aliases inside sibling struct exprs and
+        # breaks getField("i").
+        assigned = base.withColumn("cell", nearest_cell(F.col("v"), centroids)).select(
+            "cell", F.posexplode("v")
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+            .collect()
+        )
+        new_c = list(centroids)
+        for r in means:
+            new_c[r["cell"]] = [d["m"] for d in r["dims"]]
+        centroids = new_c
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only candidates in the query's nprobe nearest cells.
+
+    Candidates get ONE cell each (narrow map — at scale this assignment is
+    precomputed and the table is written partitioned by cell, making the
+    probe a partition-pruned scan).  Queries explode to their ``nprobe``
+    closest cells; the candidate join is an equi-join on cell (≈ nprobe/k of
+    the data scanned per query).  Recall < 1 by construction; raise nprobe
+    for more recall.  Deterministic tiebreak (sim desc, neighbor id).
+    """
+    cand = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
+        .withColumn("cell", nearest_cell(F.col("__cvec"), centroids))
+        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    )
+    probe_cells = F.slice(F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec"))
+        .withColumn("cell", F.explode(F.transform(probe_cells, lambda e: e.getField("i"))))
+        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -859,6 +859,92 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- embedding-cosine near-dup (exact verifier + LSH scale path) -----------
+
+_NEAR_DUP_T = 0.4
+_LSH_PLANES = similarity.seeded_planes(16, 64, seed=42)
+_LSH_BANDS = 4
+
+
+def _lsh_near_dup_oracle(planes: list[list[float]], bands: int, threshold: float) -> str:
+    """DuckDB twin of cosine_near_dup_lsh: identical hyperplane literals,
+    identical band keys, identical verify — the whole LSH algorithm is
+    deterministic, so even the approximate path is hash-checkable."""
+    rows = len(planes) // bands
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    banded = " UNION ALL ".join(
+        "SELECT vec_id AS id, v, {b} AS band, ({key}) AS key FROM e".format(
+            b=b,
+            key=" + ".join(
+                f"(CASE WHEN list_dot_product(v, {lit(planes[b * rows + r])}) >= 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+                for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    banded AS ({banded}),
+    scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, round(min(s), 4) AS sim
+    FROM scored WHERE s >= {threshold} GROUP BY id_a, id_b
+    """
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(s, 4) AS sim FROM p WHERE s >= {_NEAR_DUP_T}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs — the small-N verification
+    path (dense cosine has no lossless index); ground truth for the LSH
+    variant's recall measurements."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+
+
+@query("embedding_near_dup_lsh", _lsh_near_dup_oracle(_LSH_PLANES, _LSH_BANDS, _NEAR_DUP_T))
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane banding (the 10⁹-vector
+    path: equi-join on band keys, exact verify inside buckets — precision 1,
+    recall < 1).  Fully deterministic, so the DuckDB oracle runs the SAME
+    algorithm and the hash must match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_lsh(
+        emb, _LSH_PLANES, bands=_LSH_BANDS, threshold=_NEAR_DUP_T
+    )
+
+
+@query("ivf_topk_ann")
+def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (no SQL oracle: Lloyd training is iterative — the driver
+    records the weaker rows-only check; recall vs the exact top-k is pinned
+    in tests/test_similarity.py).  Queries = vec_id < 10, as in cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_centroids(emb, k=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Custom operators beyond stock Spark: as-of join, banded SimHash pairs,
 # analytic window functions, multimodal content hashing

@@ -16,7 +16,10 @@ def test_registry_alignment(spark):
     assert len(qs) >= 30
     # every oracle key has a query; every query is callable
     assert set(oracles) <= set(qs)
-    missing = set(qs) - set(oracles)
+    # Iterative algorithms (no single SQL expression) get the driver's
+    # weaker rows-only check; everything else must carry an oracle.
+    intended_no_oracle = {"ivf_topk_ann"}
+    missing = set(qs) - set(oracles) - intended_no_oracle
     assert missing == set(), f"queries without oracle (document if intended): {missing}"
 
 

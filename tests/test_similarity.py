@@ -58,3 +58,50 @@ def test_hyperplane_buckets_cover_all(spark):
     out = similarity.hyperplane_buckets(emb, planes)
     assert out.count() == 5
     assert out.select("bucket").distinct().count() >= 2  # signs actually vary
+
+
+def test_cosine_near_dup_exact(spark):
+    emb = _emb(spark)
+    out = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           similarity.cosine_near_dup_pairs(emb, threshold=0.7).collect()}
+    # cos(0,1)≈1.0; vec 4 = (.7,.7,0) is ≈0.707 from BOTH axes (vecs 0/1/2)
+    assert set(out) == {(0, 1), (0, 4), (1, 4), (2, 4)}
+    assert out[(0, 1)] > 0.999
+    # a<b ordering and no self-pairs by construction
+    assert all(a < b for a, b in out)
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark):
+    emb = _emb(spark)
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_near_dup_pairs(emb, threshold=0.5).collect()}
+    planes = similarity.seeded_planes(8, 3, seed=42)
+    lsh_rows = similarity.cosine_near_dup_lsh(emb, planes, bands=4, threshold=0.5).collect()
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
+    # precision 1: every LSH pair is a true near-dup pair
+    assert lsh <= exact
+    # near-identical vectors agree on every sign bit -> never missed
+    assert (0, 1) in lsh
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = _emb(spark)
+    c1 = similarity.ivf_centroids(emb, k=2, iters=2)
+    c2 = similarity.ivf_centroids(emb, k=2, iters=2)
+    assert c1 == c2
+    assert len(c1) == 2 and len(c1[0]) == 3
+
+
+def test_ivf_topk_recall(spark):
+    emb = _emb(spark)
+    cents = similarity.ivf_centroids(emb, k=2, iters=2)
+    q = emb.where("vec_id = 0")
+    # with nprobe = k (all cells probed) IVF degrades to exact search
+    ivf_all = similarity.ivf_topk(emb, q, cents, k=4, nprobe=2)
+    exact = similarity.cosine_topk(emb, q, k=4)
+    assert [r["neighbor_id"] for r in sorted(ivf_all.collect(), key=lambda r: r["rank"])] == \
+           [r["neighbor_id"] for r in sorted(exact.collect(), key=lambda r: r["rank"])]
+    # nprobe=1 returns only same-cell candidates — a subset, still ranked
+    ivf_1 = similarity.ivf_topk(emb, q, cents, k=4, nprobe=1).collect()
+    assert 0 < len(ivf_1) <= 4
+    assert all(r["query_id"] == 0 for r in ivf_1)
