@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the scale properties ARCHITECTURE.md promises.
+
+These pin the *plan shape*, not timings: broadcast star joins (no sort-merge),
+watermark predicates pushed into the parquet scan, column pruning reaching
+ReadSchema, map-side partial aggregation, and shuffle-free narrow operators.
+A regression here is a 100×-scale performance bug even when sf0.001 results
+stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+from oltp_to_data_warehouse_pipeline_spark.plans.queryset import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_star_join_is_all_broadcast(spark):
+    q, _ = registry()
+    plan = _plan(q["star_join_revenue"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "dims must broadcast, not shuffle the fact table"
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_incremental_watermark_pushed_to_scan(spark):
+    q, _ = registry()
+    plan = _plan(q["incremental_delta"](spark, SF_DIR))
+    # the high-watermark delta predicate must reach the parquet reader
+    # (row-group stats pruning), not run as a post-scan Filter only
+    assert "GreaterThan(o_orderkey" in plan, plan
+
+
+def test_pricing_summary_prunes_columns_and_partials(spark):
+    q, _ = registry()
+    plan = _plan(q["pricing_summary"](spark, SF_DIR))
+    # column pruning: unused wide columns never reach the scan
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+    # partial (map-side) aggregation before the single exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    # 4 input partitions on local[4] -> the parallelism gate is a no-op and
+    # the signature computation must be a pure narrow map (zero exchanges).
+    df = spark.range(0, 100, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("a"), F.col("id").cast("string"), F.lit("b c d")).alias("text"),
+    )
+    plan = _plan(dedup.minhash_signatures(df, "doc_id", "text", num_hashes=4))
+    assert "Exchange" not in plan, "minhash signatures must not shuffle"
+
+
+def test_simhash_no_shuffle(spark):
+    df = spark.range(0, 100, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("x y"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(dedup.simhash(df, "doc_id", "text", bits=8))
+    assert "Exchange" not in plan, "simhash must be a narrow map"
+
+
+def test_lsh_candidates_equi_join_not_cross(spark):
+    q, _ = registry()
+    plan = _plan(q["minhash_lsh_candidates"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    q, _ = registry()
+    plan = _plan(q["ngram_jaccard_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    q, _ = registry()
+    df = q["pricing_summary"](spark, SF_DIR)
+    # AQE finalizes the physical plan lazily — execute first, then inspect
+    # the executed plan for fused codegen stages.
+    df.collect()
+    plan = _plan(df)
+    assert "codegen id" in plan, "aggregation pipeline fell out of codegen"
