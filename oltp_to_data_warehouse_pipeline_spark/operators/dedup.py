@@ -107,6 +107,11 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # Materialize the banded relation (doc + band + 32B key — tiny vs the
+    # corpus) before the self-join: otherwise BOTH join branches re-derive
+    # the signatures from raw text, doubling the k×md5-per-shingle work.
+    # Lazy local checkpoint = computed once at first action, read twice.
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -137,6 +142,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh")
     )
     sh = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("sh"))
+    # Compute the posting relation once (lazy checkpoint) — the self-join
+    # would otherwise shingle the corpus twice, once per branch.
+    sh = sh.localCheckpoint(eager=False)
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
@@ -224,6 +232,7 @@ def simhash_near_pairs(
     exploded = fingerprints.select(
         F.col(id_col).alias("doc"), F.col(sim_col).alias("h"), F.explode(chunks).alias("c")
     ).select("doc", "h", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    exploded = exploded.localCheckpoint(eager=False)
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["idx", "val"])

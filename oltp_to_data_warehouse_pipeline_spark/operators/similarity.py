@@ -201,6 +201,8 @@ def cosine_near_dup_lsh(
         .select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .withColumn("n", l2_norm(F.col("v")))
     )
+    # one banding pass, not one per join branch (lazy local checkpoint)
+    exploded = exploded.localCheckpoint(eager=False)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, ["band", "key"])
