@@ -36,6 +36,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "cosine_topk",
     "embedding_near_dup_lsh",
+    "doc_winnowing_fingerprints",
 ]
 
 

@@ -103,10 +103,53 @@ def fingerprint(c: Column | str) -> Column:
 
 
 def normalized_fingerprint(c: Column | str) -> Column:
-    """Whitespace/case-insensitive fingerprint: md5 of lower(collapsed-ws).
-
-    The 'rolling hash' document fingerprint of the task brief, reduced to
-    its portable core: normalization + strong hash.
-    """
+    """Whitespace/case-insensitive fingerprint: md5 of lower(collapsed-ws)."""
     col = F.col(c) if isinstance(c, str) else c
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def normalized_text(c: Column | str) -> Column:
+    """lower + collapse whitespace — shared normalization for fingerprints."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def char_gram_hashes(c: Column | str, k: int = 5) -> Column:
+    """Rolling window of character k-gram hashes, as array<string>.
+
+    The hash per position is md5 of the k-char substring — semantically the
+    rolling-hash sequence of Rabin-Karp (one hash per sliding position),
+    expressed portably (md5 + substring exist in every engine; lexicographic
+    compare of hex ≡ numeric compare of a uniform hash).  Texts shorter than
+    k yield their single (short) gram.
+    """
+    norm = normalized_text(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.md5(norm.substr(i, F.lit(k))))
+
+
+def window_minima(grams: Column | str, w: int = 4) -> Column:
+    """Distinct minimum of every w-window over a hash array (the winnowing
+    selection step).  IMPORTANT: pass a *bound column* (project the gram
+    array first), not the gram expression itself — inlined, the gram
+    computation would be re-evaluated per window (m× the hashing work)."""
+    g = F.col(grams) if isinstance(grams, str) else grams
+    wins = F.sequence(F.lit(0), F.greatest(F.size(g) - w, F.lit(0)))
+    return F.array_distinct(F.transform(wins, lambda j: F.array_min(F.slice(g, j + 1, w))))
+
+
+def winnowing_fingerprints(df, id_col: str, text_col: str, k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): hash every char k-gram, select the minimum of each
+    w-window of consecutive gram hashes, dedupe.  Returns (id, fp) rows.
+
+    Guarantee: any shared substring of length ≥ w+k-1 between two documents
+    contributes at least one SHARED fingerprint — robust to insertions/
+    deletions elsewhere, unlike whole-document hashes.  Output size is
+    ~2/(w+1) of the gram count.  Narrow map + explode, no shuffle.  The gram
+    array is materialized in its own projection so the m hashes are computed
+    once per document, not once per window (Catalyst's CollapseProject keeps
+    multi-referenced non-cheap aliases bound).
+    """
+    grams = df.select(F.col(id_col), char_gram_hashes(text_col, k).alias("__grams"))
+    return grams.select(F.col(id_col), F.explode(window_minima("__grams", w)).alias("fp"))

@@ -859,6 +859,40 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_winnowing_fingerprints",
+    """
+    WITH d AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 4, 1)),
+                            i -> md5(substring(t, i, 5))) AS grams
+      FROM d
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(grams) - 4, 0)),
+               j -> list_min(grams[j + 1 : j + 4]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document, exploded to rows: the
+    rolling-hash fingerprint family — any shared ≥8-char substring between
+    two docs yields a shared fp.  Narrow map + explode; the identical
+    algorithm runs in DuckDB, so selection is hash-checked exactly."""
+    from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+    d = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(ensure_min_parallelism(d), "doc_id", "text", k=5, w=4)
+
+
 # --- embedding-cosine near-dup (exact verifier + LSH scale path) -----------
 
 _NEAR_DUP_T = 0.4

@@ -46,3 +46,41 @@ def test_fingerprints(spark):
     b = _val(spark, "hello world", text.normalized_fingerprint)
     assert a == b
     assert _val(spark, "x", text.fingerprint) != _val(spark, "y", text.fingerprint)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"AAAA {shared} BBBB"),
+        (2, f"zzz 123 {shared} qqq 456"),
+        (3, "completely unrelated content with no overlap at all xyzw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: a shared substring of length >= w+k-1 (8) chars
+    # must contribute at least one common fingerprint
+    assert by_doc[1] & by_doc[2]
+    # sanity: selection prunes (fewer fps than grams) and dedupes
+    assert 0 < len(by_doc[1]) < len(rows[0][1]) - 4
+    # unrelated doc shares nothing with doc 1 beyond chance; require
+    # strictly smaller overlap than the true-overlap pair
+    assert len(by_doc[1] & by_doc[3]) < len(by_doc[1] & by_doc[2])
+
+
+def test_winnowing_identical_docs_identical_fps(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Some Document   Text"), (2, "some document text")],
+        "doc_id: long, text: string",
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text").collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    # normalization (case + whitespace collapse) makes them identical
+    assert a == b and a
