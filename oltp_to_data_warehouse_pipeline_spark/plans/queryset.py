@@ -586,6 +586,77 @@ def hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sliding_event_counts",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) g
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+           count(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 15m slide): each event lands in
+    4 overlapping windows.  Batch form of streaming/windows.sliding_counts —
+    the oracle derives the same 4 epoch-aligned window starts per event."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.sliding_counts(ev, window_len="1 hour", slide="15 minutes", watermark=None)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n",
+    )
+
+
+@query(
+    "user_sessions",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           CAST(floor(epoch(max(ts) + INTERVAL '30 minutes')) AS BIGINT)
+             AS session_end_epoch,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m gap) per user — streaming/windows.session_counts
+    in batch form.  The oracle is the gaps-and-islands formulation: a new
+    session starts when the idle gap is >= 30m (Spark sessions are half-open
+    [start, last+gap)), islands numbered by a running sum."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.session_counts(ev, gap="30 minutes", group_cols=("user_id",), watermark=None)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("bigint").alias("session_start_epoch"),
+        F.unix_timestamp("session_end").cast("bigint").alias("session_end_epoch"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: text analysis (task brief; SURVEY §7.8)
 # ---------------------------------------------------------------------------
