@@ -587,6 +587,36 @@ def hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_brand_revenue",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation demonstration: the lineitem⋈part join run through
+    operators.skew.salted_join (large side salted by row hash, small side
+    replicated ×8, shuffle-hash hinted).  The oracle is the PLAIN join —
+    salting must not change a single row."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on="l_partkey", salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "sliding_event_counts",
     """
     WITH w AS (
