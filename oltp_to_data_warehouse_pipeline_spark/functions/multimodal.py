@@ -127,6 +127,66 @@ def extract_features(
     return df.select(id_col, binary_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: re-keys the payload with the target dims
+    (sha256 stream of the requested byte length, capped at 4·w·h).  Stands in
+    for Pillow's ``Image.resize`` so the batch plumbing is testable."""
+    want = min(4 * width * height, 1 << 16)
+    out = bytearray()
+    seed = (data or b"") + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    counter = 0
+    while len(out) < want:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return bytes(out[:want])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    codec: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize over ``mapInPandas`` (STUB codec by
+    default — swap ``codec`` for a Pillow-backed one in production).
+
+    Output rows carry the new binary plus the realized dimensions, ready for
+    :func:`attach_metadata`.  Bounded memory: one Arrow batch of payloads at
+    a time, independent of partition size.
+    """
+    if codec is None:
+        codec = fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                codec(bytes(b), width, height) if b is not None else None
+                for b in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": resized,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, id_col: str, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame ts.
 

@@ -97,3 +97,23 @@ def test_frame_sample_plan(spark):
     )
     out = multimodal.frame_sample_plan(df, "media_id", every_ms=1000)
     assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_mapinpandas(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)],
+        "media_id: long, content: binary",
+    )
+    out = mm.resize_images(df, width=4, height=2).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert set(by_id) == {1, 2, 3}
+    # realized dims recorded; payload is 4*w*h bytes of deterministic output
+    assert by_id[1]["width"] == 4 and by_id[1]["height"] == 2
+    assert len(by_id[1]["content"]) == 4 * 4 * 2
+    assert by_id[3]["content"] is None
+    # deterministic: same input -> same bytes; different input -> different
+    again = {r["media_id"]: r for r in mm.resize_images(df, 4, 2).collect()}
+    assert bytes(again[1]["content"]) == bytes(by_id[1]["content"])
+    assert bytes(by_id[1]["content"]) != bytes(by_id[2]["content"])
