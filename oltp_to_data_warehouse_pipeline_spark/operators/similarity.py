@@ -233,6 +233,73 @@ def seeded_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]
     return planes
 
 
+def cosine_topk_pandas(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the wide-vector
+    path (≥1k dims), where one BLAS `C @ Qᵀ` per batch beats per-element
+    higher-order functions by an order of magnitude.
+
+    Physical shape: the (small) query matrix is collected once and closed
+    over by the ``mapInPandas`` iterator (ships with the task like a
+    broadcast); each Arrow batch of candidates emits its batch-local top-k
+    per query (sorted by (-sim, neighbor_id), so the global winner set is
+    preserved under the cut); a final window over ≤ k·batches·queries rows
+    picks the global top-k.  Candidates never shuffle; identical results to
+    :func:`cosine_topk`.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(F.col(id_col), as_double_vec(vec_col).alias("v")).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    qm = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            sims = C @ qm.T  # |batch| × |queries|
+            qid_out, nid_out, sim_out = [], [], []
+            for j in range(qm.shape[0]):
+                col = sims[:, j]
+                mask = ids != q_ids[j]  # exclude self-match
+                cand_ids, cand_sims = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                qid_out.extend([q_ids[j]] * len(order))
+                nid_out.extend(cand_ids[order])
+                sim_out.extend(cand_sims[order])
+            yield pd.DataFrame(
+                {"query_id": qid_out, "neighbor_id": nid_out, "sim": sim_out}
+            )
+
+    partial = ensure_min_parallelism(emb).select(id_col, vec_col).mapInPandas(run, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — centroid-partitioned search, the billion-vector
 # alternative to hyperplane LSH: cells adapt to the data distribution.

@@ -938,6 +938,17 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+@query("cosine_topk_vectorized", _COS_ORACLE)
+def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-k through the Arrow/numpy blocked-matmul path
+    (operators/similarity.cosine_topk_pandas) — the wide-vector (≥1k dim)
+    physical strategy.  Same oracle as cosine_topk: both paths must produce
+    byte-identical rankings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_pandas(emb, queries, k=5)
+
+
 @query(
     "embedding_norms",
     """

@@ -105,3 +105,13 @@ def test_ivf_topk_recall(spark):
     ivf_1 = similarity.ivf_topk(emb, q, cents, k=4, nprobe=1).collect()
     assert 0 < len(ivf_1) <= 4
     assert all(r["query_id"] == 0 for r in ivf_1)
+
+
+def test_cosine_topk_pandas_matches_hof(spark):
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    hof = [(r["rank"], r["neighbor_id"], r["sim"])
+           for r in sorted(similarity.cosine_topk(emb, q, k=4).collect())]
+    pnd = [(r["rank"], r["neighbor_id"], r["sim"])
+           for r in sorted(similarity.cosine_topk_pandas(emb, q, k=4).collect())]
+    assert hof == pnd
