@@ -52,6 +52,18 @@ def summary_stats(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Referential-integrity probe: child rows whose non-null ``fk`` has no
+    matching ``pk`` in parent.
+
+    Left-anti join — at scale a shuffle keyed on the FK (or broadcast when
+    the parent's key projection is small; Catalyst decides from stats).
+    NULL FKs are excluded: SQL FK semantics treat NULL as 'not enforced'.
+    """
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    return child.where(F.col(fk).isNotNull()).join(keys, fk, "left_anti")
+
+
 def quality_gate(df: DataFrame, key_cols: list[str], not_null_cols: list[str]) -> dict[str, bool]:
     """Pipeline QC gate (the Airflow `perform_quality_checks` role,
     `Airflow.py:66-70`): uniqueness of keys + no nulls in required columns.

@@ -304,6 +304,34 @@ def qc_summary_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.summary_stats(load_table(spark, sf_dir, "lineitem"), "l_quantity")
 
 
+@query(
+    "fk_integrity",
+    """
+    SELECT 'lineitem->orders' AS rel, count(*) AS n_orphans
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL
+    """,
+)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity QC over the star schema: orphan counts per FK
+    relationship (left-anti probes; operators/quality.fk_orphans).  The
+    warehouse-build twin of the reference's count/distinct checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = quality.fk_orphans(li, orders, "l_orderkey", "o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    ).select(F.lit("lineitem->orders").alias("rel"), "n_orphans")
+    b = quality.fk_orphans(orders, customer, "o_custkey", "c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    ).select(F.lit("orders->customer").alias("rel"), "n_orphans")
+    return a.unionByName(b)
+
+
 # ---------------------------------------------------------------------------
 # Reference surface: dedup / sort / window (SURVEY §2.5, §2.6)
 # ---------------------------------------------------------------------------

@@ -34,3 +34,16 @@ def test_quality_gate(spark):
     ok = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
     res2 = quality.quality_gate(ok, ["id"], ["s"])
     assert all(res2.values())
+
+
+def test_fk_orphans(spark):
+    from oltp_to_data_warehouse_pipeline_spark.operators.quality import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "orphan"), (None, "null-fk")],
+        "fk: long, payload: string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: long")
+    rows = fk_orphans(child, parent, "fk", "pk").collect()
+    # NULL fk excluded (SQL semantics); only the true orphan remains
+    assert [(r["fk"], r["payload"]) for r in rows] == [(9, "orphan")]
