@@ -37,6 +37,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dup_lsh",
     "doc_winnowing_fingerprints",
+    "curate_corpus",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Training-corpus curation: the end-to-end LLM-data pipeline composition.
+
+Chains the individual operators this engine provides into the canonical
+pretraining-data flow:
+
+    quality filter → language filter → exact dedup → near-dup removal
+    → token accounting
+
+Every stage is a pure DataFrame transform from `functions.text` /
+`operators.dedup`, so the whole pipeline is one Catalyst plan: the quality
+and language expressions fuse into a single scan-side Filter (no
+materialization between "stages"), the exact dedup is one window over the
+content fingerprint, and near-dup removal is the inverted-index Jaccard
+join restricted to survivors — at 100 TB the only shuffles are the dedup
+window, the posting join, and the final anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.functions import text
+from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 1.0,
+    lang: str = "en",
+    jaccard_threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Curated corpus: (id, n_tokens) of documents that pass every gate.
+
+    Near-dup policy: for each Jaccard pair over the threshold, the LOWER id
+    survives (matches the exact-dedup keep-min-id convention).
+    """
+    kept = docs.where(
+        (text.quality_score(text_col) >= quality_min)
+        & (text.lang_guess(text_col) == lang)
+    )
+    w = Window.partitionBy(text.normalized_fingerprint(text_col)).orderBy(id_col)
+    survivors = (
+        kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+    # survivors feeds three branches (posting join ×2, final anti-join):
+    # materialize once so the filter+window chain doesn't run per branch
+    survivors = survivors.localCheckpoint(eager=False)
+    near_pairs = dedup.ngram_jaccard_pairs(
+        survivors, id_col, text_col, shingle_n=shingle_n, threshold=jaccard_threshold
+    )
+    drops = near_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return (
+        survivors.join(drops, id_col, "left_anti")
+        .select(F.col(id_col), text.token_count(text_col).alias("n_tokens"))
+    )

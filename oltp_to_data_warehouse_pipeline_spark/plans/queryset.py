@@ -807,6 +807,74 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", text.lang_guess("text").alias("lang_pred"))
 
 
+@query(
+    "curate_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+        round(CAST((CASE WHEN length(text) >= 50 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN length(replace(text, ' ', '')) /
+                   greatest(len(string_split(text, ' ')), 1) BETWEEN 3 AND 10
+             THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) /
+                   greatest(len(string_split(text, ' ')), 1) >= 0.02
+             THEN 0.3 ELSE 0.0 END) AS DOUBLE), 1) AS q,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('der','die','das','und','ist','ein'))) AS INTEGER) AS n_de,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})) AS INTEGER) AS n_en,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('el','la','los','y','es','un'))) AS INTEGER) AS n_es,
+        CAST(len(list_filter(string_split(text,' '),
+            x -> x IN ('le','la','les','et','est','un'))) AS INTEGER) AS n_fr
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text FROM scored
+      WHERE q >= 1.0
+        AND CASE WHEN greatest(n_de,n_en,n_es,n_fr) = 0 THEN 'und'
+                 WHEN n_de = greatest(n_de,n_en,n_es,n_fr) THEN 'de'
+                 WHEN n_en = greatest(n_de,n_en,n_es,n_fr) THEN 'en'
+                 WHEN n_es = greatest(n_de,n_en,n_es,n_fr) THEN 'es'
+                 ELSE 'fr' END = 'en'
+    ),
+    surv AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (
+          PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM surv
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    pairs AS (
+      SELECT a.doc AS da, b.doc AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT db FROM pairs
+      JOIN sizes sa ON sa.doc = da JOIN sizes sb ON sb.doc = db
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    )
+    SELECT s.doc_id, len(string_split(s.text, ' ')) AS n_tokens
+    FROM surv s ANTI JOIN drops d ON s.doc_id = d.db
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline (plans/curation.py):
+    quality gate ≥1.0 → lang='en' → exact dedup (normalized fingerprint,
+    keep-min-id) → 3-gram Jaccard ≥0.2 near-dup removal (lower id survives)
+    → token counts.  One Catalyst plan; the oracle replays every stage."""
+    from oltp_to_data_warehouse_pipeline_spark.plans.curation import curate_corpus as cc
+
+    d = load_table(spark, sf_dir, "documents")
+    return cc(d)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash)
 # ---------------------------------------------------------------------------
