@@ -141,7 +141,12 @@ def ngram_jaccard_pairs(
     base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh")
     )
-    sh = base.select("doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("sh"))
+    # Postings join on xxhash64(shingle), not the string: the join shuffle
+    # carries 8-byte longs instead of ~25-byte text (collision odds across
+    # distinct shingles ~ n²/2⁶⁵ — negligible vs any sampling error).
+    sh = base.select(
+        "doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("__s")
+    ).select("doc", "n_sh", F.xxhash64("__s").alias("sh"))
     # Compute the posting relation once (lazy checkpoint) — the self-join
     # would otherwise shingle the corpus twice, once per branch.
     sh = sh.localCheckpoint(eager=False)
