@@ -55,6 +55,14 @@ def main() -> None:
     # JVM/codegen warmup on a cheap query so q1 isn't billed for startup.
     queries["kpi_cards"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def drop_persisted() -> None:
+        # operators materialize small intermediates via localCheckpoint;
+        # release them between queries so one query's blocks don't pressure
+        # the next query's execution memory
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:
@@ -62,6 +70,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        drop_persisted()
     total = round(time.time() - t_all, 3)
 
     print(json.dumps({

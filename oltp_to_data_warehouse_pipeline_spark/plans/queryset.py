@@ -252,6 +252,26 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantity_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def quantity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2² grouping sets in one
+    Catalyst Expand — completes the grouping-sets family next to ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "distinct_counts",
     """
     SELECT count(*) AS total_rows,
