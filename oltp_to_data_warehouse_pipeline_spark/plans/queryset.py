@@ -252,6 +252,47 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+           round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (QC distribution profile).
+    percentile_cont has identical interpolation semantics in Spark and
+    DuckDB, so the oracle matches exactly — unlike approx sketches.  At
+    scale, swap to approx_percentile and accept sketch tolerance."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 2).alias("p50"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 2).alias("p90"),
+        F.round(F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)"), 2).alias("p99"),
+    )
+
+
+@query(
+    "repeat_buyer_overlap",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def repeat_buyer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers with both fulfilled and open
+    orders — the set-operator family the reference lacks, native in Spark."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
     "quantity_cube",
     """
     SELECT l_returnflag, l_linestatus,
