@@ -109,3 +109,63 @@ def test_session_windows_batch(spark):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[1]) == [1, 2]      # two sessions: (0:00,0:10) and (1:30)
     assert per_user[2] == [1]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: a row arriving after its window is
+    finalized must be DROPPED (count stays 2), and the finalized window is
+    emitted exactly once.  maxFilesPerTrigger=1 forces one micro-batch per
+    file so the watermark actually advances between arrivals."""
+    import os
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_type string, value double"
+
+    def write(name, rows, mtime):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (mtime, mtime))
+
+    t0 = _time.time()
+    # batch 1: two rows in window [10:00, 10:05)
+    write("b1.json", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:30", "event_type": "c", "value": 1.0},
+        {"user_id": 2, "ts": "2024-01-01 10:02:00", "event_type": "c", "value": 1.0},
+    ], t0)
+    # batch 2: advances the watermark to 10:20 -> window [10:00,10:05)
+    # finalizes and emits at the END of the batch AFTER this one
+    write("b2.json", [
+        {"user_id": 3, "ts": "2024-01-01 10:30:00", "event_type": "c", "value": 1.0},
+    ], t0 + 10)
+    # batch 3: runs with watermark 10:20 (input filtering uses the wm
+    # computed at the END of the PREVIOUS batch — a late row landing in the
+    # same batch as the advancement would still be merged)
+    write("b3.json", [
+        {"user_id": 9, "ts": "2024-01-01 10:31:00", "event_type": "c", "value": 1.0},
+    ], t0 + 20)
+    # batch 4: a LATE row for the finalized window -> dropped by the filter
+    write("b4.json", [
+        {"user_id": 4, "ts": "2024-01-01 10:01:00", "event_type": "c", "value": 1.0},
+    ], t0 + 30)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        windows.tumbling_counts(stream, window_len="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM late_sink").collect()
+    emitted = {(str(r["window_start"]), r["n"]) for r in rows}
+    # exactly one finalized window; late user_id=4 did NOT bump the count
+    assert emitted == {("2024-01-01 10:00:00", 2)}
