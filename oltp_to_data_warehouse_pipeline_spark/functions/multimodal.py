@@ -204,3 +204,29 @@ def frame_sample_plan(df: DataFrame, id_col: str, every_ms: int = 1000) -> DataF
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def audio_chunk_plan(
+    df: DataFrame, id_col: str, chunk_ms: int = 30_000, overlap_ms: int = 0
+) -> DataFrame:
+    """Audio chunking *plan*: one row per (chunk_start_ms, chunk_end_ms).
+
+    The fan-out for ASR/embedding pipelines that process long audio in
+    bounded windows (optionally overlapping).  Like frame sampling, the
+    chunk boundaries are pure expressions; the decode/resample runs in the
+    downstream mapInPandas against the byte ranges.
+    """
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be < chunk_ms")
+    step = chunk_ms - overlap_ms
+    dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    starts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(step))
+    return (
+        df.select(F.col(id_col), dur.alias("__dur"), F.explode(starts).alias("chunk_start_ms"))
+        .where((F.col("chunk_start_ms") == 0) | (F.col("chunk_start_ms") < F.col("__dur")))
+        .select(
+            id_col,
+            "chunk_start_ms",
+            F.least(F.col("chunk_start_ms") + chunk_ms, F.col("__dur")).alias("chunk_end_ms"),
+        )
+    )

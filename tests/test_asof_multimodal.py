@@ -117,3 +117,26 @@ def test_resize_images_mapinpandas(spark):
     again = {r["media_id"]: r for r in mm.resize_images(df, 4, 2).collect()}
     assert bytes(again[1]["content"]) == bytes(by_id[1]["content"])
     assert bytes(by_id[1]["content"]) != bytes(by_id[2]["content"])
+
+
+def test_audio_chunk_plan(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"x")], "media_id: long, content: binary")
+    df = mm.attach_metadata(df, "content", "audio", "wav")
+    df = df.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(70_000).cast("bigint")),
+    )
+    out = sorted(
+        (r["chunk_start_ms"], r["chunk_end_ms"])
+        for r in mm.audio_chunk_plan(df, "media_id", chunk_ms=30_000).collect()
+    )
+    # 70s -> [0,30s), [30,60s), [60,70s]
+    assert out == [(0, 30_000), (30_000, 60_000), (60_000, 70_000)]
+    # overlapping chunks: step = 20s
+    out2 = sorted(
+        r["chunk_start_ms"]
+        for r in mm.audio_chunk_plan(df, "media_id", chunk_ms=30_000, overlap_ms=10_000).collect()
+    )
+    assert out2 == [0, 20_000, 40_000, 60_000]

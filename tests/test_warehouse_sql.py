@@ -46,3 +46,21 @@ def test_sql_path_matches_dataframe_path(spark, built):
         for r in QUERIES["star_join_revenue"](spark, SF).collect()
     }
     assert sql_result == df_result
+
+
+def test_fact_scan_prunes_partitions(spark, built):
+    """A year-filtered fact query must prune at the PARTITION level (static
+    pruning in the scan's PartitionFilters), not post-scan filter — the
+    property that makes date-sliced queries O(slice) at 100 TB."""
+    df = spark.sql(
+        "SELECT count(*) AS n FROM t_wh_loan_facts WHERE order_year = 1995"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_year" in m.group(1), plan
+    # and the partition filter actually works
+    assert df.first()["n"] > 0
