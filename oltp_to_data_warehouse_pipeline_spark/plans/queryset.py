@@ -869,6 +869,55 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_lang_stats",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+        CASE WHEN greatest(
+               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) = 0 THEN 'und'
+             WHEN len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))) = greatest(
+               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'de'
+             WHEN len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})) = greatest(
+               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'en'
+             WHEN len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))) = greatest(
+               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 2) AS avg_tokens
+    FROM scored GROUP BY lang_pred
+    """,
+)
+def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup: docs / token budget per predicted language —
+    the planning aggregate every curation run starts from."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(text.lang_guess("text").alias("lang_pred"), text.token_count("text").alias("n_tokens"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+    )
+
+
+@query(
     "curate_corpus",
     f"""
     WITH scored AS (
