@@ -56,9 +56,10 @@ def process_microbatch(
     """One micro-batch: route per topic (ST4), infer/evolve schema, normalize,
     LWW-upsert.  Returns the landing-table names written.
 
-    Corrupt messages (unparseable JSON / no primary key) are dropped by the
+    Corrupt messages (unparseable JSON / no primary key) are excluded by the
     normalizer's pk filter — poison tolerance (ST5) without a per-row
-    try/except.
+    try/except — and CAPTURED to ``_dead_letter/<table>/`` (raw value +
+    topic + reason + timestamp) so operators can replay or inspect them.
     """
     topics = [r["topic"] for r in batch.select("topic").distinct().collect()]
     written: list[str] = []
@@ -72,6 +73,11 @@ def process_microbatch(
         if not schema.fields:
             continue
         table = norm.topic_to_table(topic)
+        dead = norm.rejected(msgs, schema)
+        if dead.limit(1).count() > 0:
+            dead.write.mode("append").parquet(
+                os.path.join(warehouse_dir, "_dead_letter", table)
+            )
         normalized = norm.normalize(msgs, schema)
         upsert_parquet(
             spark,

@@ -241,6 +241,22 @@ def normalize(
     return out.where(F.col("kafka_primary_key").isNotNull())
 
 
+def rejected(
+    df: DataFrame, schema: InferredSchema, value_col: str = "value", topic_col: str = "topic"
+) -> DataFrame:
+    """The complement of :func:`normalize`'s keep-set: messages with no
+    extractable primary key (corrupt JSON or pk-less payload) — the
+    dead-letter stream.  Same predicate, negated, so keep ∪ reject = input.
+    """
+    pk = extract_primary_key(F.col(value_col), schema)
+    cols = [F.col(value_col).alias("raw_data")]
+    if topic_col in df.columns:
+        cols.append(F.col(topic_col).cast("string").alias("kafka_topic"))
+    cols.append(F.lit("no_primary_key").alias("reject_reason"))
+    cols.append(F.current_timestamp().alias("rejected_at"))
+    return df.where(pk.isNull()).select(*cols)
+
+
 def extract_primary_key(raw: Column, schema: InferredSchema) -> Column:
     """F27 — first of the candidate keys, else any ``*id`` field, as string."""
     candidates = [F.get_json_object(raw, f"$.{k}") for k in PK_CANDIDATES]

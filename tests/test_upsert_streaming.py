@@ -169,3 +169,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     emitted = {(str(r["window_start"]), r["n"]) for r in rows}
     # exactly one finalized window; late user_id=4 did NOT bump the count
     assert emitted == {("2024-01-01 10:00:00", 2)}
+
+
+def test_dead_letter_capture(spark, tmp_path):
+    """Poison messages are excluded from the landing table AND captured to
+    the per-table dead-letter directory with a reason."""
+    wh = str(tmp_path / "wh")
+    rows = [
+        (json.dumps({"id": "1", "name": "alice"}), "users"),
+        ("{not valid json at all", "users"),            # corrupt
+        (json.dumps({"name": "no-key-here"}), "users"),  # pk-less
+    ]
+    df = spark.createDataFrame(rows, ["value", "topic"])
+    process_microbatch(spark, df, wh)
+
+    from oltp_to_data_warehouse_pipeline_spark.sources.upsert import read_upserted
+
+    assert read_upserted(spark, f"{wh}/users").count() == 1
+    dead = spark.read.parquet(f"{wh}/_dead_letter/users")
+    got = {(r["raw_data"], r["reject_reason"]) for r in dead.collect()}
+    assert got == {
+        ("{not valid json at all", "no_primary_key"),
+        (json.dumps({"name": "no-key-here"}), "no_primary_key"),
+    }
