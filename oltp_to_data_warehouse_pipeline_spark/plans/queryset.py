@@ -252,6 +252,66 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "status_pivot_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def status_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per order status as columns, one row per
+    year — the dashboard-matrix shape.  Explicit pivot values keep the
+    output schema static (no extra distinct-values job, required for any
+    production plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "order_price_components_long",
+    """
+    SELECT l_orderkey, l_linenumber, component,
+           round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_discount AS DOUBLE)      AS discount,
+             CAST(l_tax AS DOUBLE)           AS tax
+      FROM lineitem WHERE l_orderkey <= 100
+    ) UNPIVOT (value FOR component IN (price, discount, tax))
+    """,
+)
+def order_price_components_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the pivot inverse): one row per (line, numeric
+    component) — Spark's native ``unpivot``/melt, a narrow Expand with no
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["price", "discount", "tax"],
+            variableColumnName="component",
+            valueColumnName="raw_value",
+        )
+        .select("l_orderkey", "l_linenumber", "component", F.round("raw_value", 2).alias("value"))
+    )
+
+
+@query(
     "order_value_percentiles",
     """
     SELECT o_orderstatus,
