@@ -24,9 +24,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokenization (the baseline tokenizer)."""
+    """Whitespace tokenization (the baseline tokenizer).
+
+    Collapse-then-split (trim → \\s+ → single space → split on ' ') rather
+    than splitting on \\s+ directly: regex-split edge semantics for
+    leading/trailing separators differ between engines, while this form is
+    bit-identical everywhere — the SQL twin is
+    ``string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')``.
+    """
     col = F.col(c) if isinstance(c, str) else c
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.regexp_replace(F.trim(col), r"\s+", " "), " ")
 
 
 def token_count(c: Column | str) -> Column:
@@ -102,16 +109,17 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(col)
 
 
-def normalized_fingerprint(c: Column | str) -> Column:
-    """Whitespace/case-insensitive fingerprint: md5 of lower(collapsed-ws)."""
-    col = F.col(c) if isinstance(c, str) else c
-    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
-
-
 def normalized_text(c: Column | str) -> Column:
-    """lower + collapse whitespace — shared normalization for fingerprints."""
+    """lower + collapse whitespace — THE shared normalization for both
+    fingerprint families (exact dedup and winnowing); keep it single-sourced
+    so a change here cannot desynchronize them."""
     col = F.col(c) if isinstance(c, str) else c
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def normalized_fingerprint(c: Column | str) -> Column:
+    """Whitespace/case-insensitive fingerprint: md5 of normalized_text."""
+    return F.md5(normalized_text(c))
 
 
 def char_gram_hashes(c: Column | str, k: int = 5) -> Column:

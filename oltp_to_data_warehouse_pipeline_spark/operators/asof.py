@@ -63,9 +63,13 @@ def asof_join(
 
     # right rows (__side=0) sort before left rows at equal timestamps, so a
     # right row AT the left timestamp is visible to it (ties inclusive).
+    # Among right rows tied on the SAME timestamp the payload hash is the
+    # final sort key: the winner (the last one) is then deterministic under
+    # repartitioning/replay instead of physical-order luck.  Any engine
+    # breaks such ties arbitrarily; this pins ONE arbitrary-but-stable pick.
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.xxhash64(F.to_json(F.col("__r"))))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__f", F.last(F.col("__r"), ignorenulls=True).over(w))

@@ -94,8 +94,13 @@ class IncrementalRun:
 
         delta = cleaning.watermark_delta(source, self.watermark_col, prior_watermark)
         cleaned = clean_loan_data(delta, self.cleaning_cfg)
-        row = cleaned.agg(F.max(self.watermark_col).alias("m")).first()
-        new_watermark = row["m"] if row else None
+        # advance the watermark from the RAW delta, not the cleaned frame: a
+        # delta whose rows all fail cleaning must still move the watermark
+        # (else the next run re-extracts — and re-appends — the whole range);
+        # and an empty delta keeps the prior watermark instead of resetting
+        # to None (which would mean "full re-extract" downstream).
+        row = delta.agg(F.max(self.watermark_col).alias("m")).first()
+        new_watermark = row["m"] if row and row["m"] is not None else prior_watermark
         qc = quality_gate(
             cleaned, list(self.quality_keys), list(self.quality_not_null)
         ) if (self.quality_keys or self.quality_not_null) else {"non_empty": cleaned.limit(1).count() > 0}

@@ -847,9 +847,9 @@ _EN_STOPS = "('the','a','of','and','to','in','is')"
     "doc_token_stats",
     f"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
+           len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
            length(text) AS n_chars_calc,
-           CAST(len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) AS INTEGER)
+           CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) AS INTEGER)
              AS n_stopwords,
            md5(text) AS fingerprint
     FROM documents
@@ -871,17 +871,17 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_scores",
     f"""
     SELECT doc_id,
-           round(length(replace(text, ' ', '')) /
-                 greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len,
-           round(len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) /
-                 greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
+           round(length(regexp_replace(text, '\\s+', '', 'g')) /
+                 greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1), 4) AS avg_token_len,
+           round(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) /
+                 greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1), 4) AS stop_ratio,
            round(CAST(
              (CASE WHEN length(text) >= 50 THEN 0.4 ELSE 0.0 END)
-             + (CASE WHEN length(replace(text, ' ', '')) /
-                      greatest(len(string_split(text, ' ')), 1) BETWEEN 3 AND 10
+             + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) /
+                      greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1) BETWEEN 3 AND 10
                 THEN 0.3 ELSE 0.0 END)
-             + (CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) /
-                      greatest(len(string_split(text, ' ')), 1) >= 0.02
+             + (CASE WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) /
+                      greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1) >= 0.02
                 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 1) AS quality_score
     FROM documents
     """,
@@ -902,13 +902,13 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH counts AS (
       SELECT doc_id, lang,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('der','die','das','und','ist','ein'))) AS INTEGER) AS n_de,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('the','a','of','and','to','in','is'))) AS INTEGER) AS n_en,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('el','la','los','y','es','un'))) AS INTEGER) AS n_es,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('le','la','les','et','est','un'))) AS INTEGER) AS n_fr
       FROM documents
     )
@@ -934,27 +934,27 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id,
         CASE WHEN greatest(
-               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
-               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
-               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
-               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) = 0 THEN 'und'
-             WHEN len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))) = greatest(
-               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
-               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
-               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
-               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'de'
-             WHEN len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})) = greatest(
-               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
-               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
-               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
-               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'en'
-             WHEN len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))) = greatest(
-               len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))),
-               len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})),
-               len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es','un'))),
-               len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'es'
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) = 0 THEN 'und'
+             WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))) = greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'de'
+             WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) = greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'en'
+             WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))) = greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'es'
              ELSE 'fr' END AS lang_pred,
-        len(string_split(text, ' ')) AS n_tokens
+        len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
       FROM documents
     )
     SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
@@ -983,18 +983,18 @@ def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, text,
         round(CAST((CASE WHEN length(text) >= 50 THEN 0.4 ELSE 0.0 END)
-          + (CASE WHEN length(replace(text, ' ', '')) /
-                   greatest(len(string_split(text, ' ')), 1) BETWEEN 3 AND 10
+          + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) /
+                   greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1) BETWEEN 3 AND 10
              THEN 0.3 ELSE 0.0 END)
-          + (CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOPS})) /
-                   greatest(len(string_split(text, ' ')), 1) >= 0.02
+          + (CASE WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) /
+                   greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1) >= 0.02
              THEN 0.3 ELSE 0.0 END) AS DOUBLE), 1) AS q,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('der','die','das','und','ist','ein'))) AS INTEGER) AS n_de,
-        CAST(len(list_filter(string_split(text,' '), x -> x IN {_EN_STOPS})) AS INTEGER) AS n_en,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) AS INTEGER) AS n_en,
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('el','la','los','y','es','un'))) AS INTEGER) AS n_es,
-        CAST(len(list_filter(string_split(text,' '),
+        CAST(len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
             x -> x IN ('le','la','les','et','est','un'))) AS INTEGER) AS n_fr
       FROM documents
     ),

@@ -54,13 +54,23 @@ def read_table(
     upper_bound: int | None = None,
     num_partitions: int = 8,
 ) -> DataFrame:
-    """S1 — JDBC scan with optional pushed watermark + parallel partitioning."""
+    """S1 — JDBC scan with optional pushed watermark + parallel partitioning.
+
+    Spark forbids combining the ``query`` option with ``partitionColumn``,
+    so when BOTH a watermark and partition bounds are requested the pushed
+    predicate is expressed as a ``dbtable`` derived-table subquery instead
+    (same server-side execution, legal with partitioned reads).
+    """
     reader = cfg.apply(spark.read.format("jdbc"))
-    if watermark_col is not None:
+    partitioned = partition_column and lower_bound is not None and upper_bound is not None
+    if watermark_col is not None and partitioned:
+        sub = incremental_query(table, watermark_col, watermark)
+        reader = reader.option("dbtable", f"({sub}) AS __delta")
+    elif watermark_col is not None:
         reader = reader.option("query", incremental_query(table, watermark_col, watermark))
     else:
         reader = reader.option("dbtable", table)
-    if partition_column and lower_bound is not None and upper_bound is not None:
+    if partitioned:
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

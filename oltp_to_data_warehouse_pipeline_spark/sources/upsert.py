@@ -43,11 +43,18 @@ def upsert_parquet(
 ) -> None:
     """LWW-upsert ``batch`` into the parquet table at ``path``.
 
-    ``order_cols``: descending-priority recency columns (e.g. updated_at);
-    the key itself breaks remaining ties so the result is deterministic.
+    ``order_cols``: descending-priority recency columns (e.g. updated_at,
+    kafka offset); rows still tied after those are broken by a hash of the
+    FULL row content, so the winner is deterministic under repartitioning
+    and replay (the idempotence guarantee needs this — a per-run arbitrary
+    winner would make replays flip values).
     """
-    order = [F.col(c).desc() for c in order_cols] + [F.col(key).desc()]
-    incoming = _bucketed(lww_dedup(batch, [key], order), key, num_buckets)
+
+    def order_for(df: DataFrame) -> list:
+        content = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+        return [F.col(c).desc() for c in order_cols] + [content.desc()]
+
+    incoming = _bucketed(lww_dedup(batch, [key], order_for(batch)), key, num_buckets)
 
     if not os.path.exists(path):
         (
@@ -63,9 +70,8 @@ def upsert_parquet(
     # partition pruning: only touched buckets are scanned
     relevant = existing.where(F.col(BUCKET_COL).isin(touched))
     # schema evolution (B9 fixed): allowMissingColumns unions additively
-    merged = lww_dedup(
-        relevant.unionByName(incoming, allowMissingColumns=True), [key], order
-    )
+    unioned = relevant.unionByName(incoming, allowMissingColumns=True)
+    merged = lww_dedup(unioned, [key], order_for(unioned))
     (
         merged.repartition(BUCKET_COL)
         .write.mode("overwrite")

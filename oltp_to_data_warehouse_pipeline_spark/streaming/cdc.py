@@ -32,7 +32,13 @@ def kafka_stream(
     max_offsets_per_trigger: int = 10_000,
 ) -> DataFrame:
     """ST1/ST2 — multi-topic Kafka source with bounded micro-batches
-    (`max_poll_records` analog).  Offsets live in the checkpoint (ST3)."""
+    (`max_poll_records` analog).  Offsets live in the checkpoint (ST3).
+
+    The per-record ``offset`` is KEPT: it is the only total order among
+    same-key messages inside one micro-batch (every row gets the same
+    ``current_timestamp()`` as updated_at, so without the offset the LWW
+    upsert would pick an arbitrary winner and could keep a stale update).
+    """
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -43,6 +49,7 @@ def kafka_stream(
         .select(
             F.col("value").cast("string").alias("value"),
             F.col("topic").alias("topic"),
+            F.col("offset").cast("bigint").alias("offset"),
         )
     )
 
@@ -73,18 +80,22 @@ def process_microbatch(
         if not schema.fields:
             continue
         table = norm.topic_to_table(topic)
-        dead = norm.rejected(msgs, schema)
-        if dead.limit(1).count() > 0:
-            dead.write.mode("append").parquet(
-                os.path.join(warehouse_dir, "_dead_letter", table)
-            )
+        # write unconditionally: an empty append is one cheap job, whereas a
+        # limit(1).count() emptiness probe would re-evaluate the same
+        # pk-extraction scan a second time just to decide whether to write
+        norm.rejected(msgs, schema).write.mode("append").parquet(
+            os.path.join(warehouse_dir, "_dead_letter", table)
+        )
         normalized = norm.normalize(msgs, schema)
+        order_cols = ["updated_at"]
+        if "kafka_offset" in normalized.columns:
+            order_cols.append("kafka_offset")
         upsert_parquet(
             spark,
             normalized,
             os.path.join(warehouse_dir, table),
             key="kafka_primary_key",
-            order_cols=["updated_at"],
+            order_cols=order_cols,
             num_buckets=num_buckets,
         )
         _save_schema(warehouse_dir, topic, schema)
@@ -124,7 +135,14 @@ def _save_schema(warehouse_dir: str, topic: str, schema: norm.InferredSchema) ->
 
     os.makedirs(warehouse_dir, exist_ok=True)
     payload = {
-        name: {"sql_type": f.sql_type, "path": f.path, "is_json_blob": f.is_json_blob}
+        name: {
+            "sql_type": f.sql_type,
+            "path": f.path,
+            "is_json_blob": f.is_json_blob,
+            # losing this flag across restarts would silently stop producing
+            # the epoch-promoted <name>_ts column (additive-evolution break)
+            "epoch_candidate": f.epoch_candidate,
+        }
         for name, f in schema.fields.items()
     }
     with open(_schema_path(warehouse_dir, topic), "w") as fh:
@@ -141,7 +159,12 @@ def _load_schema(warehouse_dir: str, topic: str) -> norm.InferredSchema | None:
         payload = json.load(fh)
     return norm.InferredSchema(
         {
-            name: norm.InferredField(d["sql_type"], d["path"], d["is_json_blob"])
+            name: norm.InferredField(
+                d["sql_type"],
+                d["path"],
+                d["is_json_blob"],
+                epoch_candidate=d.get("epoch_candidate", False),
+            )
             for name, d in payload.items()
         }
     )

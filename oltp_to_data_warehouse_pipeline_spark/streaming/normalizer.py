@@ -217,9 +217,11 @@ def normalize(
         if t == "bigint":
             as_long = base.cast("bigint")
             cols.append(as_long.alias(name))
-            if promote_epoch and fld.epoch_candidate:
+            if promote_epoch and fld.epoch_candidate and f"{name}_ts" not in schema.fields:
                 # epoch-promoted twin column (keeps the long AND the timestamp
-                # — additive, so the downstream choice is explicit)
+                # — additive, so the downstream choice is explicit).  Skipped
+                # when the payload itself carries a real <name>_ts field —
+                # emitting both would duplicate the output column name.
                 cols.append(_epoch_promote(as_long).alias(f"{name}_ts"))
         elif t == "double":
             v = base.cast("double")
@@ -233,6 +235,11 @@ def normalize(
     cols.append(pk.alias("kafka_primary_key"))
     if topic_col is not None and topic_col in df.columns:
         cols.append(F.col(topic_col).cast("string").alias("kafka_topic"))
+    if "offset" in df.columns:
+        # within-batch message order: every row gets the same
+        # current_timestamp() below, so the source offset is what makes
+        # same-key LWW pick the genuinely newest message
+        cols.append(F.col("offset").cast("bigint").alias("kafka_offset"))
     cols.append(raw.alias("raw_data"))
     cols.append(F.current_timestamp().alias("processed_at"))
     cols.append(F.current_timestamp().alias("updated_at"))

@@ -58,6 +58,17 @@ def test_incremental_run_watermark_and_qc(spark):
     assert wm == 4
     assert qc["non_empty"] and qc["unique_row_id"] and qc["no_nulls_member_id"]
 
-    # no new rows -> empty delta, watermark None, gate reports empty
+    # no new rows -> empty delta, watermark HOLDS at prior (a None reset
+    # would trigger a full re-extract next run), gate reports empty
     cleaned2, wm2, qc2 = run.run(df, prior_watermark=10)
-    assert cleaned2.count() == 0 and wm2 is None and not qc2["non_empty"]
+    assert cleaned2.count() == 0 and wm2 == 10 and not qc2["non_empty"]
+
+    # rows exist past the watermark but ALL fail cleaning (no member_id):
+    # the watermark must still advance past them, else every future run
+    # re-extracts — and re-appends — the same doomed range
+    doomed = spark.createDataFrame(
+        [(7, None, "100", "100", "1 year", "36 months", "Verified", "0", "2021-01-01", "1")],
+        df.schema,
+    )
+    cleaned3, wm3, qc3 = run.run(df.unionByName(doomed), prior_watermark=4)
+    assert cleaned3.count() == 0 and wm3 == 7 and not qc3["non_empty"]

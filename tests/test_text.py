@@ -84,3 +84,42 @@ def test_winnowing_identical_docs_identical_fps(spark):
     b = {r["fp"] for r in fps if r["doc_id"] == 2}
     # normalization (case + whitespace collapse) makes them identical
     assert a == b and a
+
+
+def test_tokenizer_engine_parity_on_messy_whitespace(spark):
+    """tokens() must agree with its documented SQL twin on tabs, newlines,
+    and doubled spaces — the trap that single-space string_split falls into."""
+    import duckdb
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import (
+        avg_token_len,
+        token_count,
+    )
+
+    samples = [
+        "a\tb  c",
+        "  leading and trailing  ",
+        "line\nbreaks\r\nhere",
+        "single",
+        "a  b",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text: string")
+    got = [
+        (r["n"], round(r["atl"], 4))
+        for r in df.select(
+            token_count("text").alias("n"), avg_token_len("text").alias("atl")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = []
+    for s in samples:
+        n, atl = con.execute(
+            r"""
+            SELECT len(string_split(regexp_replace(trim(?), '\s+', ' ', 'g'), ' ')),
+                   round(length(regexp_replace(?, '\s+', '', 'g')) /
+                         greatest(len(string_split(regexp_replace(trim(?), '\s+', ' ', 'g'), ' ')), 1), 4)
+            """,
+            [s, s, s],
+        ).fetchone()
+        want.append((n, atl))
+    assert got == want

@@ -192,3 +192,30 @@ def test_dead_letter_capture(spark, tmp_path):
         ("{not valid json at all", "no_primary_key"),
         (json.dumps({"name": "no-key-here"}), "no_primary_key"),
     }
+
+
+def test_cdc_within_batch_ordering_by_offset(spark, tmp_path):
+    """Two updates to the same key inside ONE micro-batch: the higher-offset
+    (newer) message must win the LWW upsert — updated_at alone cannot order
+    them because every row gets the same current_timestamp()."""
+    wh = str(tmp_path / "wh")
+    rows = [
+        (json.dumps({"id": "1", "name": "first"}), "users", 100),
+        (json.dumps({"id": "1", "name": "second"}), "users", 101),
+        (json.dumps({"id": "2", "name": "only"}), "users", 102),
+    ]
+    df = spark.createDataFrame(rows, ["value", "topic", "offset"])
+    process_microbatch(spark, df, wh)
+    got = {
+        r["kafka_primary_key"]: r["name"]
+        for r in read_upserted(spark, f"{wh}/users").collect()
+    }
+    assert got == {"1": "second", "2": "only"}
+
+    # replay the same batch (at-least-once): state unchanged
+    process_microbatch(spark, df, wh)
+    got2 = {
+        r["kafka_primary_key"]: r["name"]
+        for r in read_upserted(spark, f"{wh}/users").collect()
+    }
+    assert got2 == got
