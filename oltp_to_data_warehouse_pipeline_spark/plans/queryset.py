@@ -353,6 +353,89 @@ def repeat_buyer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "inactive_customer_keys",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
+    """,
+)
+def inactive_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with no high-value order —
+    completes the UNION/INTERSECT/EXCEPT family.  (The driver fixture gives
+    every customer ≥1 order, so the subtrahend is the filtered key set to
+    keep the result non-empty.)  Physical plan is a distinct + left-anti
+    hash join (AQE may broadcast the subtrahend)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)
+
+
+@query(
+    "order_clerk_union",
+    """
+    SELECT DISTINCT o_custkey AS actor_key, 'high_value' AS src
+    FROM orders WHERE o_totalprice > 400000
+    UNION
+    SELECT DISTINCT o_custkey AS actor_key, 'urgent' AS src
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def order_clerk_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct semantics) of two labeled key sets — the remaining
+    set operator.  unionByName + distinct = one hash aggregate over the
+    concatenated scans; both branch filters push into the shared scan."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = (
+        o.where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("actor_key"), F.lit("high_value").alias("src"))
+        .distinct()
+    )
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("actor_key"), F.lit("urgent").alias("src"))
+        .distinct()
+    )
+    return hi.unionByName(urgent).distinct()
+
+
+@query(
+    "approx_distinct_orders",
+    """
+    SELECT count(DISTINCT o_custkey) AS exact_customers,
+           true AS hll_within_5pct
+    FROM orders
+    """,
+)
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's sketch variant — approx_count_distinct (HyperLogLog++).
+
+    Sketch values differ per engine, so the oracle contract is the exact
+    count plus a BOOLEAN asserting the sketch landed within a 5% envelope
+    (rsd=0.01, so 5% = 5σ — deterministic-in-practice) — this validates
+    the estimator without demanding bit-identical HLL registers across
+    engines.  At 100 TB the sketch is THE viable distinct-count: fixed-size
+    state, one pass, and mergeable across partitions (no distinct shuffle
+    of the key universe).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("__approx"),
+    ).select(
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("hll_within_5pct"),
+    )
+
+
+@query(
     "quantity_cube",
     """
     SELECT l_returnflag, l_linestatus,
