@@ -220,6 +220,56 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return ensure_min_parallelism(df).select(F.col(id_col), sim)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, cluster_id) where
+    cluster_id = min node id reachable through the pair graph.
+
+    This is the step that turns pairwise near-dup detection into actual
+    dedup — each cluster keeps one canonical representative (its min id).
+    Iterative min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds.  Near-dup graphs are overwhelmingly tiny cliques and
+    short chains, so 3-4 rounds settle real corpora; ``max_iter`` bounds
+    pathological chains.  Each round is one shuffle join + one hash
+    aggregate, and ``localCheckpoint`` truncates the lineage so plan size
+    stays O(1) across iterations (at 1000 executors the alternative —
+    a 25-deep nested plan — stalls the driver, not the cluster).
+    """
+    sym = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).union(
+        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") < F.col("o.lbl"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def hamming_dist(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two simhash fingerprints (bit_count of XOR)."""
     ca = F.col(a) if isinstance(a, str) else a

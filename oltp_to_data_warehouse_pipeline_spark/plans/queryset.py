@@ -625,6 +625,61 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "urgent_customers_semi",
+    """
+    SELECT c_custkey, c_mktsegment AS segment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def urgent_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — the anti join's sibling.  Semi joins beat
+    inner-join+distinct at scale: the probe side short-circuits on first
+    match and no duplicate rows ever materialize.  The filtered build side
+    broadcasts when small."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+
+
+@query(
+    "customer_highvalue_outer",
+    """
+    SELECT c.c_custkey,
+           coalesce(hv.n_hi, 0) AS n_hi,
+           round(coalesce(hv.hi_total, 0), 2) AS hi_total
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_hi, sum(o_totalprice) AS hi_total
+      FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
+    ) hv ON hv.o_custkey = c.c_custkey
+    """,
+)
+def customer_highvalue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with COALESCE null-handling — aggregate-below-join:
+    the orders side is pre-aggregated to one row per customer BEFORE the
+    join, so the shuffle carries the reduced relation and the outer join is
+    against a key-unique build side (broadcastable once reduced)."""
+    c = load_table(spark, sf_dir, "customer")
+    hv = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hi"), F.sum("o_totalprice").alias("hi_total"))
+    )
+    return c.join(hv, c["c_custkey"] == hv["o_custkey"], "left").select(
+        "c_custkey",
+        F.coalesce("n_hi", F.lit(0).cast("bigint")).alias("n_hi"),
+        F.round(F.coalesce("hi_total", F.lit(0.0)), 2).alias("hi_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference surface: cleaning + warehouse build (SURVEY §2.2, §2.7, §3.2)
 # ---------------------------------------------------------------------------
@@ -1061,6 +1116,55 @@ def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_hash_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
+def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5 prefix ≤ '19' = 26/256 of the
+    key space).  The training-pipeline sampling primitive: unlike
+    rand()/TABLESAMPLE it is reproducible across runs AND engines, needs no
+    shuffle (partition-local filter, pushed past the scan's row groups),
+    and composes with joins — sampling both sides of a join by the same
+    key hash preserves referential integrity of the sample."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "19"
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 25
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: a fixed quota per language, picked by md5 order —
+    deterministic per-class downsampling (the curriculum-mixing primitive:
+    cap the dominant language without touching the tail).  One shuffle on
+    the stratum key; at 100 TB prefer this over sampleBy(fractions) when
+    exact per-class counts matter."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
+        .where(F.col("rn") <= 25)
+    )
+
+
+@query(
     "curate_corpus",
     f"""
     WITH scored AS (
@@ -1182,6 +1286,66 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE
+    sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    jp AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      JOIN sizes sa ON sa.doc = a.doc
+      JOIN sizes sb ON sb.doc = b.doc
+      GROUP BY a.doc, b.doc, sa.n_sh, sb.n_sh
+      HAVING count(*) / (sa.n_sh + sb.n_sh - count(*)) >= 0.2
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+              UNION SELECT doc_b, doc_a FROM jp),
+    reach AS (
+      SELECT s AS node, d AS r FROM edges
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+    ),
+    comp AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step that turns pairwise similarity into
+    actual dedup.  Jaccard≥0.2 pairs form an undirected graph; each doc gets
+    cluster_id = min reachable doc_id (iterative min-label propagation,
+    operators.dedup.connected_components), and the cluster min is the
+    canonical copy to keep.  Singletons cluster with themselves.
+
+    The oracle computes the same components via a recursive-CTE transitive
+    closure — exact cross-engine agreement on cluster assignment.  At 100 TB
+    the propagation loop is O(diameter) shuffle rounds over the EDGE set
+    (tiny vs the corpus: only near-dup docs appear), with lineage truncated
+    per round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+    labels = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("lbl", "doc_id").alias("cluster_id"),
+            (F.coalesce("lbl", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
+@query(
     "minhash_lsh_candidates",
     """
     WITH sh AS (
@@ -1296,6 +1460,29 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.cosine_topk_pandas(emb, queries, k=5)
+
+
+@query(
+    "embedding_components",
+    """
+    SELECT vec_id, CAST(i AS BIGINT) AS pos,
+           round(CAST(embedding[i] AS DOUBLE), 4) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    WHERE vec_id < 100
+    """,
+)
+def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array unnest WITH ordinality (posexplode) — vector → long form.
+    The long layout is what columnar aggregation wants (per-dimension
+    stats, quantization codebooks); posexplode is a narrow generator, no
+    shuffle, and the vec_id filter prunes before the explode multiplies
+    rows."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return e.select("vec_id", F.posexplode("embedding").alias("p", "v")).select(
+        "vec_id",
+        (F.col("p") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
 
 
 @query(
@@ -1520,6 +1707,34 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dedup.simhash(d, "doc_id", "text", bits=8)
     pairs = dedup.simhash_near_pairs(fp, "doc_id", "simhash", bits=8, bands=2, max_hamming=1)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           date_diff('day', CAST(o_orderdate AS DATE),
+                     lead(CAST(o_orderdate AS DATE)) OVER w) AS days_to_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation windows — inter-order gaps per customer (NULL at
+    the partition edges).  Shares one shuffle+sort with any other window on
+    the same (key, ordering) spec; the o_orderkey tiebreaker makes the
+    frame deterministic under same-day orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).cast("bigint").alias("days_to_next"),
+    )
 
 
 @query(

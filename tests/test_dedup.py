@@ -87,3 +87,25 @@ def test_simhash_hamming(spark):
     assert h[(1, 4)] == 0                        # identical
     assert h[(1, 2)] <= h[(1, 3)]                # near-dup at most as far as unrelated
     assert h[(1, 2)] < 8                         # near-dup is close in hamming space
+
+
+def test_connected_components_chain_and_clique(spark):
+    # graph: chain 1-2-3 (transitive, never directly paired 1-3),
+    # clique 10-11-12, isolated pair 20-21; node 99 absent from any pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    labels = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node chain needs ~log-diameter rounds of min propagation;
+    # reversed edge order must not matter
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 12)], ["doc_a", "doc_b"]
+    )
+    labels = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
+    assert set(labels) == set(range(1, 13))
+    assert set(labels.values()) == {1}
