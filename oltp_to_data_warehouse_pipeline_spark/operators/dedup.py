@@ -159,12 +159,21 @@ def ngram_jaccard_pairs(
     # on xxhash64(shingle), not the string: the shuffle carries 8-byte longs
     # instead of ~25-byte text (collision odds across distinct shingles
     # ~ n²/2⁶⁵ — negligible vs any sampling error).
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("__sh")
+    #
+    # Plan shape: n_sh is computed in a codegen Project (whole-stage), and
+    # the SAME shingle expression is re-stated inline inside explode() so it
+    # lives in the Generate node.  Never materialize the shingle array in a
+    # child projection and explode the column — Generate over a projected
+    # array column serializes every per-doc array to an UnsafeRow first,
+    # which measured 5x slower than re-evaluating the expression (sf0.1:
+    # 1.6s -> 0.3s).
+    shingles = word_shingles(text_col, shingle_n)
+    sh = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc"), F.size(shingles).alias("n_sh"), F.col(text_col))
+        .select("doc", "n_sh", F.explode(shingles).alias("__s"))
+        .select("doc", "n_sh", F.xxhash64("__s").alias("sh"))
     )
-    sh = base.select(
-        "doc", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("__s")
-    ).select("doc", "n_sh", F.xxhash64("__s").alias("sh"))
     lists = sh.groupBy("sh").agg(
         F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("ps")
     )
