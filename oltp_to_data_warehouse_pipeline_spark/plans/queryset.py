@@ -336,6 +336,38 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentile_orders",
+    """
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50_exact,
+           true AS sketch_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch vs exact — approx_percentile's digest differs per
+    engine, so the contract (like approx_distinct_orders) is the exact
+    percentile plus a BOOLEAN pinning the sketch inside a 2% envelope.  At
+    100 TB the sketch is the only sane per-group quantile: bounded state,
+    single pass, mergeable; exact percentile_cont needs the group sorted."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("__ex"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("__ap"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round("__ex", 2).alias("p50_exact"),
+            (F.abs(F.col("__ap") - F.col("__ex")) <= 0.02 * F.col("__ex")).alias(
+                "sketch_within_2pct"
+            ),
+        )
+    )
+
+
+@query(
     "repeat_buyer_overlap",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -1165,6 +1197,44 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_pack",
+    """
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM (SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents) t) w
+    WHERE cum_tokens <= 2000
+    """,
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per language, admit documents (in deterministic
+    md5 order) until a cumulative token budget is hit — the mixture-weight
+    primitive of pretraining-data assembly ("N tokens of code, M of en").
+    One shuffle on the stratum key; the running sum is a frame-bounded
+    window, so state per group is O(1)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            text.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 2000)
+    )
+
+
+@query(
     "curate_corpus",
     f"""
     WITH scored AS (
@@ -1672,6 +1742,44 @@ def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
         F.round("value_asof", 4).alias("last_click_value"),
         F.unix_timestamp("ts_asof").cast("bigint").alias("last_click_ts_epoch"),
+    )
+
+
+@query(
+    "click_purchase_window_join",
+    """
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def click_purchase_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: ALL purchases within 6h after a click, per
+    user — the as-of join's sibling (as-of keeps only the nearest match;
+    the interval join keeps every in-window pair, the attribution-window
+    semantics).  Physical plan: equi-join on user_id with the time bounds
+    as join residual — shuffle is keyed, no cross product; the interval
+    bound caps per-key fan-out, which is what keeps state finite in the
+    streaming twin (stream-stream join with watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").alias("a")
+    b = ev.where(F.col("event_type") == "purchase").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("click_id"),
+            F.col("b.event_id").alias("purchase_id"),
+            F.expr("(unix_micros(b.ts) - unix_micros(a.ts)) div 1000000").alias("gap_s"),
+        )
     )
 
 

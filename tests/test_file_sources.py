@@ -1,0 +1,59 @@
+"""File source/sink round-trips: schema-explicit reads, corrupt-record
+capture, partitioned writes with pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.sources.files import read_table, write_table
+
+SCHEMA = "k string, n long, d string"
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [("a", 1, "2024-01-01"), ("b", 2, "2024-01-01"), ("c", 3, "2024-01-02")],
+        SCHEMA,
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_round_trip(spark, tmp_path, df, fmt):
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema=SCHEMA if fmt in ("csv", "json") else None)
+    assert {tuple(r) for r in back.select("k", "n", "d").collect()} == {
+        ("a", 1, "2024-01-01"),
+        ("b", 2, "2024-01-01"),
+        ("c", 3, "2024-01-02"),
+    }
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), fmt="csv")
+
+
+def test_corrupt_json_rows_are_captured_not_fatal(spark, tmp_path):
+    src = tmp_path / "j"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": "ok", "n": 1}\n{not json at all}\n')
+    schema = "k string, n long, _corrupt_record string"
+    got = read_table(spark, str(src), fmt="json", schema=schema)
+    rows = got.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_partitioned_write_prunes(spark, tmp_path, df):
+    path = str(tmp_path / "part")
+    write_table(df, path, fmt="parquet", partition_by=["d"])
+    assert (tmp_path / "part" / "d=2024-01-01").is_dir()
+    back = read_table(spark, path).where(F.col("d") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 1
+    # static partition pruning: the non-matching partition never enters the scan
+    assert "PartitionFilters: [isnotnull(d" in plan or "d#" in plan

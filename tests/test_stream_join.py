@@ -1,0 +1,75 @@
+"""Stream-stream interval join: real streams, batch twin as the oracle."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.streaming.joins import interval_join
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+ROWS = [
+    # user 1: click at 10:00, purchases at 10:05 (in) and 10:20 (out of 10m)
+    {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click"},
+    {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "purchase"},
+    {"event_id": 3, "ts": "2024-01-01 10:20:00", "user_id": 1, "event_type": "purchase"},
+    # user 2: purchase BEFORE the click -> no match either direction
+    {"event_id": 4, "ts": "2024-01-01 09:55:00", "user_id": 2, "event_type": "purchase"},
+    {"event_id": 5, "ts": "2024-01-01 10:00:00", "user_id": 2, "event_type": "click"},
+    # user 3: two clicks share one purchase (both within 10m)
+    {"event_id": 6, "ts": "2024-01-01 11:00:00", "user_id": 3, "event_type": "click"},
+    {"event_id": 7, "ts": "2024-01-01 11:04:00", "user_id": 3, "event_type": "click"},
+    {"event_id": 8, "ts": "2024-01-01 11:09:00", "user_id": 3, "event_type": "purchase"},
+]
+
+EXPECTED = {(1, 2), (6, 8), (7, 8)}
+
+
+def _split(df):
+    clicks = df.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    purchases = df.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    return clicks, purchases
+
+
+def _pairs(out):
+    return {(r["l_event_id"], r["r_event_id"]) for r in out.collect()}
+
+
+def test_interval_join_batch_twin(spark):
+    df = (
+        spark.createDataFrame(
+            [tuple(r.values()) for r in ROWS],
+            "event_id long, ts string, user_id long, event_type string",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks, purchases = _split(df)
+    out = interval_join(clicks, purchases, on="user_id", interval="10 minutes")
+    assert _pairs(out) == EXPECTED
+
+
+def test_interval_join_streaming_matches_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in ROWS))
+
+    sdf = spark.readStream.schema(SCHEMA).json(str(src))
+    clicks, purchases = _split(sdf)
+    out = interval_join(clicks, purchases, on="user_id", interval="10 minutes")
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _pairs(spark.table("sj_out"))
+    assert got == EXPECTED, "streaming interval join diverged from batch twin"
