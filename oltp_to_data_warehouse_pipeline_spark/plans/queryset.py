@@ -1888,6 +1888,69 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_distribution",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cdist,
+           first_value(o_orderkey) OVER w AS cheapest_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family completion: ntile / percent_rank / cume_dist /
+    first_value — all four share ONE window spec, so Catalyst evaluates
+    them in a single shuffle + sort (one Window physical node; check
+    PLANS.md: 2 exchanges total).  The o_orderkey tiebreaker makes every
+    rank deterministic under equal prices."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_so_far"),
+    )
+
+
+@query(
+    "status_priority_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup, both
+    already covered) with grouping() flags disambiguating real NULLs from
+    subtotal rows.  One expand + one hash aggregate — the expand multiplies
+    input by the number of sets, so at scale prune sets you don't read."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
     "media_content_hash",
     """
     SELECT doc_id,

@@ -59,3 +59,25 @@ def dedup_first_seen(sdf: DataFrame, key_cols: list[str]) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_within_watermark(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Bounded-state streaming dedup: drop repeats of a key that arrive
+    within the watermark horizon (`dropDuplicatesWithinWatermark`).
+
+    The complement of `dedup_first_seen`: state per key is EVICTED once the
+    watermark passes, so memory is rate × horizon instead of one flag per
+    key forever — the right trade for at-least-once sources (Kafka
+    redeliveries land within seconds; a key legitimately recurring a day
+    later is NOT a duplicate).  On batch inputs falls back to plain
+    dropDuplicates, which makes the batch result the semantics oracle for
+    within-horizon streams.
+    """
+    if not sdf.isStreaming:
+        return sdf.dropDuplicates(key_cols)
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -68,3 +68,37 @@ def test_first_seen_dedup_across_restarts(spark, tmp_path):
     # sink is cumulative: run 2 may add ONLY the new key c — a re-emitted
     # 'a' would prove the state store was not consulted
     assert rows2 == rows1 | {("c", 1, "c-1")}, "state store failed to suppress re-seen key"
+
+
+def test_dedup_within_watermark_drops_in_horizon_repeats(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01 10:00:00", "v": "first"},
+        {"k": "a", "ts": "2024-01-01 10:02:00", "v": "redelivery"},  # within 10m
+        {"k": "b", "ts": "2024-01-01 10:01:00", "v": "only"},
+    ]
+    _write_files(src, "b1.json", rows)
+    sdf = spark.readStream.schema("k string, ts timestamp, v string").json(str(src))
+    out = dedup_within_watermark(sdf, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.table("wm_dedup").collect()}
+    assert got == {("a", "first"), ("b", "only")}
+
+    # batch fallback keeps one row per key too
+    bdf = spark.createDataFrame(
+        [(r["k"], r["ts"], r["v"]) for r in rows], "k string, ts string, v string"
+    )
+    assert dedup_within_watermark(bdf, ["k"]).count() == 2
