@@ -89,3 +89,43 @@ def test_whole_stage_codegen_active(spark):
     df.collect()
     plan = _plan(df)
     assert "codegen id" in plan, "aggregation pipeline fell out of codegen"
+
+
+def test_hash_sample_is_shuffle_free_and_pushed(spark):
+    q, _ = registry()
+    plan = _plan(q["sample_hash_orders"](spark, SF_DIR))
+    assert "Exchange" not in plan, "hash sampling must be a partition-local filter"
+    assert "PushedFilters" in plan
+
+
+def test_semi_and_outer_joins_broadcast(spark):
+    q, _ = registry()
+    semi = _plan(q["urgent_customers_semi"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in semi and "LeftSemi" in semi
+    outer = _plan(q["customer_highvalue_outer"](spark, SF_DIR))
+    # aggregate-below-join: the orders side reduces to one row per customer
+    # inside the broadcast build side of the outer join
+    assert "BroadcastHashJoin LeftOuter" in outer and "HashAggregate" in outer
+
+
+def test_interval_join_is_keyed_not_cross(spark):
+    q, _ = registry()
+    plan = _plan(q["click_purchase_window_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan
+
+
+def test_ranking_family_shares_one_window(spark):
+    q, _ = registry()
+    plan = _plan(q["order_value_distribution"](spark, SF_DIR))
+    # four ranking functions, ONE Window node (formatted mode prints each
+    # node twice: tree entry + detail section), one shuffle+sort
+    assert plan.count("Window (") == 1, "all four ranking functions must share a window"
+    assert plan.count("Sort (") == 1
+
+
+def test_posexplode_prunes_before_generate(spark):
+    q, _ = registry()
+    plan = _plan(q["embedding_components"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "PushedFilters" in plan and "vec_id" in plan
