@@ -109,3 +109,37 @@ def test_connected_components_long_chain_converges(spark):
     labels = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
     assert set(labels) == set(range(1, 13))
     assert set(labels.values()) == {1}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check vs a driver-side union-find on random graphs."""
+    import random
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(4, 28)
+        m = rng.randint(1, 40)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expected = union_find_labels(edges)
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
+        assert got == expected, f"trial {trial}: {sorted(edges)}"
