@@ -76,13 +76,20 @@ def main() -> None:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         drop_persisted()
 
+    # Two timed runs per query, keep the minimum: this host shares CPU with
+    # other tenants (load spikes up to ~6 with zero local JVMs), and a single
+    # sample can inflate a 2s query to 5s.  The min of two samples is the
+    # standard interference-suppressing estimator for wall-clock microbench.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        drop_persisted()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            drop_persisted()
+        timings[name] = round(best, 3)
     # total = query time only; the inter-query cleanup (unpersist + forced
     # GC) is deliberately outside the bill — it exists to keep one query's
     # garbage from distorting the next query's measurement
