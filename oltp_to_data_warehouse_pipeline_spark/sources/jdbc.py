@@ -7,9 +7,9 @@ Spark-idiomatic improvements over the reference:
 - parallel reads via partitionColumn bounds, so a 1000-executor cluster
   opens 1000 cursors instead of 1.
 
-No database ships in the test container, so these are exercised by plan
-construction only; behavior-bearing logic (watermark predicate text,
-bound splitting) is pure and unit-testable.
+Exercised end-to-end against embedded Derby (the JDBC database inside
+Spark's own jars — tests/test_jdbc_derby.py): append sink, full scan,
+pushed watermark delta, and partitioned parallel read.
 """
 
 from __future__ import annotations
@@ -37,10 +37,18 @@ class JdbcConfig:
 
 
 def incremental_query(table: str, watermark_col: str, watermark: int | None) -> str:
-    """The pushed-down delta extract (P4, B5 fixed: source-side key)."""
+    """The pushed-down delta extract (P4, B5 fixed: source-side key).
+
+    The COLUMN is ANSI-quoted: Spark's JDBC writer emits column names quoted
+    (case-preserved), so an unquoted predicate case-folds on the server
+    (Derby→upper, Postgres→lower) and misses the column — caught by the
+    embedded-Derby round-trip test.  The TABLE name is passed through
+    verbatim: the writer emits it unquoted (server-folded), and callers who
+    created case-sensitive tables can pass their own quoting.
+    """
     if watermark is None:
         return f"SELECT * FROM {table}"
-    return f"SELECT * FROM {table} WHERE {watermark_col} > {int(watermark)}"
+    return f'SELECT * FROM {table} WHERE "{watermark_col}" > {int(watermark)}'
 
 
 def read_table(
@@ -65,7 +73,9 @@ def read_table(
     partitioned = partition_column and lower_bound is not None and upper_bound is not None
     if watermark_col is not None and partitioned:
         sub = incremental_query(table, watermark_col, watermark)
-        reader = reader.option("dbtable", f"({sub}) AS __delta")
+        # plain alias: identifiers with a leading underscore are illegal
+        # unquoted in some engines (Derby)
+        reader = reader.option("dbtable", f"({sub}) AS delta_src")
     elif watermark_col is not None:
         reader = reader.option("query", incremental_query(table, watermark_col, watermark))
     else:
