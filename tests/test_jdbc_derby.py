@@ -63,3 +63,52 @@ def test_append_scan_watermark_and_partitioned_read(spark, cfg):
 def test_incremental_query_text():
     assert incremental_query("t", "k", None) == "SELECT * FROM t"
     assert incremental_query("t", "k", 7) == 'SELECT * FROM t WHERE "k" > 7'
+
+
+def test_full_lifecycle_oltp_to_warehouse_over_jdbc(spark, cfg):
+    """SURVEY §3.1 end-to-end with a real DB on BOTH ends: seed OLTP in
+    Derby -> watermark extract -> clean (spark_etl semantics) -> QC gate ->
+    append to a Derby warehouse table -> second incremental run processes
+    only the delta."""
+    from oltp_to_data_warehouse_pipeline_spark.plans.etl import (
+        IncrementalRun,
+        LoanCleaningConfig,
+    )
+
+    oltp_rows = [
+        # (src_seq, member_id, Loan_Amount, term, verification_status)
+        (1, "M1", "1000.5", "36 months", "Verified"),
+        (2, "M2", "junk", "60 months", None),       # junk amount -> 0.0, verif fill
+        (3, None, "2000.0", "36 months", "Verified"),  # credit-policy filtered
+    ]
+    schema = "src_seq long, member_id string, Loan_Amount string, term string, verification_status string"
+    write_append(spark.createDataFrame(oltp_rows, schema), cfg, "oltp_loans")
+
+    pipeline = IncrementalRun(
+        watermark_col="src_seq",
+        quality_not_null=("member_id",),
+        cleaning_cfg=LoanCleaningConfig(
+            amount_cols=("Loan_Amount",), abs_cols=(), date_cols=(),
+            emp_length_col=None, int_fill_cols=(),
+        ),
+    )
+
+    src = read_table(spark, cfg, "oltp_loans")
+    cleaned, wm, qc = pipeline.run(src, prior_watermark=None)
+    assert wm == 3 and qc["no_nulls_member_id"] is True
+    write_append(cleaned, cfg, "wh_loans")
+    wh = read_table(spark, cfg, "wh_loans")
+    got = {(r["src_seq"], r["Loan_Amount"], r["verification_status"]) for r in wh.collect()}
+    assert got == {(1, 1000.5, "Verified"), (2, 0.0, "Not Verified")}
+
+    # incremental: new OLTP rows beyond the watermark
+    write_append(
+        spark.createDataFrame([(4, "M4", "4000.0", "36 months", "Verified")], schema),
+        cfg,
+        "oltp_loans",
+    )
+    src2 = read_table(spark, cfg, "oltp_loans", watermark_col="src_seq", watermark=wm)
+    cleaned2, wm2, _ = pipeline.run(src2, prior_watermark=wm)
+    assert wm2 == 4 and cleaned2.count() == 1
+    write_append(cleaned2, cfg, "wh_loans")
+    assert read_table(spark, cfg, "wh_loans").count() == 3
