@@ -1356,6 +1356,48 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_pairs_capped",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    capped AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 20
+    ),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN capped c ON a.sh = c.sh
+      JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard_lb
+    FROM pairs
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of Jaccard near-dup: shingles appearing in
+    more than ``max_df`` documents (boilerplate headers, common phrases) are
+    dropped BEFORE pair expansion, bounding both per-shingle posting lists
+    and the Σdf² blow-up — without the cap, one boilerplate shingle shared
+    by 1M docs expands to 5·10¹¹ pairs.  The score is then a lower bound
+    (capped shingles don't count toward intersections), so the output
+    column says so.  Exact oracle parity: the cap is plain relational
+    algebra (HAVING df <= max_df), replayed identically in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=20
+    ).withColumnRenamed("jaccard", "jaccard_lb")
+
+
+@query(
     "near_dup_clusters",
     """
     WITH RECURSIVE
