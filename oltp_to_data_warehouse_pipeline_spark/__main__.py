@@ -1,0 +1,88 @@
+"""CLI entry point: run queries, build the warehouse, list the surface.
+
+    python -m oltp_to_data_warehouse_pipeline_spark list
+    python -m oltp_to_data_warehouse_pipeline_spark query pricing_summary \
+        [--sf-dir /root/testdata/sf0.01] [--limit 20] [--explain]
+    python -m oltp_to_data_warehouse_pipeline_spark warehouse \
+        [--sf-dir ...]  # DROP+CTAS star schema into the session catalog
+    python -m oltp_to_data_warehouse_pipeline_spark sql "SELECT ... " \
+        [--sf-dir ...]  # fixture tables pre-registered as views
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="fixture directory (default $SPARK_GRAFT_SF_DIR or sf0.01)",
+    )
+    parser = argparse.ArgumentParser(prog="oltp_to_data_warehouse_pipeline_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list the named queries", parents=[common])
+
+    q = sub.add_parser("query", help="run one named query", parents=[common])
+    q.add_argument("name")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    sub.add_parser("warehouse", help="rebuild the star schema (DROP+CTAS)", parents=[common])
+
+    s = sub.add_parser("sql", help="run ad-hoc SQL over the fixture views", parents=[common])
+    s.add_argument("statement")
+    s.add_argument("--limit", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    from oltp_to_data_warehouse_pipeline_spark.plans.queryset import registry
+
+    queries, oracles = registry()
+
+    if args.cmd == "list":
+        for name in sorted(queries):
+            print(f"{name}{'' if name in oracles else '  (no SQL oracle)'}")
+        return 0
+
+    from oltp_to_data_warehouse_pipeline_spark.session import get_spark
+
+    spark = get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "query":
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = queries[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "warehouse":
+        from oltp_to_data_warehouse_pipeline_spark.plans.warehouse_sql import build_warehouse
+
+        built = build_warehouse(spark, args.sf_dir)
+        for t in built:
+            n = spark.table(t).count()
+            print(f"{t}: {n} rows")
+        return 0
+
+    if args.cmd == "sql":
+        from oltp_to_data_warehouse_pipeline_spark.catalog import register_views
+
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

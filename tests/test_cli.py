@@ -1,0 +1,28 @@
+"""CLI entry point smoke: list, query, sql (reuses the session fixture —
+get_spark returns the active session inside main())."""
+
+from __future__ import annotations
+
+from oltp_to_data_warehouse_pipeline_spark.__main__ import main
+
+
+def test_list_names_every_query(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "near_dup_clusters" in out
+    assert "ivf_topk_ann  (no SQL oracle)" in out
+
+
+def test_query_runs_and_shows(spark, capsys):
+    assert main(["query", "kpi_cards", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "customers" in capsys.readouterr().out
+
+
+def test_unknown_query_is_an_error(spark, capsys):
+    assert main(["query", "nope", "--sf-dir", "/root/testdata/sf0.001"]) == 2
+
+
+def test_adhoc_sql_over_views(spark, capsys):
+    rc = main(["sql", "SELECT count(*) AS n FROM region", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "5" in capsys.readouterr().out
