@@ -712,6 +712,106 @@ def customer_highvalue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey AS order_id,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — selective 3-way join + grouped revenue + top-k.
+
+    Beyond the reference's single J1 join: shows the analytic layer handles
+    multi-way joins with per-table predicates.  Scale: both filters reach
+    the parquet scans (PushedFilters); customer is reduced by the segment
+    predicate before joining, so AQE picks a broadcast; the final top-10 is
+    TakeOrderedAndProject (per-partition heaps, no global sort).  The
+    l_orderkey tiebreak makes the cutoff deterministic for the oracle.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.round("__rev", 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — 6-way snowflake join with a non-key residual
+    (customer and supplier in the same nation) and a region/date slice.
+
+    Scale: region/nation/supplier broadcast; the only shuffles are the
+    lineitem⋈orders⋈customer equi-joins on their natural keys and the tiny
+    final per-nation aggregate.  Catalyst folds the date predicates into the
+    orders scan; CBO/AQE order the joins smallest-build-first.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference surface: cleaning + warehouse build (SURVEY §2.2, §2.7, §3.2)
 # ---------------------------------------------------------------------------

@@ -129,3 +129,18 @@ def test_posexplode_prunes_before_generate(spark):
     plan = _plan(q["embedding_components"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "PushedFilters" in plan and "vec_id" in plan
+
+
+def test_multiway_joins_push_filters_no_cartesian(spark):
+    q, _ = registry()
+    q3 = _plan(q["shipping_priority"](spark, SF_DIR))
+    # per-table predicates reach the parquet scans, not post-scan Filters only
+    assert "PushedFilters" in q3 and "c_mktsegment" in q3
+    assert "CartesianProduct" not in q3
+    # top-k is per-partition heaps + driver merge, never a global sort
+    assert "TakeOrderedAndProject" in q3
+    q5 = _plan(q["local_supplier_volume"](spark, SF_DIR))
+    assert "CartesianProduct" not in q5 and "BroadcastNestedLoopJoin" not in q5
+    # supplier/nation/region are broadcast; the non-key nationkey residual
+    # rides the supplier join instead of forcing a separate shuffle
+    assert q5.count("BroadcastHashJoin") >= 3
