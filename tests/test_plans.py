@@ -144,3 +144,40 @@ def test_multiway_joins_push_filters_no_cartesian(spark):
     # supplier/nation/region are broadcast; the non-key nationkey residual
     # rides the supplier join instead of forcing a separate shuffle
     assert q5.count("BroadcastHashJoin") >= 3
+
+
+def test_large_orders_aggregate_before_join(spark):
+    q, _ = registry()
+    plan = _plan(q["large_order_customers"](spark, SF_DIR))
+    # the HAVING survivors broadcast to orders: the wide tables never
+    # co-shuffle through a sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # lineitem is pre-aggregated (partial + final) before any join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_promo_share_pushes_shipdate_range(spark):
+    q, _ = registry()
+    plan = _plan(q["promo_revenue_share"](spark, SF_DIR))
+    # the one-month range predicate must reach the parquet row-group stats
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_small_quantity_rewrite_scans_lineitem_once(spark):
+    q, _ = registry()
+    plan = _plan(q["small_quantity_part_revenue"](spark, SF_DIR))
+    # the correlated-subquery-as-window rewrite: one lineitem scan + one
+    # part scan, not the oracle's two lineitem scans
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    assert "Window" in plan
+
+
+def test_market_share_six_way_join_broadcasts_dims(spark):
+    q, _ = registry()
+    plan = _plan(q["nation_market_share"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # customer, both nation roles, region, supplier all broadcast
+    assert plan.count("BroadcastHashJoin") >= 5
