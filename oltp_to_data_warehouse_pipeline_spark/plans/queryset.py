@@ -2467,5 +2467,55 @@ def balance_opportunity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_value_page",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def order_value_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT/OFFSET pagination.  Catalyst compiles the
+    bounded page into TakeOrderedAndProject(offset+limit): per-partition
+    top-150 heaps merged on the driver — no shuffle, no global sort, memory
+    ∝ page depth not data size.  (Unbounded ORDER BY would range-partition
+    instead.)  The o_orderkey tiebreaker makes the page deterministic under
+    price ties."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "status_price_median",
+    """
+    SELECT o_orderstatus AS status,
+           round(median(o_totalprice), 2) AS median_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def status_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MEDIAN (continuous percentile at 0.5) alongside the
+    range extremes — the exact counterpart to the approx-percentile
+    envelope query.  Exact percentiles buffer each group's values, so at
+    100 TB this is for low-cardinality group keys only; high-cardinality
+    profiles use `approx_percentile_orders`."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return dict(QUERIES), dict(ORACLES)

@@ -181,3 +181,12 @@ def test_market_share_six_way_join_broadcasts_dims(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # customer, both nation roles, region, supplier all broadcast
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_pagination_is_topk_not_global_sort(spark):
+    q, _ = registry()
+    plan = _plan(q["order_value_page"](spark, SF_DIR))
+    # LIMIT 50 OFFSET 100 over ORDER BY -> per-partition top-150 heaps +
+    # driver merge, never a range-partitioned global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
