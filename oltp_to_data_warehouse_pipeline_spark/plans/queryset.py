@@ -2517,5 +2517,120 @@ def status_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_price_stats",
+    """
+    SELECT l_returnflag AS flag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           round(var_samp(l_discount), 6) AS disc_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, sample covariance, stddev,
+    variance per group.  All are single-pass moment sketches (partial
+    aggregation composes), so the plan is the same two-HashAggregate shape
+    as a SUM — no extra passes at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )
+
+
+@query(
+    "customer_order_years",
+    """
+    SELECT c_custkey,
+           array_to_string(list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))), ',')
+             AS active_years
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) canonicalized to a sorted CSV string
+    so the value hash is order- and representation-independent.  Scale:
+    collect_set buffers per-group distinct values — bounded here (≤ ~7
+    years); unbounded-cardinality collects belong in explode-side joins
+    instead."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.year("o_orderdate").cast("bigint"))), ","
+            ).alias("active_years")
+        )
+    )
+
+
+@query(
+    "part_name_catalog",
+    """
+    SELECT regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
+           regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM part
+    GROUP BY adjective, noun
+    """,
+)
+def part_name_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction family: split the two-token part name into
+    adjective/noun group keys.  regexp_extract is JVM-side codegen (no UDF);
+    the whole query is one narrow projection + tiny-key aggregate."""
+    p = load_table(spark, sf_dir, "part")
+    pat = r"^(\w+) (\w+)$"
+    return p.groupBy(
+        F.regexp_extract("p_name", pat, 1).alias("adjective"),
+        F.regexp_extract("p_name", pat, 2).alias("noun"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "shipping_lag_by_month",
+    """
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+           CAST(round(avg(datediff('day', o.o_orderdate, l.l_shipdate)), 0) AS BIGINT)
+             AS avg_lag_days,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+             AS max_lag_days,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY order_month
+    """,
+)
+def shipping_lag_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family (beyond the reference's extraction-only date
+    use): datediff lag between order and ship dates, bucketed by truncated
+    order month.  One wide equi-join (lineitem⋈orders), then a tiny-key
+    aggregate; round-to-bigint on BOTH sides keeps the hash stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"))
+        .agg(
+            F.round(F.avg(lag), 0).cast("bigint").alias("avg_lag_days"),
+            F.max(lag).cast("bigint").alias("max_lag_days"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return dict(QUERIES), dict(ORACLES)
