@@ -48,6 +48,14 @@ def upsert_parquet(
     FULL row content, so the winner is deterministic under repartitioning
     and replay (the idempotence guarantee needs this — a per-run arbitrary
     winner would make replays flip values).
+
+    Delete events (CDC tombstones, e.g. a Debezium ``op='d'``): mark the
+    batch row with a boolean column and filter at read time with
+    ``read_upserted(..., delete_col=...)``.  Tombstones compete in LWW like
+    any write and are RETAINED physically — that is what makes a stale
+    replay of a pre-delete update a no-op (the tombstone still outranks it)
+    instead of a resurrection.  A delete followed by a newer insert
+    re-surfaces the key, because the insert outranks the tombstone.
     """
 
     def order_for(df: DataFrame) -> list:
@@ -81,10 +89,18 @@ def upsert_parquet(
     )
 
 
-def read_upserted(spark: SparkSession, path: str) -> DataFrame:
+def read_upserted(spark: SparkSession, path: str, delete_col: str | None = None) -> DataFrame:
     """Read the logical table (drops the physical bucket column).
 
     ``mergeSchema`` makes additively-evolved columns visible even when older
     buckets were written before the column existed (B9 fixed).
+
+    ``delete_col``: name of the tombstone flag; keys whose LWW winner is a
+    delete are hidden from the logical view (their tombstones stay in the
+    physical files so replays of older updates cannot resurrect them —
+    compact them away only once the replay horizon has passed).
     """
-    return spark.read.option("mergeSchema", "true").parquet(path).drop(BUCKET_COL)
+    df = spark.read.option("mergeSchema", "true").parquet(path).drop(BUCKET_COL)
+    if delete_col is not None and delete_col in df.columns:
+        df = df.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return df

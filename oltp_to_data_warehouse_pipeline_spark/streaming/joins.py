@@ -53,3 +53,24 @@ def interval_join(
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {interval}"))
     )
     return lp.join(rp, cond)
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against a
+    bounded dimension table.
+
+    The static side is re-planned per micro-batch (so a dimension refreshed
+    on disk is picked up without restarting the query) and broadcast —
+    stream-static joins keep NO state, unlike stream-stream: the stream
+    side never waits for the dim, so this is the right tool whenever the
+    dimension is slowly-changing and bounded.  ``how`` is left/inner (the
+    stream side must be preserved or filtered, never the static side).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("stream-static enrichment supports how='left'|'inner'")
+    return stream.join(F.broadcast(dim), on, how)

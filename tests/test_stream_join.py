@@ -73,3 +73,35 @@ def test_interval_join_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = _pairs(spark.table("sj_out"))
     assert got == EXPECTED, "streaming interval join diverged from batch twin"
+
+
+def test_static_enrich_streaming_left_join(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.streaming.joins import static_enrich
+
+    src = tmp_path / "se_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in ROWS))
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+    sdf = spark.readStream.schema(SCHEMA).json(str(src))
+    out = static_enrich(sdf.select("event_id", "user_id"), dim, on="user_id")
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("se_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "se_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["tier"]) for r in spark.table("se_out").collect()}
+    # left join: user 3's events survive with NULL tier
+    assert got == {
+        (1, "gold"), (2, "gold"), (3, "gold"),
+        (4, "silver"), (5, "silver"),
+        (6, None), (7, None), (8, None),
+    }
