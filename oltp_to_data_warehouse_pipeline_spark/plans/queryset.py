@@ -2632,5 +2632,31 @@ def shipping_lag_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_masking",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\b(customer|value)\\b')) AS BIGINT)
+             AS n_masked,
+           md5(regexp_replace(text, '\\b(customer|value)\\b', '<MASK>', 'g'))
+             AS masked_hash
+    FROM documents
+    """,
+)
+def doc_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction/masking plumbing (the PII-scrub shape: in production the
+    pattern is emails/phones/IDs; the fixture corpus has none, so a
+    token class stands in).  Pure regexp_replace + regexp_count column
+    expressions — codegen'd, no UDF, and the masked-text hash proves the
+    rewrite is byte-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|value)\b"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias("n_masked"),
+        F.md5(F.regexp_replace("text", pat, "<MASK>").cast("binary")).alias("masked_hash"),
+    )
+
+
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return dict(QUERIES), dict(ORACLES)

@@ -89,6 +89,51 @@ def upsert_parquet(
     )
 
 
+def compact_tombstones(
+    spark: SparkSession,
+    path: str,
+    delete_col: str,
+    order_col: str,
+    horizon,
+) -> None:
+    """Physically purge tombstones older than ``horizon`` (the replay
+    horizon: once no producer can re-deliver a pre-delete write, the
+    tombstone no longer protects anything and is pure dead weight).
+
+    Rewrites every bucket that holds an expired tombstone — run this on the
+    maintenance cadence, not per batch.
+    """
+    existing = spark.read.option("mergeSchema", "true").parquet(path)
+    if delete_col not in existing.columns:
+        return
+    expired = F.coalesce(F.col(delete_col), F.lit(False)) & (F.col(order_col) <= F.lit(horizon))
+    touched = [
+        r[BUCKET_COL]
+        for r in existing.where(expired).select(BUCKET_COL).distinct().collect()
+    ]
+    if not touched:
+        return
+    kept = existing.where(F.col(BUCKET_COL).isin(touched)).where(~expired)
+    kept_buckets = {r[BUCKET_COL] for r in kept.select(BUCKET_COL).distinct().collect()}
+    if kept_buckets:
+        (
+            kept.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    # dynamic overwrite only rewrites partitions it writes rows into; a
+    # bucket whose every row expired produces no output rows, so its stale
+    # files must be removed explicitly
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in set(touched) - kept_buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{BUCKET_COL}={b}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+
+
 def read_upserted(spark: SparkSession, path: str, delete_col: str | None = None) -> DataFrame:
     """Read the logical table (drops the physical bucket column).
 

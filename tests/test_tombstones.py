@@ -63,3 +63,61 @@ def test_read_without_delete_col_arg_shows_all(spark, tmp_path):
     path = str(tmp_path / "t")
     upsert_parquet(spark, _batch(spark, [("a", 2, None, True)]), path, "k", ["updated_at"])
     assert read_upserted(spark, path).count() == 1
+
+
+def test_compact_tombstones_purges_past_horizon(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.sources.upsert import compact_tombstones
+
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        spark,
+        _batch(spark, [("a", 1, "v1", False), ("b", 1, "v1", False)]),
+        path, "k", ["updated_at"], num_buckets=4,
+    )
+    upsert_parquet(spark, _batch(spark, [("a", 2, None, True)]), path, "k", ["updated_at"], num_buckets=4)
+    upsert_parquet(spark, _batch(spark, [("b", 9, None, True)]), path, "k", ["updated_at"], num_buckets=4)
+
+    # horizon=5: a's tombstone (t=2) expires, b's (t=9) is retained
+    compact_tombstones(spark, path, "deleted", "updated_at", 5)
+    raw = read_upserted(spark, path)
+    assert raw.where("k = 'a'").count() == 0, "expired tombstone must be purged"
+    assert raw.where("k = 'b' and deleted").count() == 1, "live tombstone must survive"
+    assert _state(spark, path) == set()
+
+
+def test_compact_clears_fully_emptied_bucket(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.sources.upsert import compact_tombstones
+
+    path = str(tmp_path / "t")
+    # single bucket -> after compaction the whole bucket partition is empty;
+    # the stale files must be physically removed, not left behind
+    upsert_parquet(spark, _batch(spark, [("a", 1, None, True)]), path, "k", ["updated_at"], num_buckets=1)
+    compact_tombstones(spark, path, "deleted", "updated_at", 5)
+    import glob
+    assert not glob.glob(f"{path}/__bucket=*/*.parquet"), "emptied bucket files must be deleted"
+
+
+def test_cdc_delete_marker_end_to_end(spark, tmp_path):
+    """A JSON `_deleted: true` message flows through schema inference into a
+    boolean landing column; tombstone reads hide the key."""
+    import json as _json
+    from oltp_to_data_warehouse_pipeline_spark.streaming.cdc import process_microbatch
+
+    wh = str(tmp_path / "wh")
+    b1 = spark.createDataFrame(
+        [
+            (_json.dumps({"id": "1", "name": "alice"}), "users"),
+            (_json.dumps({"id": "2", "name": "bob"}), "users"),
+        ],
+        ["value", "topic"],
+    )
+    process_microbatch(spark, b1, wh)
+    b2 = spark.createDataFrame(
+        [(_json.dumps({"id": "1", "_deleted": True}), "users")], ["value", "topic"]
+    )
+    process_microbatch(spark, b2, wh)
+    live = read_upserted(spark, f"{wh}/users", delete_col="_deleted")
+    assert {r["kafka_primary_key"] for r in live.collect()} == {"2"}
+    # physical tombstone retained for replay safety
+    raw = read_upserted(spark, f"{wh}/users")
+    assert raw.where("kafka_primary_key = '1' and _deleted").count() == 1
