@@ -1,0 +1,132 @@
+"""Incremental aggregate maintenance: materialized rollups refreshed from
+watermark deltas instead of full recompute.
+
+The reference rebuilds its warehouse aggregates from scratch on every run
+(`DB.sql:109-124` re-reads the whole fact table).  At 100 TB that is a full
+table scan per refresh; the scalable contract is:
+
+    rollup(all data) == merge(rollup(old data), partial(delta))
+
+which holds for the *mergeable* aggregate algebra — SUM and COUNT merge by
+summing, MIN/MAX by min/max, and AVG is re-derived at read time from its
+SUM+COUNT pair.  (Non-mergeable exact aggregates — median, distinct count —
+need sketches; see `approx_percentile_orders` / `approx_distinct_orders`.)
+
+Refresh cost ∝ delta size + touched partitions, not table size: the stored
+rollup is partitioned on a group key (e.g. month), only partitions present
+in the delta are read back, merged, and dynamically overwritten.
+
+Exactly-once effect under at-least-once delivery: every merge carries a
+``batch_id``; applied ids are recorded as marker files and replayed batches
+become no-ops (the same guard pattern as a Delta MERGE's txn version —
+without it, merging a replayed delta would double-count).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BATCH_DIR = "_applied_batches"
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """Mergeable-aggregate spec: output column -> source column."""
+
+    keys: tuple[str, ...]
+    sums: dict[str, str] = field(default_factory=dict)
+    mins: dict[str, str] = field(default_factory=dict)
+    maxs: dict[str, str] = field(default_factory=dict)
+    count_col: str | None = "n_rows"
+
+    def partial(self, df: DataFrame) -> DataFrame:
+        """Per-group partial aggregates of one delta (or of the full data —
+        the same expression builds the from-scratch oracle)."""
+        aggs = [F.sum(src).alias(out) for out, src in self.sums.items()]
+        aggs += [F.min(src).alias(out) for out, src in self.mins.items()]
+        aggs += [F.max(src).alias(out) for out, src in self.maxs.items()]
+        if self.count_col:
+            aggs.append(F.count(F.lit(1)).alias(self.count_col))
+        return df.groupBy(*self.keys).agg(*aggs)
+
+    def merge(self, stacked: DataFrame) -> DataFrame:
+        """Re-combine stacked partials (old rollup rows + delta partials)."""
+        aggs = [F.sum(out).alias(out) for out in self.sums]
+        aggs += [F.min(out).alias(out) for out in self.mins]
+        aggs += [F.max(out).alias(out) for out in self.maxs]
+        if self.count_col:
+            aggs.append(F.sum(self.count_col).alias(self.count_col))
+        return stacked.groupBy(*self.keys).agg(*aggs)
+
+
+def _applied(path: str, batch_id: str) -> bool:
+    return os.path.exists(os.path.join(path, _BATCH_DIR, batch_id))
+
+
+def _mark_applied(path: str, batch_id: str) -> None:
+    d = os.path.join(path, _BATCH_DIR)
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, batch_id), "w").close()
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    spec: RollupSpec,
+    batch_id: str,
+    partition_key: str | None = None,
+) -> None:
+    """Merge one delta into the stored rollup at ``path``.
+
+    ``partition_key``: a member of ``spec.keys`` to partition the stored
+    rollup by (typically the time bucket).  Only partitions the delta
+    touches are read+rewritten; at 100 TB a daily delta touches one or two
+    month-partitions of the rollup regardless of history depth.
+    """
+    if partition_key is not None and partition_key not in spec.keys:
+        raise ValueError(f"partition_key {partition_key!r} must be one of spec.keys")
+    if _applied(path, batch_id):
+        return  # replayed batch: no-op (exactly-once effect)
+
+    partials = spec.partial(delta)
+
+    exists = os.path.exists(path) and any(
+        not e.startswith("_") for e in os.listdir(path)
+    )
+    if not exists:
+        w = partials.write.mode("overwrite")
+        if partition_key:
+            w = w.partitionBy(partition_key)
+        w.parquet(path)
+        _mark_applied(path, batch_id)
+        return
+
+    stored = spark.read.parquet(path)
+    if partition_key:
+        touched = [
+            r[partition_key]
+            for r in partials.select(partition_key).distinct().collect()
+        ]
+        stored = stored.where(F.col(partition_key).isin(touched))
+    merged = spec.merge(stored.unionByName(partials))
+    w = merged.write.mode("overwrite")
+    if partition_key:
+        w = w.partitionBy(partition_key).option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+    _mark_applied(path, batch_id)
+
+
+def read_rollup(
+    spark: SparkSession, path: str, avgs: dict[str, tuple[str, str]] | None = None
+) -> DataFrame:
+    """Read the rollup; ``avgs`` derives averages from (sum_col, count_col)
+    pairs — the read-time half of AVG's mergeable decomposition."""
+    df = spark.read.parquet(path)
+    for out, (sum_col, cnt_col) in (avgs or {}).items():
+        df = df.withColumn(out, F.col(sum_col) / F.col(cnt_col))
+    return df

@@ -1,0 +1,96 @@
+"""Incremental rollup maintenance: merge-of-partials == full recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
+    RollupSpec,
+    read_rollup,
+    refresh_rollup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPEC = RollupSpec(
+    keys=("order_month", "o_orderstatus"),
+    sums={"revenue": "o_totalprice"},
+    mins={"min_price": "o_totalprice"},
+    maxs={"max_price": "o_totalprice"},
+)
+
+
+def _orders(spark):
+    return load_table(spark, SF_DIR, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+
+
+def _snapshot(df):
+    return {
+        (r["order_month"], r["o_orderstatus"]): (
+            round(r["revenue"], 2),
+            round(r["min_price"], 2),
+            round(r["max_price"], 2),
+            r["n_rows"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_merge_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    o = _orders(spark)
+    # three watermark deltas split on the key space
+    b1 = o.where(F.col("o_orderkey") % 3 == 0)
+    b2 = o.where(F.col("o_orderkey") % 3 == 1)
+    b3 = o.where(F.col("o_orderkey") % 3 == 2)
+    for i, b in enumerate((b1, b2, b3)):
+        refresh_rollup(spark, b, path, SPEC, batch_id=f"b{i}", partition_key="order_month")
+
+    got = _snapshot(read_rollup(spark, path))
+    want = _snapshot(SPEC.partial(o))
+    assert got == want, "merged rollup diverged from full recompute"
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    o = _orders(spark)
+    refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
+    before = _snapshot(read_rollup(spark, path))
+    # at-least-once delivery: same batch id arrives again -> must not double-count
+    refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
+    assert _snapshot(read_rollup(spark, path)) == before
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    import glob
+    import os
+
+    path = str(tmp_path / "rollup")
+    o = _orders(spark)
+    early = o.where(F.col("order_month") < "1997-01")
+    late = o.where(F.col("order_month") >= "1997-01")
+    refresh_rollup(spark, early, path, SPEC, batch_id="b0", partition_key="order_month")
+    some_early = sorted(glob.glob(f"{path}/order_month=1996*/*.parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in some_early}
+
+    refresh_rollup(spark, late, path, SPEC, batch_id="b1", partition_key="order_month")
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t, f"untouched partition file rewritten: {f}"
+
+
+def test_avg_derived_at_read(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    o = _orders(spark)
+    refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
+    got = read_rollup(spark, path, avgs={"avg_price": ("revenue", "n_rows")})
+    want = {
+        (r["order_month"], r["o_orderstatus"]): round(r["avg_price"], 4)
+        for r in o.groupBy("order_month", "o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("avg_price"))
+        .collect()
+    }
+    for r in got.collect():
+        assert round(r["avg_price"], 4) == want[(r["order_month"], r["o_orderstatus"])]
