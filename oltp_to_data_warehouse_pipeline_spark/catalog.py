@@ -39,6 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     not a legal Spark type; they're read as raw int64 nanos
     (``nanosAsLong``) and converted to microsecond timestamps — the same
     truncation every µs-native engine (DuckDB, Spark) applies.
+
+    Microsecond parquet timestamps with ``isAdjustedToUTC=false`` are
+    inferred by Spark as ``TIMESTAMP_NTZ`` — a type that breaks
+    ``unix_micros``, ``withWatermark``, and interval arithmetic downstream.
+    The session zone is pinned to UTC (session.py), so casting NTZ →
+    ``TIMESTAMP`` preserves the instant exactly and matches how DuckDB
+    reads the same file; normalizing here (the one table boundary) keeps
+    every operator on a single timestamp type.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -51,6 +59,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer div (not `/`): int64 nanos overflow double's 53-bit mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -1227,14 +1227,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
       FROM documents
     )
-    SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-           round(avg(n_tokens), 2) AS avg_tokens
+    SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
     FROM scored GROUP BY lang_pred
     """,
 )
 def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup: docs / token budget per predicted language —
-    the planning aggregate every curation run starts from."""
+    the planning aggregate every curation run starts from.  The comparison
+    surface is sum+count (exact integers), not a rounded average: float
+    `round(avg(...))` sits on HALF_UP-vs-binary-representation edges that
+    differ between engines, and avg is derivable from the two exact
+    columns anyway."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(text.lang_guess("text").alias("lang_pred"), text.token_count("text").alias("n_tokens"))
@@ -1242,7 +1245,6 @@ def corpus_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
         )
     )
 
@@ -1306,7 +1308,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM (SELECT doc_id, lang,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
             FROM documents) t) w
     WHERE cum_tokens <= 2000
     """,

@@ -21,6 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ensure_ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermark/interval arithmetic needs TIMESTAMP, not TIMESTAMP_NTZ;
+    exact under the pinned-UTC session zone (session.py)."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def interval_join(
@@ -42,6 +51,7 @@ def interval_join(
     state eviction in append mode); on batch inputs the watermark is a
     no-op and the result is the streaming query's completeness oracle.
     """
+    left, right = _ensure_ltz(left, left_ts), _ensure_ltz(right, right_ts)
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     lp = lw.select([F.col(c).alias(f"{left_prefix}{c}") for c in lw.columns])

@@ -3,12 +3,17 @@ oracle_sql() twin on DuckDB, compares row count + column names + an
 order-insensitive value hash (the driver's contract, re-implemented here so
 mismatches are caught before a round ends).
 
-Usage: python tools/diffcheck.py [sf_dir] [query ...]
+Usage: python tools/diffcheck.py [--json out.json] [sf_dir] [query ...]
+
+With --json, writes a CORRECTNESS-shaped report covering EVERY registered
+query (the driver's own per-round check samples the first 50 registrations,
+so the committed self-check is the complete record).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 from pathlib import Path
@@ -54,8 +59,14 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from oltp_to_data_warehouse_pipeline_spark.session import get_spark
@@ -80,11 +91,17 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": None, "oracle_rows": None, "err": f"spark: {e}"}
             continue
         if name not in oracles:
+            ok = bool(srows)
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
-            if not srows:
+            if not ok:
                 failures.append(name)
+            report[name] = {"rows_match": ok, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(srows), "oracle_rows": None,
+                            "err": None if ok else "no rows (rows-only check)"}
             continue
         try:
             res = con.execute(oracles[name])
@@ -93,6 +110,8 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": len(srows), "oracle_rows": None, "err": f"duckdb: {e}"}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -112,11 +131,18 @@ def main() -> int:
                     if a != b:
                         problems.append(f"  first diff:\n    spark: {a}\n    duck:  {b}")
                         break
+        rows_ok = len(srows) == len(drows)
+        schema_ok = sorted(scols) == sorted(dcols)
+        hash_ok = schema_ok and not any(p.startswith("hash") for p in problems)
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok, "hash_match": hash_ok,
+                        "spark_rows": len(srows), "oracle_rows": len(drows), "err": None}
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=2) + "\n")
     print(f"\n{len(qs) - len(failures)}/{len([n for n in qs if not only or n in only])} passed")
     return 1 if failures else 0
 
