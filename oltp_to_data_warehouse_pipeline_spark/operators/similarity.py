@@ -35,12 +35,33 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def bounded(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """Refuse to let an O(n²) verification twin loose on a big input.
+
+    The exact all-pairs / many-query paths exist as ground truth for the
+    LSH/IVF scale paths; they must never run unbounded by accident.  The
+    count is one cheap extra job (these are diagnostics, not hot paths) and
+    the trailing ``limit`` makes the bound *structural* — visible in the
+    physical plan as a GlobalLimit feeding the broadcast side, so a plan
+    audit can prove the nested-loop join only ever sees a bounded build.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: input has {n} rows > max_rows={max_rows}. "
+            "This exact path is a small-N verification twin of the LSH/IVF "
+            "scale path; pass a sample or raise max_rows explicitly."
+        )
+    return df.limit(max_rows)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest candidates.
 
@@ -49,13 +70,18 @@ def cosine_topk(
     small, = |queries| keys; for many queries switch the final ranking to a
     per-partition heap via mapInPandas).
     Excludes self-matches.  Deterministic tiebreak: (sim desc, candidate id).
+
+    Cost is |queries| × |candidates| dot products — linear in the corpus
+    only while the broadcast side stays small, so ``max_queries`` bounds it
+    structurally (raise it explicitly for a bigger verification run; use
+    the LSH/IVF paths for real many-query workloads).
     """
     cand = (
         ensure_min_parallelism(emb)
         .select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
         .withColumn("__cnorm", l2_norm(F.col("__cvec")))
     )
-    q = queries.select(
+    q = bounded(queries, max_queries, "cosine_topk queries").select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec")
     ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
 
@@ -138,6 +164,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: all (a < b) with cos ≥ threshold.
 
@@ -145,12 +172,15 @@ def cosine_near_dup_pairs(
     broadcast nested-loop join); dense cosine has no lossless inverted-index
     prune, so the scale path is :func:`cosine_near_dup_lsh` (candidate
     generation via hyperplane banding, recall < 1 by construction), with this
-    operator as its ground truth on samples.
+    operator as its ground truth on samples.  ``max_rows`` refuses an
+    unbounded input (pass a sample, or raise it deliberately): at 100 TB the
+    accidental invocation is a cluster-melter, so the bound is part of the
+    operator contract, not a docstring plea.
     """
-    base = (
-        ensure_min_parallelism(emb)
-        .select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-        .withColumn("n", l2_norm(F.col("v")))
+    base = bounded(
+        ensure_min_parallelism(emb), max_rows, "cosine_near_dup_pairs"
+    ).select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")).withColumn(
+        "n", l2_norm(F.col("v"))
     )
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -276,6 +306,7 @@ def cosine_topk_pandas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul — the wide-vector
     path (≥1k dims), where one BLAS `C @ Qᵀ` per batch beats per-element
@@ -292,7 +323,11 @@ def cosine_topk_pandas(
     import numpy as np
     from pyspark.sql import types as T
 
-    q_rows = queries.select(F.col(id_col), as_double_vec(vec_col).alias("v")).collect()
+    q_rows = (
+        bounded(queries, max_queries, "cosine_topk_pandas queries")
+        .select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+        .collect()
+    )
     q_ids = np.array([r[id_col] for r in q_rows])
     qm = np.array([list(r["v"]) for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

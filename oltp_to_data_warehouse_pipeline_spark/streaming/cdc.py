@@ -25,6 +25,33 @@ from oltp_to_data_warehouse_pipeline_spark.streaming import normalizer as norm
 SAMPLE_SIZE = 200
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    max_offsets_per_trigger: int = 10_000,
+) -> dict[str, str]:
+    """The Kafka source configuration, as data (unit-testable without a
+    broker — the container has none, so this dict IS the tested surface).
+
+    Maps the reference consumer's settings one-for-one
+    (`mongo_postgres_cdc.py:27-32,382-401`): topic list → ``subscribe``
+    (one consumer group, ST1); ``auto_offset_reset='earliest'`` →
+    ``startingOffsets`` (first run only — afterwards the checkpoint wins,
+    which is exactly the reference's committed-offset behavior);
+    ``max_poll_records`` → ``maxOffsetsPerTrigger`` (bounded micro-batch,
+    ST2).  No ``group.id``: Spark manages its own group + offsets in the
+    checkpoint (ST3).
+    """
+    if not topics:
+        raise ValueError("kafka source needs at least one topic")
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -39,18 +66,13 @@ def kafka_stream(
     ``current_timestamp()`` as updated_at, so without the offset the LWW
     upsert would pick an arbitrary winner and could keep a stale update).
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .load()
-        .select(
-            F.col("value").cast("string").alias("value"),
-            F.col("topic").alias("topic"),
-            F.col("offset").cast("bigint").alias("offset"),
-        )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap_servers, topics, max_offsets_per_trigger).items():
+        reader = reader.option(k, v)
+    return reader.load().select(
+        F.col("value").cast("string").alias("value"),
+        F.col("topic").alias("topic"),
+        F.col("offset").cast("bigint").alias("offset"),
     )
 
 
@@ -121,6 +143,32 @@ def start_cdc(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def shutdown(query, drain: bool = True, timeout_s: float = 60.0) -> bool:
+    """ST6 — graceful shutdown (`mongo_postgres_cdc.py:403-412` semantics:
+    finish the in-flight batch, then stop and close).
+
+    ``drain=True`` first waits for all currently-available input to be
+    processed (``processAllAvailable``) so no consumed-but-unwritten batch
+    is dropped; then ``stop()`` halts the query and ``awaitTermination``
+    bounds the wait.  Returns True when the query terminated in time.
+    Because sinks are idempotent upserts over checkpointed offsets, even a
+    non-graceful kill only ever replays, never loses or duplicates state.
+    """
+    if drain and query.isActive:
+        query.processAllAvailable()
+    query.stop()
+    return query.awaitTermination(timeout_s)
+
+
+def install_signal_shutdown(query, signals=None) -> None:
+    """Wire SIGINT/SIGTERM to :func:`shutdown`, like the reference's signal
+    handler (`mongo_postgres_cdc.py:403-406`).  Driver-side only."""
+    import signal as _signal
+
+    for sig in signals or (_signal.SIGINT, _signal.SIGTERM):
+        _signal.signal(sig, lambda *_: shutdown(query))
 
 
 # -- tiny schema registry (per-topic JSON file beside the landing tables) ----

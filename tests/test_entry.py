@@ -14,12 +14,10 @@ def test_entry_returns_rows(spark):
 def test_registry_alignment(spark):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert len(qs) >= 30
-    # every oracle key has a query; every query is callable
+    # every oracle key has a query; every query carries an oracle (the
+    # iterative IVF path is made oracle-checkable via full-probe exactness)
     assert set(oracles) <= set(qs)
-    # Iterative algorithms (no single SQL expression) get the driver's
-    # weaker rows-only check; everything else must carry an oracle.
-    intended_no_oracle = {"ivf_topk_ann"}
-    missing = set(qs) - set(oracles) - intended_no_oracle
+    missing = set(qs) - set(oracles)
     assert missing == set(), f"queries without oracle (document if intended): {missing}"
 
 

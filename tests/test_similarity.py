@@ -115,3 +115,27 @@ def test_cosine_topk_pandas_matches_hof(spark):
     pnd = [(r["rank"], r["neighbor_id"], r["sim"])
            for r in sorted(similarity.cosine_topk_pandas(emb, q, k=4).collect())]
     assert hof == pnd
+
+
+def test_all_pairs_paths_refuse_unbounded_input(spark):
+    """The O(n²) verification twins must fail loudly past their bound, not
+    silently melt a cluster (VERDICT r1 foot-gun)."""
+    import pytest
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.cosine_near_dup_pairs(emb, max_rows=3).collect()
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.cosine_topk(emb, emb, k=2, max_queries=3).collect()
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.cosine_topk_pandas(emb, emb, k=2, max_queries=3)
+
+
+def test_all_pairs_bound_is_structural(spark):
+    """The bound shows up in the physical plan: the nested-loop build side
+    sits under a GlobalLimit, so a plan audit can prove it's finite."""
+    emb = _emb(spark)
+    df = similarity.cosine_near_dup_pairs(emb, max_rows=100)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "GlobalLimit" in plan
