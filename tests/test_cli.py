@@ -10,7 +10,10 @@ def test_list_names_every_query(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "pricing_summary" in out and "near_dup_clusters" in out
-    assert "ivf_topk_ann  (no SQL oracle)" in out
+    # every registered query now carries a SQL oracle (ivf_topk_ann gained
+    # a full-probe-exactness oracle), so no "(no SQL oracle)" markers remain
+    assert "ivf_topk_ann" in out
+    assert "(no SQL oracle)" not in out
 
 
 def test_query_runs_and_shows(spark, capsys):

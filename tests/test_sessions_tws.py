@@ -105,6 +105,71 @@ def test_processor_emits_on_timer_and_clears():
     assert list(proc.handleExpiredTimer((7,), None, None)) == []
 
 
+def test_processor_sessions_equal_builtin_session_window(spark):
+    """Equivalence gate: the custom TWS sessionizer must produce exactly the
+    sessions that Spark's built-in ``F.session_window`` batch aggregation
+    assigns for the same gap.  Runs the processor logic against the fake
+    handle (protobuf-free) over the sf0.001 events table, firing every
+    remaining timer at end-of-stream — semantically the watermark passing
+    the last gap."""
+    import pyspark.sql.functions as F
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # truncate to millisecond precision: the processor keeps state in
+        # epoch-millis (timer granularity), so feed both sides ms-truncated
+        # events to compare session semantics, not sub-ms formatting
+        .select(
+            "user_id",
+            F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))).alias("ts"),
+            "value",
+        )
+        .where(F.col("user_id") < 20)
+    )
+    gap = "10 minutes"
+    expected = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+        )
+        .collect()
+    }
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+    got = set()
+    for uid, grp in pdf.groupby("user_id"):
+        proc = _SessionProcessor(gap_ms=600_000)
+        h = _FakeHandle()
+        proc.init(h)
+        # deliver in event-time order, one micro-batch per event (worst case)
+        for _, row in grp.iterrows():
+            # close any session whose timer precedes this event (watermark
+            # has provably passed its gap)
+            ev_ms = row["ts"].value // 1_000_000
+            for t in sorted(h.timers):
+                if t <= ev_ms:
+                    h.timers.discard(t)
+                    for out in proc.handleExpiredTimer((uid,), None, None):
+                        r = out.iloc[0]
+                        got.add((uid, str(r["session_start"]), str(r["session_end"]),
+                                 r["n_events"], round(r["sum_value"], 6)))
+            list(proc.handleInputRows(
+                (uid,),
+                iter([pd.DataFrame({"ts": [row["ts"]], "value": [row["value"]]})]),
+                None,
+            ))
+        for _ in sorted(h.timers):  # end of stream: watermark -> +inf
+            for out in proc.handleExpiredTimer((uid,), None, None):
+                r = out.iloc[0]
+                got.add((uid, str(r["session_start"]), str(r["session_end"]),
+                         r["n_events"], round(r["sum_value"], 6)))
+    assert got == expected
+
+
 @pytest.mark.skipif(not HAS_PROTOBUF, reason="TWS runtime needs google.protobuf")
 def test_sessions_close_on_gap_real_stream(spark, tmp_path):
     src = tmp_path / "src"
