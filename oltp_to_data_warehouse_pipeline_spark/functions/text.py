@@ -103,6 +103,31 @@ def lang_guess(c: Column | str) -> Column:
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams over a token array, as space-joined strings; empty array
+    when the document has fewer than ``n`` tokens.
+
+    Pure higher-order-function form (sequence + transform + slice), so the
+    n-gram fan-out happens JVM-side inside whole-stage codegen — no UDF and
+    no pre-explode shuffle.  The SQL twin is
+    ``list_transform(range(1, len(t)-(n-2)), i -> array_to_string(t[i:i+n-1], ' '))``.
+    """
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    return F.when(
+        size >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(c: Column | str, n: int = 8) -> Column:
+    """md5 hashes of ``n``-token shingles (the decontamination / near-dup
+    unit).  Hashing at the source keeps every downstream join/shuffle on
+    32-byte keys instead of raw shingle text — shuffle bytes ∝ rows, not
+    document size."""
+    return F.transform(word_ngrams(tokens(c), n), F.md5)
+
+
 def fingerprint(c: Column | str) -> Column:
     """Exact-content fingerprint: md5 of the text (engine-portable)."""
     col = F.col(c) if isinstance(c, str) else c

@@ -2666,6 +2666,288 @@ def doc_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline batch 3: repetition signals, decontamination, corpus n-grams
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragment: the normalized tokenizer twin (functions/text.tokens)
+_TOK = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
+
+@query(
+    "doc_repetition_signals",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    arr AS (
+      SELECT doc_id, t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b,
+             list_transform(range(1, greatest(len(t)-2, 0)+1),
+                            i -> array_to_string(t[i:i+2], ' ')) AS tri
+      FROM tok)
+    SELECT doc_id,
+           len(t)                     AS n_tokens,
+           len(list_distinct(t))      AS n_distinct_tokens,
+           len(b)                     AS n_bigrams,
+           len(list_distinct(b))      AS n_distinct_bigrams,
+           len(tri)                   AS n_trigrams,
+           len(list_distinct(tri))    AS n_distinct_trigrams,
+           CASE WHEN len(b) > 0 AND 2*(len(b) - len(list_distinct(b))) > len(b)
+                THEN 1 ELSE 0 END     AS repetitive
+    FROM arr
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (Gopher/RefinedWeb-style filter
+    signals): distinct-vs-total counts for words, word 2-grams and 3-grams,
+    plus a `repetitive` flag (duplicate-bigram fraction > 1/2).
+
+    Scale: narrow projection, zero shuffle — the n-gram fan-out happens
+    inside whole-stage codegen via sequence/transform HOFs (text.word_ngrams),
+    never via explode, so a 100 TB corpus profile is a single scan stage.
+    Counts stay integers end-to-end: the flag is exact integer math, no
+    float-threshold drift between engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        text.tokens("text").alias("t"),
+    ).select(  # bind arrays once per grain so each is computed once
+        "doc_id",
+        "t",
+        text.word_ngrams(F.col("t"), 2).alias("b"),
+        text.word_ngrams(F.col("t"), 3).alias("tri"),
+    )
+    n_b = F.size("b").cast("bigint")
+    n_db = F.size(F.array_distinct("b")).cast("bigint")
+    return staged.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct_tokens"),
+        n_b.alias("n_bigrams"),
+        n_db.alias("n_distinct_bigrams"),
+        F.size("tri").cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct("tri")).cast("bigint").alias("n_distinct_trigrams"),
+        F.when((n_b > 0) & (2 * (n_b - n_db) > n_b), F.lit(1)).otherwise(F.lit(0)).alias("repetitive"),
+    )
+
+
+@query(
+    "benchmark_decontaminate",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                                        i -> md5(array_to_string(t[i:i+2], ' ')))) AS sh
+           FROM tok),
+    bench  AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+    SELECT corpus.doc_id AS doc_id, count(DISTINCT corpus.sh) AS n_hit_shingles
+    FROM corpus JOIN bench USING (sh)
+    GROUP BY corpus.doc_id
+    """,
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the training-data hygiene step): flag every
+    corpus document sharing a token shingle with the benchmark set.  The
+    benchmark stand-in is `doc_id % 97 == 0` (~1% of docs); shingle width is
+    3 tokens here because the synthetic corpus draws from a ~30-word
+    vocabulary — production corpora use 8-13-token shingles, same plan.
+
+    Scale: shingles are md5'd at the source (32-byte join keys, shuffle ∝
+    rows not text); the benchmark side is tiny by construction and broadcast,
+    so the contaminated-shingle probe adds NO shuffle to the corpus scan —
+    only the per-doc hit-count aggregation exchanges data, and it carries
+    matches only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(text.shingle_hashes("text", 3)).alias("sh"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    corpus = sh.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hit_shingles"))
+    )
+
+
+@query(
+    "corpus_top_bigrams",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(t)),
+                                                     i -> t[i] || ' ' || t[i+1]))) AS bigram
+          FROM tok)
+    SELECT bigram, count(*) AS doc_freq
+    FROM b GROUP BY bigram
+    ORDER BY doc_freq DESC, bigram LIMIT 20
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 word bigrams by document
+    frequency (per-doc distinct first, so boilerplate inside one doc counts
+    once).  The (doc_freq DESC, bigram ASC) order is total, so the cutoff is
+    deterministic.
+
+    Scale: per-doc dedup happens in the array domain (array_distinct) before
+    explode — the shuffle carries each (doc, bigram) once; the final top-20
+    is TakeOrderedAndProject (per-partition heaps), no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        F.explode(F.array_distinct(text.word_ngrams(text.tokens("text"), 2))).alias("bigram")
+    )
+    return (
+        b.groupBy("bigram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analytic batch 3 (Q7 / Q15 / Q21 shapes on the available columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_flows",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair by year.
+    Six-way join where every dimension side (supplier, customer, nation×2)
+    broadcasts; lineitem⋈orders is the only large join and AQE plans it.
+    The disjunctive nation-pair predicate sits on broadcast outputs, so it
+    prunes before the grouped aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT s_suppkey, s_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY s_suppkey, s_name)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top supplier(s) by quarterly revenue — a grouped
+    aggregate joined against its own global max (scalar-subquery-as-
+    broadcast).  The date window is pushed to the parquet scan; the max side
+    is one row, broadcast, so no second full aggregation pass shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "suppliers_sole_late",
+    """
+    WITH flags AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey),
+    scoped AS (
+      SELECT l_suppkey, late,
+             count(*)  OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM flags)
+    SELECT s_name, count(*) AS n_orders
+    FROM scoped JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY n_orders DESC, s_name LIMIT 20
+    """,
+)
+def suppliers_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order ("late" = shipped > 90 days after order date, on the
+    columns this schema has).  The classic formulation is EXISTS + NOT
+    EXISTS self-joins on lineitem; here both collapse into one window over
+    the per-(order, supplier) flags — a single shuffle on l_orderkey instead
+    of two extra self-join shuffles, the Spark-first plan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), F.lit(1)
+    ).otherwise(F.lit(0))
+    flags = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    scoped = flags.select(
+        "l_suppkey",
+        "late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    )
+    return (
+        scoped.where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -2674,6 +2956,13 @@ def doc_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # new this round — never seen by the driver gate
+    "doc_repetition_signals",
+    "benchmark_decontaminate",
+    "corpus_top_bigrams",
+    "nation_trade_flows",
+    "top_supplier_revenue",
+    "suppliers_sole_late",
     # no CORRECTNESS_r01 row (registered after the round-1 sample prefix)
     "ngram_jaccard_pairs_capped",
     "near_dup_clusters",

@@ -190,3 +190,47 @@ def test_pagination_is_topk_not_global_sort(spark):
     # driver merge, never a range-partitioned global sort
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_repetition_signals_zero_shuffle_no_explode(spark):
+    q, _ = registry()
+    plan = _plan(q["doc_repetition_signals"](spark, SF_DIR))
+    # narrow HOF projection: the n-gram fan-out must stay in the array
+    # domain (sequence/transform), never explode + re-aggregate
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    q, _ = registry()
+    plan = _plan(q["benchmark_decontaminate"](spark, SF_DIR))
+    # benchmark shingle set broadcasts; the corpus side must not shuffle
+    # for the join (only the per-doc hit-count aggregation exchanges)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_bigrams_is_topk_after_partial_agg(spark):
+    q, _ = registry()
+    plan = _plan(q["corpus_top_bigrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # per-doc dedup in the array domain, one Generate, partial agg before
+    # the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_trade_flows_broadcasts_every_dim(spark):
+    q, _ = registry()
+    plan = _plan(q["nation_trade_flows"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_sole_late_single_orderkey_shuffle_no_self_join(spark):
+    q, _ = registry()
+    plan = _plan(q["suppliers_sole_late"](spark, SF_DIR))
+    # the window formulation reads lineitem ONCE (the EXISTS/NOT-EXISTS
+    # formulation scans it three times)
+    assert plan.count("Location: InMemoryFileIndex") == 3, plan  # li + orders + supplier
+    assert "Window" in plan

@@ -123,3 +123,34 @@ def test_tokenizer_engine_parity_on_messy_whitespace(spark):
         ).fetchone()
         want.append((n, atl))
     assert got == want
+
+
+def test_word_ngrams_edges(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import tokens, word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",), ("  a   b  ",)], "text: string"
+    )
+    out = df.select(
+        word_ngrams(tokens("text"), 2).alias("b"),
+        word_ngrams(tokens("text"), 3).alias("t"),
+    ).collect()
+    assert out[0]["b"] == ["a b", "b c", "c d"] and out[0]["t"] == ["a b c", "b c d"]
+    assert out[1]["b"] == ["a b"] and out[1]["t"] == []
+    assert out[2]["b"] == [] and out[2]["t"] == []
+    assert out[3]["b"] == [] and out[3]["t"] == []  # '' tokenizes to ['']
+    assert out[4]["b"] == ["a b"], "whitespace collapses before n-gramming"
+
+
+def test_shingle_hashes_match_manual_md5(spark):
+    import hashlib
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import shingle_hashes
+
+    df = spark.createDataFrame([("x y z w",)], "text: string")
+    got = df.select(shingle_hashes("text", 3).alias("s")).collect()[0]["s"]
+    want = [
+        hashlib.md5(b"x y z").hexdigest(),
+        hashlib.md5(b"y z w").hexdigest(),
+    ]
+    assert got == want
