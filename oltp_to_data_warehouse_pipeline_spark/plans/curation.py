@@ -38,9 +38,14 @@ def curate_corpus(
     Near-dup policy: for each Jaccard pair over the threshold, the LOWER id
     survives (matches the exact-dedup keep-min-id convention).
     """
-    kept = docs.where(
-        (text.quality_score(text_col) >= quality_min)
-        & (text.lang_guess(text_col) == lang)
+    toks = F.col("__toks")
+    kept = (
+        docs.withColumn("__toks", text.tokens(text_col))
+        .where(
+            (text.quality_score_t(text_col, toks) >= quality_min)
+            & (text.lang_guess_t(toks) == lang)
+        )
+        .drop("__toks")
     )
     w = Window.partitionBy(text.normalized_fingerprint(text_col)).orderBy(id_col)
     survivors = (
