@@ -1579,19 +1579,29 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
       FROM documents
     ),
+    ab AS (
+      SELECT doc,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(sh), i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) % 2147483647 AS a,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(sh), 16 + i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) % 2147483647 AS b
+      FROM sh
+    ),
     sigs AS (
       SELECT doc,
-             min(md5('0|' || sh)) AS sig_0, min(md5('1|' || sh)) AS sig_1,
-             min(md5('2|' || sh)) AS sig_2, min(md5('3|' || sh)) AS sig_3,
-             min(md5('4|' || sh)) AS sig_4, min(md5('5|' || sh)) AS sig_5,
-             min(md5('6|' || sh)) AS sig_6, min(md5('7|' || sh)) AS sig_7
-      FROM sh GROUP BY doc
+             min((a + 0 * b) % 2147483647) AS sig_0, min((a + 1 * b) % 2147483647) AS sig_1,
+             min((a + 2 * b) % 2147483647) AS sig_2, min((a + 3 * b) % 2147483647) AS sig_3,
+             min((a + 4 * b) % 2147483647) AS sig_4, min((a + 5 * b) % 2147483647) AS sig_5,
+             min((a + 6 * b) % 2147483647) AS sig_6, min((a + 7 * b) % 2147483647) AS sig_7
+      FROM ab GROUP BY doc
     ),
     banded AS (
-      SELECT doc, 0 AS band, md5(sig_0 || '|' || sig_1) AS key FROM sigs
-      UNION ALL SELECT doc, 1, md5(sig_2 || '|' || sig_3) FROM sigs
-      UNION ALL SELECT doc, 2, md5(sig_4 || '|' || sig_5) FROM sigs
-      UNION ALL SELECT doc, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+      SELECT doc, 0 AS band, md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS key FROM sigs
+      UNION ALL SELECT doc, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+      UNION ALL SELECT doc, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+      UNION ALL SELECT doc, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs
     )
     SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
     FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
@@ -1600,8 +1610,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs.
 
-    Signatures are engine-portable (lexicographic min of salted md5); the
-    candidate join is an equi-join on band keys — this is the shape that
+    Signatures hash each shingle once (md5 → two 48-bit folds → double
+    hashing), engine-portable because the oracle folds the same hex digits;
+    the candidate join is an equi-join on band keys — this is the shape that
     scales to billions of documents (no cross join anywhere).
     """
     d = load_table(spark, sf_dir, "documents")
@@ -2959,6 +2970,125 @@ def suppliers_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H analytic batch 4 (Q4 / Q6 / Q12 shapes on the available columns —
+# the fixtures carry no l_commitdate/l_receiptdate/l_shipmode, so "late" is
+# l_shipdate > o_orderdate + 60 days and the Q12 mode axis is l_linestatus)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_pipeline",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one late lineitem,
+    counted by priority.  The EXISTS becomes a LEFT SEMI join — Spark never
+    materializes the (order × lineitem) match set, and the quarter predicate
+    is pushed to the orders scan so the semi join probes only one quarter of
+    the fact.  The correlated `o_orderdate + 60 days` residual rides on the
+    semi join's non-equi condition."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    scoped = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    late = scoped.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "discount_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue of dropping a discount band — a
+    pure scan-side filter + global aggregate.  Every predicate (date window,
+    discount band, quantity cap) is a parquet-pushable range filter, so at
+    100 TB this reads only the row groups whose min/max stats overlap the
+    band; no shuffle beyond the single-row final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "potential_revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "linestatus_priority_split",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late lines split into high/low order priority per
+    mode bucket (l_linestatus stands in for the absent l_shipmode).  One
+    fact⋈fact equi-join with the lateness residual evaluated join-side, then
+    conditional-sum pivots — the CASE pair runs in one grouped aggregate,
+    not two passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -2968,6 +3098,9 @@ def suppliers_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "order_priority_pipeline",
+    "discount_revenue_forecast",
+    "linestatus_priority_split",
     "doc_repetition_signals",
     "benchmark_decontaminate",
     "corpus_top_bigrams",
