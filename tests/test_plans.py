@@ -234,3 +234,32 @@ def test_sole_late_single_orderkey_shuffle_no_self_join(spark):
     # formulation scans it three times)
     assert plan.count("Location: InMemoryFileIndex") == 3, plan  # li + orders + supplier
     assert "Window" in plan
+
+
+def test_order_priority_semi_join_pushes_quarter(spark):
+    q, _ = registry()
+    plan = _plan(q["order_priority_pipeline"](spark, SF_DIR))
+    # EXISTS must become a semi join (no match-set materialization) and the
+    # quarter window must reach the orders parquet scan as a pushed range
+    assert "LeftSemi" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_discount_forecast_all_predicates_pushed(spark):
+    q, _ = registry()
+    plan = _plan(q["discount_revenue_forecast"](spark, SF_DIR))
+    # every filter is a parquet-pushable range predicate; no join, no
+    # shuffle beyond the single-row final aggregate
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert pushed in plan, plan
+    assert "Join" not in plan
+
+
+def test_linestatus_split_single_agg_pass(spark):
+    q, _ = registry()
+    plan = _plan(q["linestatus_priority_split"](spark, SF_DIR))
+    # both CASE counts fold into one grouped aggregate — exactly one
+    # partial + one final HashAggregate (formatted mode lists each node
+    # twice: tree + details), not two passes over the join output
+    assert plan.count("HashAggregate") == 4, plan
+    assert "CartesianProduct" not in plan
