@@ -39,13 +39,18 @@ def curate_corpus(
     survives (matches the exact-dedup keep-min-id convention).
     """
     toks = F.col("__toks")
+    # The token array binds ONCE and yields both the gate expressions and the
+    # final n_tokens (token_count ≡ size(tokens), so emitting size(__toks)
+    # here is exactly the published semantics) — the output stage below then
+    # never re-tokenizes, and the checkpoint carries only (id, text,
+    # n_tokens) instead of every incoming document column.
     kept = (
         docs.withColumn("__toks", text.tokens(text_col))
         .where(
             (text.quality_score_t(text_col, toks) >= quality_min)
             & (text.lang_guess_t(toks) == lang)
         )
-        .drop("__toks")
+        .select(F.col(id_col), F.col(text_col), F.size(toks).alias("n_tokens"))
     )
     w = Window.partitionBy(text.normalized_fingerprint(text_col)).orderBy(id_col)
     survivors = (
@@ -62,7 +67,4 @@ def curate_corpus(
         survivors, id_col, text_col, shingle_n=shingle_n, threshold=jaccard_threshold
     )
     drops = near_pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return (
-        survivors.join(drops, id_col, "left_anti")
-        .select(F.col(id_col), text.token_count(text_col).alias("n_tokens"))
-    )
+    return survivors.join(drops, id_col, "left_anti").select(F.col(id_col), "n_tokens")
