@@ -217,3 +217,73 @@ def winnowing_fingerprints(df, id_col: str, text_col: str, k: int = 5, w: int = 
     """
     grams = df.select(F.col(id_col), char_gram_hashes(text_col, k).alias("__grams"))
     return grams.select(F.col(id_col), F.explode(window_minima("__grams", w)).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex families chosen to parse identically under Java
+# regex (Spark) and RE2 (the DuckDB oracle): no backreferences, no
+# lookaround, character classes and bounded repetition only.
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) applied IN ORDER — email before phone so an
+#: address's digit run is already collapsed when the phone pass scans.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-]{6,}\d", "<PHONE>"),
+)
+
+
+def pii_counts(c: Column | str) -> list[Column]:
+    """One match-count column per PII family, measured on the RAW text (the
+    scrub below rewrites in sequence, so counting afterwards would undercount
+    overlapping families identically in any engine — counting first keeps
+    the per-family number meaningful)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def pii_scrub(c: Column | str) -> Column:
+    """Text with every PII family replaced by its placeholder token.
+
+    Sequential regexp_replace chain (global replace in both engines); pure
+    expression, so at 100 TB this is a narrow map fused into the scan."""
+    out = F.col(c) if isinstance(c, str) else c
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chunking — fixed-size token windows with overlap, the packing unit for
+# context-window-bounded training samples.
+# ---------------------------------------------------------------------------
+
+
+def chunk_spans(toks: Column, size: int = 64, overlap: int = 16) -> Column:
+    """array<struct<chunk_idx,tok_start,tok_end>> covering the token array in
+    ``size``-token windows advancing by ``size - overlap``.
+
+    Every document yields ≥ 1 chunk (short docs yield their whole token
+    range); the final chunk is clipped to the token count.  Bounds are pure
+    integer math — ceil via floor((n - overlap + stride - 1) / stride), which
+    is exact double arithmetic for any realistic document length — so the
+    SQL twin agrees bit-for-bit.  tok_start is 0-based; tok_end exclusive.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size (stride would not advance)")
+    stride = size - overlap
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("int").alias("tok_start"),
+            F.least(i * stride + size, n).cast("int").alias("tok_end"),
+        ),
+    )

@@ -492,3 +492,36 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (explicit round-half-up — spelled as
+    floor so every SQL engine agrees; banker's-rounding builtins don't).
+
+    The compression step a 100 TB embedding store runs before serving ANN:
+    4 bytes/dim → 1. Output per vector: the scale, the quantized extremes,
+    and the reconstruction MSE — a narrow map with zero shuffles (audit the
+    error distribution with one grouped aggregate downstream).  All-zero
+    vectors quantize to zeros with scale 0 (guarded division).
+    """
+    v = as_double_vec(vec_col)
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0, F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    mse = F.aggregate(
+        F.zip_with(v, q, lambda x, qq: (x - qq * scale) * (x - qq * scale)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    ) / F.greatest(F.size(v), F.lit(1))
+    return ensure_min_parallelism(emb).select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(mse, 8).alias("mse"),
+    )

@@ -3089,6 +3089,136 @@ def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline batch: PII scrubbing, context-window chunking, int8
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _, p, _ in text.PII_PATTERNS)
+
+
+@query(
+    "doc_pii_scrub",
+    f"""
+    WITH scrubbed AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS scr
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INTEGER) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+           md5(scr) AS scrubbed_fp,
+           CAST(length(scr) AS INTEGER) AS scrubbed_len
+    FROM scrubbed
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: per-family match counts (on the raw
+    text) plus the fingerprint/length of the scrubbed text.  The regex
+    families are Java-regex/RE2-portable (functions.text.PII_PATTERNS), the
+    whole thing is a narrow map fused into the scan — the shape of a
+    compliance pass over 100 TB is exactly one read.  The scrubbed text is
+    bound once (__scr) so the chain of three global replaces runs once, not
+    per output column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("__scr", text.pii_scrub("text"))
+        .select(
+            "doc_id",
+            *text.pii_counts("text"),
+            F.md5("__scr").alias("scrubbed_fp"),
+            F.length("__scr").alias("scrubbed_len"),
+        )
+    )
+
+
+@query(
+    "doc_chunk_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(CAST(floor((len(toks) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks
+      FROM t),
+    ex AS (
+      SELECT doc_id, toks, n,
+             CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_idx
+      FROM n)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 48 AS tok_start,
+           least(chunk_idx * 48 + 64, n) AS tok_end,
+           least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' '))
+             AS chunk_fp
+    FROM ex
+    """,
+)
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows advancing by 48 (16-token
+    overlap), the unit a pretraining pipeline feeds the packer.  Spans come
+    from pure integer math over the bound token array
+    (functions.text.chunk_spans) and explode JVM-side; each chunk emits its
+    span plus the md5 of its text so the output stays narrow while still
+    pinning content equality cross-engine.  Narrow map + Generate — no
+    shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.withColumn("__toks", text.tokens("text")).select(
+        "doc_id",
+        "__toks",
+        F.explode(text.chunk_spans(F.col("__toks"), size=64, overlap=16)).alias("c"),
+    )
+    span = F.col("c.tok_end") - F.col("c.tok_start")
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.tok_end").alias("tok_end"),
+        span.alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("c.tok_start") + 1, span))
+        ).alias("chunk_fp"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+    q AS (
+      SELECT vec_id, v, amax / 127.0 AS scale,
+             CASE WHEN amax > 0
+                  THEN list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INTEGER))
+                  ELSE list_transform(v, x -> 0) END AS q
+      FROM s)
+    SELECT vec_id, round(scale, 6) AS scale,
+           list_min(q) AS q_min, list_max(q) AS q_max,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))) / greatest(len(v), 1), 8)
+             AS mse
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding store (4 bytes/dim → 1):
+    per-vector scale, quantized extremes, and reconstruction MSE.  Pure
+    array expressions (operators.similarity.quantize_int8) — zero shuffles;
+    rounding is spelled floor(x/scale + 0.5) so both engines agree exactly
+    on every quantized value."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(e)
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -3098,6 +3228,9 @@ def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "doc_pii_scrub",
+    "doc_chunk_spans",
+    "embedding_quantize_int8",
     "order_priority_pipeline",
     "discount_revenue_forecast",
     "linestatus_priority_split",

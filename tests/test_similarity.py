@@ -139,3 +139,20 @@ def test_all_pairs_bound_is_structural(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "GlobalLimit" in plan
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [12.7, -6.35, 0.1, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    # vec 1: scale = 1/127; extremes quantize to exactly ±127
+    assert got[1]["q_min"] == -127 and got[1]["q_max"] == 127
+    # all-zero vector: guarded division, zero scale and error
+    assert got[2]["scale"] == 0.0 and got[2]["q_min"] == 0 and got[2]["mse"] == 0.0
+    # vec 3: scale = 0.1; 12.7 -> 127, -6.35 -> floor(-63.5+0.5) = -63 (half-up)
+    assert got[3]["q_max"] == 127 and got[3]["q_min"] == -63
+    assert got[3]["mse"] < (0.1 / 2) ** 2, "error bounded by half a quantization step"

@@ -154,3 +154,66 @@ def test_shingle_hashes_match_manual_md5(spark):
         hashlib.md5(b"y z w").hexdigest(),
     ]
     assert got == want
+
+
+def test_pii_scrub_families_and_order(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@ex-ample.co.uk now",),
+            ("server at 10.0.255.3 port 80",),
+            ("call +1-555-0123456 or 5550123456",),
+            ("clean text, no identifiers here",),
+            ("pair: a@b.io from 192.168.0.1",),
+        ],
+        "text: string",
+    )
+    rows = df.select(pii_scrub("text").alias("s"), *pii_counts("text")).collect()
+    assert rows[0]["s"] == "mail <EMAIL> now" and rows[0]["n_email"] == 1
+    assert rows[1]["s"] == "server at <IP> port 80" and rows[1]["n_ip"] == 1
+    assert rows[2]["s"] == "call <PHONE> or <PHONE>" and rows[2]["n_phone"] == 2
+    assert rows[3]["s"] == rows[3][0] and rows[3]["n_email"] == 0
+    assert rows[4]["s"] == "pair: <EMAIL> from <IP>"
+
+
+def test_chunk_spans_cover_and_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import chunk_spans, tokens
+
+    df = spark.createDataFrame(
+        [("w " * 100).strip()] + ["short text", ""], "string"
+    ).toDF("text")
+    out = (
+        df.withColumn("__toks", tokens("text"))
+        .select(F.size("__toks").alias("n"), chunk_spans(F.col("__toks"), 10, 4).alias("c"))
+        .collect()
+    )
+    # 100 tokens, size 10, stride 6: ceil((100-4)/6) = 16 chunks
+    spans = out[0]["c"]
+    assert len(spans) == 16
+    assert spans[0]["tok_start"] == 0 and spans[0]["tok_end"] == 10
+    assert spans[1]["tok_start"] == 6, "stride = size - overlap"
+    assert spans[-1]["tok_end"] == 100, "final chunk clipped to n"
+    assert all(s["tok_end"] - s["tok_start"] <= 10 for s in spans)
+    # every token index is covered by at least one span
+    covered = set()
+    for s in spans:
+        covered.update(range(s["tok_start"], s["tok_end"]))
+    assert covered == set(range(100))
+    # short docs -> exactly one whole-range chunk
+    assert [dict(s.asDict()) for s in out[1]["c"]] == [
+        {"chunk_idx": 0, "tok_start": 0, "tok_end": 2}
+    ]
+    assert out[2]["c"][0]["tok_end"] == out[2]["n"]
+
+
+def test_chunk_spans_rejects_bad_overlap():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import chunk_spans
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_spans(F.col("x"), size=8, overlap=8)
