@@ -259,11 +259,22 @@ def cosine_near_dup_lsh(
             .alias("key")
         )
     )
+    # Bucket-expand instead of a banded self-join (same shape as the
+    # minhash/simhash candidate steps): group each (band, key) bucket's ids
+    # (ONE shuffle on the band key — no join build side, no second scan of
+    # the banding aggregate) and expand a<b pairs as array expressions.
+    buckets = banded.groupBy("band", "key").agg(F.sort_array(F.collect_set("id")).alias("ds"))
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "b -> struct(a as id_a, b as id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
     # exact verify once per unique candidate pair (the candidate set is tiny

@@ -3219,6 +3219,138 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(e)
 
 
+@query(
+    "doc_char_entropy",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+      FROM documents),
+    chars AS (
+      SELECT doc_id, greatest(length(s), 1) AS n,
+             unnest(list_transform(generate_series(1, greatest(length(s), 1)),
+                                   i -> substring(s, i, 1))) AS ch
+      FROM norm),
+    counts AS (
+      SELECT doc_id, any_value(n) AS n, ch, count(*) AS c
+      FROM chars GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(any_value(n) AS INTEGER) AS n_chars_norm,
+           CAST(count(*) AS INTEGER) AS n_distinct_chars,
+           round(log2(any_value(n)) - sum(c * log2(c)) / any_value(n), 6) AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal per document: bits/char of the
+    normalized character distribution (gibberish and run-on repetition score
+    far from prose's ~4 bits).  Entirely a narrow map
+    (functions.text.char_entropy): one run-length fold over the sorted char
+    array — H = log2(N) − Σ run·log2(run)/N, the same algebra the oracle's
+    unnest+group-by computes, rounded on both sides.  No shuffle at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = text.normalized_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.greatest(F.length(norm), F.lit(1)).cast("int").alias("n_chars_norm"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
+                    lambda i: norm.substr(i, F.lit(1)),
+                )
+            )
+        ).alias("n_distinct_chars"),
+        F.round(text.char_entropy("text"), 6).alias("entropy_bits"),
+    )
+
+
+@query(
+    "corpus_mixture_plan",
+    r"""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')))
+               AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             sum(n_tokens) OVER () AS total_tokens,
+             count(*) OVER () AS n_sources
+      FROM per_source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+           round((1.0 / n_sources) / (n_tokens / CAST(total_tokens AS DOUBLE)), 6)
+             AS uniform_weight
+    FROM tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: per-source token inventory, the share of the corpus
+    each source contributes, and the up/down-sampling weight that would
+    equalize the mixture (weight > 1 = oversample).  One grouped aggregate
+    over the corpus; the share/weight pass is a window over the handful of
+    source rows — the 100 TB cost is exactly the token-count scan.  This is
+    the planning step in front of weighted corpus sampling (pair with
+    stratified_sample_docs to execute the plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.count("*").over(w)) / share, 6).alias("uniform_weight"),
+    )
+
+
+@query(
+    "doc_length_histogram",
+    r"""
+    WITH t AS (
+      SELECT greatest(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')), 1)
+               AS n_tokens
+      FROM documents)
+    SELECT CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS log2_bucket,
+           1::BIGINT << (length(bin(n_tokens)) - 1) AS bucket_lo,
+           count(*) AS n_docs,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS frac
+    FROM t GROUP BY 1, 2 ORDER BY log2_bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram — the corpus-shape profile that
+    drives chunk-size and packing decisions.  The bucket is floor(log2(n))
+    computed EXACTLY as length(bin(n)) - 1 — float log2 of a power of two
+    rounds differently across libm implementations, so the integer form is
+    the only cross-engine-safe one.  One grouped aggregate + a window over
+    the ~20 bucket rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.greatest(text.token_count("text"), F.lit(1))
+    bucket = (F.length(F.bin(n)) - 1).cast("int")
+    return (
+        d.select(bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "log2_bucket",
+            F.expr("shiftleft(cast(1 as bigint), log2_bucket)").alias("bucket_lo"),
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()).cast("double"), 6
+            ).alias("frac"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -3228,6 +3360,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "doc_char_entropy",
+    "corpus_mixture_plan",
+    "doc_length_histogram",
     "doc_pii_scrub",
     "doc_chunk_spans",
     "embedding_quantize_int8",

@@ -217,3 +217,23 @@ def test_chunk_spans_rejects_bad_overlap():
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_spans(F.col("x"), size=8, overlap=8)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("abcd",), ("ab ab",), ("",), ("AaAa",)], "text: string"
+    )
+    got = [r["h"] for r in df.select(F.round(char_entropy("text"), 6).alias("h")).collect()]
+    assert got[0] == 0.0, "single-symbol runs carry no information"
+    assert got[1] == 2.0, "uniform 4-symbol alphabet = 2 bits"
+    # 'ab ab': counts a:2 b:2 space:1 over N=5
+    want = round(math.log2(5) - (2 * math.log2(2) + 2 * math.log2(2)) / 5, 6)
+    assert got[2] == want
+    assert got[3] == 0.0, "empty text guards to 0"
+    assert got[4] == 0.0, "entropy is over NORMALIZED (lowercased) text"
