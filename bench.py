@@ -38,6 +38,10 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "doc_winnowing_fingerprints",
     "curate_corpus",
+    "doc_pii_scrub",
+    "doc_chunk_spans",
+    "doc_char_entropy",
+    "embedding_quantize_int8",
 ]
 
 

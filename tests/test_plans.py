@@ -263,3 +263,21 @@ def test_linestatus_split_single_agg_pass(spark):
     # twice: tree + details), not two passes over the join output
     assert plan.count("HashAggregate") == 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_llm_narrow_map_ops_zero_shuffle(spark):
+    """PII scrub, chunking, quantization, and char entropy are pure per-row
+    transforms: a KEYED exchange (hash/range repartition) in their plans
+    would be a 100 TB scaling bug.  (ensure_min_parallelism's round-robin
+    fan-out on tiny local fixtures is allowed — it carries no key and
+    disappears on real multi-file inputs.)"""
+    q, _ = registry()
+    for name in (
+        "doc_pii_scrub",
+        "doc_chunk_spans",
+        "embedding_quantize_int8",
+        "doc_char_entropy",
+    ):
+        plan = _plan(q[name](spark, SF_DIR))
+        for keyed in ("hashpartitioning", "rangepartitioning"):
+            assert keyed not in plan, f"{name} must not shuffle on a key:\n{plan}"
