@@ -333,3 +333,57 @@ def char_entropy(c: Column | str) -> Column:
         close_run,
     )
     return F.log2(n) - folded / n
+
+
+def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document char-entropy stats via an Arrow-batched scorer:
+    (id, n_chars_norm, n_distinct_chars, entropy_bits-unrounded).
+
+    Same math as :func:`char_entropy` (equivalence is unit-tested), but a
+    counting pass in vectorized Python instead of a per-character
+    interpreted lambda fold — higher-order functions are CodegenFallback,
+    and the fold measured 26 s at sf0.1 where this runs in well under a
+    second.  Still a narrow map: ``mapInPandas`` adds NO exchange, so the
+    zero-shuffle scale posture is identical; this is the sanctioned
+    Pandas-UDF escape hatch for compute the built-ins only express
+    interpretedly.  Normalization mirrors normalized_text exactly: Java's
+    ASCII \\s class (NOT Python's unicode \\s), trim, collapse, lower.
+    """
+    import math
+    import re
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_chars_norm", T.IntegerType()),
+            T.StructField("n_distinct_chars", T.IntegerType()),
+            T.StructField("entropy_raw", T.DoubleType()),
+        ]
+    )
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, ds, hs = [], [], [], []
+            for i, s in zip(pdf[id_col], pdf[text_col]):
+                norm = ws.sub(" ", (s or "").strip()).lower()
+                n = max(len(norm), 1)
+                counts = Counter(norm) if norm else Counter({"": 1})
+                h = math.log2(n) - sum(c * math.log2(c) for c in counts.values()) / n
+                ids.append(i)
+                ns.append(n)
+                ds.append(len(counts))
+                hs.append(h)
+            yield pd.DataFrame(
+                {id_col: ids, "n_chars_norm": ns, "n_distinct_chars": ds, "entropy_raw": hs}
+            )
+
+    from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).select(id_col, text_col).mapInPandas(score, schema)

@@ -3244,25 +3244,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality signal per document: bits/char of the
     normalized character distribution (gibberish and run-on repetition score
-    far from prose's ~4 bits).  Entirely a narrow map
-    (functions.text.char_entropy): one run-length fold over the sorted char
-    array — H = log2(N) − Σ run·log2(run)/N, the same algebra the oracle's
-    unnest+group-by computes, rounded on both sides.  No shuffle at any
-    corpus size."""
+    far from prose's ~4 bits), H = log2(N) − Σ c·log2(c)/N.  Served by the
+    Arrow-batched scorer (functions.text.char_entropy_stats — counting in
+    vectorized Python; the pure-expression twin functions.text.char_entropy
+    is unit-tested equivalent but folds interpretedly at 20× the cost) —
+    still a narrow map with NO exchange, so the zero-shuffle posture is
+    unchanged at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    norm = text.normalized_text(F.col("text"))
-    return d.select(
+    stats = text.char_entropy_stats(d, "doc_id", "text")
+    return stats.select(
         "doc_id",
-        F.greatest(F.length(norm), F.lit(1)).cast("int").alias("n_chars_norm"),
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
-                    lambda i: norm.substr(i, F.lit(1)),
-                )
-            )
-        ).alias("n_distinct_chars"),
-        F.round(text.char_entropy("text"), 6).alias("entropy_bits"),
+        "n_chars_norm",
+        "n_distinct_chars",
+        F.round("entropy_raw", 6).alias("entropy_bits"),
     )
 
 

@@ -237,3 +237,36 @@ def test_char_entropy_known_values(spark):
     assert got[2] == want
     assert got[3] == 0.0, "empty text guards to 0"
     assert got[4] == 0.0, "entropy is over NORMALIZED (lowercased) text"
+
+
+def test_char_entropy_scorer_matches_expression(spark):
+    """The Arrow-batched scorer and the pure-expression fold are the same
+    function — per-doc equality at 1e-9, including unicode and empties."""
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import (
+        char_entropy,
+        char_entropy_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "aaaa bbbb aaaa bbbb"),
+            (3, ""),
+            (4, "  MiXeD   CaSe\tand\nnewlines  "),
+            (5, "digits 012 345 678 9 and punct !?.,;:"),
+        ],
+        "doc_id: long, text: string",
+    )
+    expr = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", char_entropy("text").alias("h")).collect()
+    }
+    scored = {
+        r["doc_id"]: (r["entropy_raw"], r["n_chars_norm"], r["n_distinct_chars"])
+        for r in char_entropy_stats(df).collect()
+    }
+    for k, h in expr.items():
+        assert abs(scored[k][0] - h) < 1e-9, f"doc {k}: {scored[k][0]} != {h}"
+    assert scored[3][1] == 1 and scored[3][0] == 0.0
