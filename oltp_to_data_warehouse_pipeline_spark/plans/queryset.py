@@ -3369,6 +3369,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "nation_trade_flows",
     "top_supplier_revenue",
     "suppliers_sole_late",
+    # hash-FAIL in round 1, fixed in round 2 — a fresh driver verdict is the
+    # acceptance test, so these must sit inside the 50-name sample window
+    "corpus_lang_stats",
+    "token_budget_pack",
     # no CORRECTNESS_r01 row (registered after the round-1 sample prefix)
     "ngram_jaccard_pairs_capped",
     "near_dup_clusters",
@@ -3377,7 +3381,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "cosine_topk",
     "cosine_topk_vectorized",
     "embedding_components",
-    "embedding_norms",
     "doc_winnowing_fingerprints",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
@@ -3402,13 +3405,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "order_value_page",
     "status_price_median",
     "lineitem_price_stats",
-    "customer_order_years",
-    "part_name_catalog",
     "shipping_lag_by_month",
     "doc_token_masking",
-    # hash-FAIL in round 1, fixed this round — need a fresh verdict
-    "corpus_lang_stats",
-    "token_budget_pack",
+    # still driver-unverified but trivial single-table projections — the
+    # three names that overflow the 50-slot window land here deliberately
+    # (their green CORRECTNESS_LOCAL row is the committed record)
+    "embedding_norms",
+    "customer_order_years",
+    "part_name_catalog",
     # core reference-surface queries (green in r01; keep them under the
     # driver's eye every round)
     "star_join_revenue",
