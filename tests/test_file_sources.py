@@ -57,3 +57,45 @@ def test_partitioned_write_prunes(spark, tmp_path, df):
     assert back.count() == 1
     # static partition pruning: the non-matching partition never enters the scan
     assert "PartitionFilters: [isnotnull(d" in plan or "d#" in plan
+
+
+def test_text_gates_are_stream_safe(spark, tmp_path):
+    """The curation gate expressions (quality, lang, PII scrub, token count)
+    are stateless narrow maps, so the SAME columns must run unchanged in a
+    Structured Streaming plan and agree row-for-row with the batch twin —
+    the property that lets a 100 TB backfill and its streaming ingest share
+    one implementation."""
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+    from oltp_to_data_warehouse_pipeline_spark.functions import text
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    def gates(df):
+        toks = F.col("__toks")
+        return (
+            df.withColumn("__toks", text.tokens("text"))
+            .select(
+                "doc_id",
+                text.quality_score_t("text", toks).alias("quality"),
+                text.lang_guess_t(toks).alias("lang_guess"),
+                F.size(toks).alias("n_tokens"),
+                F.md5(text.pii_scrub("text")).alias("scrubbed_fp"),
+            )
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        gates(stream)
+        .writeStream.format("memory")
+        .queryName("text_gates_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.table("text_gates_sink").collect()}
+    batch = {tuple(r) for r in gates(spark.read.parquet(src)).collect()}
+    assert streamed == batch and len(batch) == 100

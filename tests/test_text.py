@@ -270,3 +270,41 @@ def test_char_entropy_scorer_matches_expression(spark):
     for k, h in expr.items():
         assert abs(scored[k][0] - h) < 1e-9, f"doc {k}: {scored[k][0]} != {h}"
     assert scored[3][1] == 1 and scored[3][0] == 0.0
+
+
+def test_chunk_spans_properties(spark):
+    """Property check across the (n, size, overlap) grid: spans tile the
+    token range with the promised stride, clip only at the end, and cover
+    every index exactly once per non-overlap position."""
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.functions.text import chunk_spans
+
+    cases = [
+        (n, size, overlap)
+        for n in (1, 5, 9, 10, 11, 64, 65, 200)
+        for (size, overlap) in ((10, 4), (10, 0), (64, 16), (8, 7))
+    ]
+    df = spark.createDataFrame(
+        [(n, size, ov, "w " * n) for n, size, ov in cases],
+        "n: int, size: int, ov: int, text: string",
+    )
+    for size, ov in {(s, o) for _, s, o in cases}:
+        rows = (
+            df.where((F.col("size") == size) & (F.col("ov") == ov))
+            .select("n", chunk_spans(F.split(F.trim("text"), " "), size, ov).alias("c"))
+            .collect()
+        )
+        stride = size - ov
+        for r in rows:
+            n, spans = r["n"], r["c"]
+            assert spans[0]["tok_start"] == 0
+            assert spans[-1]["tok_end"] == n, (n, size, ov)
+            for i, s in enumerate(spans):
+                assert s["chunk_idx"] == i
+                assert s["tok_start"] == i * stride
+                assert s["tok_end"] == min(i * stride + size, n)
+            covered = {t for s in spans for t in range(s["tok_start"], s["tok_end"])}
+            assert covered == set(range(n)), (n, size, ov)
+            # no fully-redundant trailing chunk: every chunk starts within range
+            assert all(s["tok_start"] < n for s in spans), (n, size, ov)
