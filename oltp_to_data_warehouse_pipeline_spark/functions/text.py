@@ -227,10 +227,14 @@ def winnowing_fingerprints(df, id_col: str, text_col: str, k: int = 5, w: int = 
 
 #: (name, pattern, replacement) applied IN ORDER — email before phone so an
 #: address's digit run is already collapsed when the phone pass scans.
+#: The phone family requires ≥ 9 DIGITS (separators not counted): 8-digit
+#: runs like ISO dates (2026-08-14) never match; 9+-digit identifiers that
+#: merely look like international numbers (ISBN-13s) do — the documented
+#: over-redaction limit of any lookahead-free (RE2-compatible) heuristic.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\-]{6,}\d", "<PHONE>"),
+    ("phone", r"\+?\d(-?\d){8,14}", "<PHONE>"),
 )
 
 
@@ -279,13 +283,20 @@ def chunk_spans(toks: Column, size: int = 64, overlap: int = 16) -> Column:
     n_chunks = F.greatest(
         F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"), F.lit(1)
     )
-    return F.transform(
+    spans = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
             i.cast("int").alias("chunk_idx"),
             (i * stride).cast("int").alias("tok_start"),
             F.least(i * stride + size, n).cast("int").alias("tok_end"),
         ),
+    )
+    # NULL token arrays yield NO spans (empty array, so a downstream explode
+    # drops the row).  Without the guard, size(NULL)=NULL rides through
+    # greatest/least (which skip NULLs) and fabricates a (0, 0, size) span
+    # claiming tokens that don't exist.
+    return F.when(toks.isNotNull(), spans).otherwise(
+        F.array().cast("array<struct<chunk_idx:int,tok_start:int,tok_end:int>>")
     )
 
 
@@ -372,7 +383,10 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         for pdf in batches:
             ids, ns, ds, hs = [], [], [], []
             for i, s in zip(pdf[id_col], pdf[text_col]):
-                norm = ws.sub(" ", (s or "").strip()).lower()
+                # .strip(" ") — Spark's trim removes SPACES only; Python's
+                # bare strip() would also eat \t/\n/NBSP and diverge from
+                # the expression twin on tab/newline-padded documents
+                norm = ws.sub(" ", (s or "").strip(" ")).lower()
                 n = max(len(norm), 1)
                 counts = Counter(norm) if norm else Counter({"": 1})
                 h = math.log2(n) - sum(c * math.log2(c) for c in counts.values()) / n

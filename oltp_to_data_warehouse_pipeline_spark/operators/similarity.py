@@ -259,22 +259,20 @@ def cosine_near_dup_lsh(
             .alias("key")
         )
     )
-    # Bucket-expand instead of a banded self-join (same shape as the
-    # minhash/simhash candidate steps): group each (band, key) bucket's ids
-    # (ONE shuffle on the band key — no join build side, no second scan of
-    # the banding aggregate) and expand a<b pairs as array expressions.
-    buckets = banded.groupBy("band", "key").agg(F.sort_array(F.collect_set("id")).alias("ds"))
+    # Candidates via banded SELF-JOIN, deliberately not collect_set
+    # bucket-expand: embeddings degenerate easily (all-zero vectors, synthetic
+    # duplicates land every row in one hyperplane bucket), and the join form
+    # streams a hot bucket's pairs across shuffle partitions where AQE's
+    # skew-join splits it — a collect_set row would instead buffer the whole
+    # bucket in one task and expand O(n²) structs there.  (The shingle-keyed
+    # bucket-expands in operators.dedup are bounded by per-shingle df, a
+    # different regime.)  The second scan of `banded` is eliminated by
+    # ReuseExchange.
     cand = (
-        buckets.where(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "b -> struct(a as id_a, b as id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     # exact verify once per unique candidate pair (the candidate set is tiny

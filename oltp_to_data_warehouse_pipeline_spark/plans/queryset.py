@@ -3142,7 +3142,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     n AS (
       SELECT doc_id, toks, len(toks) AS n,
              greatest(CAST(floor((len(toks) - 16 + 47) / 48.0) AS INTEGER), 1) AS n_chunks

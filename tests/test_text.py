@@ -256,6 +256,8 @@ def test_char_entropy_scorer_matches_expression(spark):
             (3, ""),
             (4, "  MiXeD   CaSe\tand\nnewlines  "),
             (5, "digits 012 345 678 9 and punct !?.,;:"),
+            (6, "\tleading tab survives trim but collapses to a space"),
+            (7, "trailing newline too\n"),
         ],
         "doc_id: long, text: string",
     )
