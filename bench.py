@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_chunk_spans",
     "doc_char_entropy",
     "embedding_quantize_int8",
+    "corpus_vocab_stats",
 ]
 
 

@@ -3220,6 +3220,44 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_vocab_stats",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+    FROM counts GROUP BY source
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: distinct token count, hapax
+    legomena, total tokens, type-token ratio — the lexical-diversity profile
+    that flags template-generated or scraped-boilerplate sources before they
+    enter a training mixture.  Canonical word-count shape: explode tokens,
+    two keyed aggregations; the (source, token) partial aggregate collapses
+    map-side, so shuffle bytes scale with the vocabulary, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum("c").alias("total_tokens"),
+        F.round(F.count("*") / F.sum("c").cast("double"), 6).alias("type_token_ratio"),
+    )
+
+
+@query(
     "doc_char_entropy",
     r"""
     WITH norm AS (
@@ -3354,6 +3392,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "corpus_vocab_stats",
     "doc_char_entropy",
     "corpus_mixture_plan",
     "doc_length_histogram",
