@@ -81,15 +81,17 @@ def main() -> None:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         drop_persisted()
 
-    # Two timed runs per query, keep the minimum: this host shares CPU with
-    # other tenants (load spikes up to ~6 with zero local JVMs), and a single
-    # sample can inflate a 2s query to 5s.  The min of two samples is the
-    # standard interference-suppressing estimator for wall-clock microbench.
+    # Three timed runs per query, keep the minimum: this host shares CPU
+    # with other tenants (load spikes up to ~6 with zero local JVMs), and a
+    # single sample can inflate a 2s query to 5s — with two samples the
+    # heavy text queries still drifted ~2x between whole-bench invocations.
+    # The min of k samples is the standard interference-suppressing
+    # estimator for wall-clock microbenchmarks.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
