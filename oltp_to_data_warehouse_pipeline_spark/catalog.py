@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_ltz
+
 # Tables the test harness provides (TESTDATA.md).  `documents`/`embeddings`
 # feed the LLM-pipeline operators; the TPC-H-ish tables play the reference's
 # star-schema roles (FIXTURES.md §A).
@@ -61,7 +63,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+            df = ensure_ltz(df, f.name)
     return df
 
 

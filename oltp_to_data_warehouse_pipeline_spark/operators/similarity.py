@@ -35,22 +35,24 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def bounded(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+def bounded(df: DataFrame, max_rows: int, what: str, knob: str = "max_rows") -> DataFrame:
     """Refuse to let an O(n²) verification twin loose on a big input.
 
     The exact all-pairs / many-query paths exist as ground truth for the
     LSH/IVF scale paths; they must never run unbounded by accident.  The
-    count is one cheap extra job (these are diagnostics, not hot paths) and
-    the trailing ``limit`` makes the bound *structural* — visible in the
+    probe reads at most ``max_rows + 1`` rows (a plain ``count()`` would
+    full-scan the very 100 TB input the guard exists to refuse) and the
+    trailing ``limit`` makes the bound *structural* — visible in the
     physical plan as a GlobalLimit feeding the broadcast side, so a plan
     audit can prove the nested-loop join only ever sees a bounded build.
+    ``knob`` names the caller-facing parameter in the error message.
     """
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
-            f"{what}: input has {n} rows > max_rows={max_rows}. "
+            f"{what}: input has more than {knob}={max_rows} rows. "
             "This exact path is a small-N verification twin of the LSH/IVF "
-            "scale path; pass a sample or raise max_rows explicitly."
+            f"scale path; pass a sample or raise {knob} explicitly."
         )
     return df.limit(max_rows)
 
@@ -81,7 +83,7 @@ def cosine_topk(
         .select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
         .withColumn("__cnorm", l2_norm(F.col("__cvec")))
     )
-    q = bounded(queries, max_queries, "cosine_topk queries").select(
+    q = bounded(queries, max_queries, "cosine_topk queries", knob="max_queries").select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec")
     ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
 
@@ -333,7 +335,7 @@ def cosine_topk_pandas(
     from pyspark.sql import types as T
 
     q_rows = (
-        bounded(queries, max_queries, "cosine_topk_pandas queries")
+        bounded(queries, max_queries, "cosine_topk_pandas queries", knob="max_queries")
         .select(F.col(id_col), as_double_vec(vec_col).alias("v"))
         .collect()
     )

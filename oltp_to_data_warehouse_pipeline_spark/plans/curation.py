@@ -39,11 +39,15 @@ def curate_corpus(
     survives (matches the exact-dedup keep-min-id convention).
     """
     toks = F.col("__toks")
-    # The token array binds ONCE and yields both the gate expressions and the
-    # final n_tokens (token_count ≡ size(tokens), so emitting size(__toks)
-    # here is exactly the published semantics) — the output stage below then
-    # never re-tokenizes, and the checkpoint carries only (id, text,
-    # n_tokens) instead of every incoming document column.
+    # n_tokens is computed HERE (token_count ≡ size(tokens), so emitting
+    # size(__toks) is exactly the published semantics) so the output stage
+    # below never re-tokenizes the survivors, and the checkpoint carries only
+    # (id, text, n_tokens) instead of every incoming document column — the
+    # measured 8.6s → 3s win at sf0.1.  NB the gate FILTER itself re-inlines
+    # __toks per predicate when pushed down (Catalyst substitutes the alias);
+    # that's fine — measured free at sf0.1 (codegen subexpression elimination
+    # covers the split() subtrees), and a pushdown barrier showed zero
+    # difference in both plan shape and wall time.
     kept = (
         docs.withColumn("__toks", text.tokens(text_col))
         .where(

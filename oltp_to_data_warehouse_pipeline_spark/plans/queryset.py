@@ -3470,7 +3470,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
 
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    ordered = [n for n in _VERIFY_FIRST if n in QUERIES]
+    # A typo'd/renamed name in the hand-maintained priority list would
+    # otherwise silently lose its slot in the driver's 50-name sample window
+    # — the one thing the list exists to control.
+    unknown = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    assert not unknown, f"_VERIFY_FIRST names not in the registry: {unknown}"
+    ordered = list(_VERIFY_FIRST)
     ordered += [n for n in QUERIES if n not in _VERIFY_FIRST]
     q = {n: QUERIES[n] for n in ordered}
     o = {n: ORACLES[n] for n in ordered if n in ORACLES}

@@ -149,26 +149,48 @@ def shutdown(query, drain: bool = True, timeout_s: float = 60.0) -> bool:
     """ST6 — graceful shutdown (`mongo_postgres_cdc.py:403-412` semantics:
     finish the in-flight batch, then stop and close).
 
-    ``drain=True`` first waits for all currently-available input to be
-    processed (``processAllAvailable``) so no consumed-but-unwritten batch
-    is dropped; then ``stop()`` halts the query and ``awaitTermination``
-    bounds the wait.  Returns True when the query terminated in time.
-    Because sinks are idempotent upserts over checkpointed offsets, even a
-    non-graceful kill only ever replays, never loses or duplicates state.
+    ``drain=True`` waits for currently-available input to be processed —
+    but BOUNDED: ``processAllAvailable`` alone never returns under sustained
+    producers (new data keeps arriving), which would hang the shutdown until
+    a supervisor escalates to SIGKILL.  The drain runs in a daemon thread
+    and gets at most half of ``timeout_s``; if it hasn't converged by then,
+    ``stop()`` interrupts it.  Returns True when the query terminated in
+    time.  Because sinks are idempotent upserts over checkpointed offsets,
+    even a non-graceful kill only ever replays, never loses or duplicates
+    state.
     """
     if drain and query.isActive:
-        query.processAllAvailable()
+        import threading
+
+        drainer = threading.Thread(target=query.processAllAvailable, daemon=True)
+        drainer.start()
+        drainer.join(timeout=timeout_s / 2)
     query.stop()
     return query.awaitTermination(timeout_s)
 
 
 def install_signal_shutdown(query, signals=None) -> None:
     """Wire SIGINT/SIGTERM to :func:`shutdown`, like the reference's signal
-    handler (`mongo_postgres_cdc.py:403-406`).  Driver-side only."""
+    handler (`mongo_postgres_cdc.py:403-406`).  Driver-side only.
+
+    After the query stops, the PREVIOUS handler is restored and the signal
+    re-raised, so the process still dies (or KeyboardInterrupt still fires)
+    — a handler that swallows the signal forever leaves an uninterruptible
+    driver that must be SIGKILLed."""
+    import os as _os
     import signal as _signal
 
+    def _make(prev):
+        def _handler(signum, frame):
+            shutdown(query)
+            _signal.signal(signum, prev)
+            _os.kill(_os.getpid(), signum)
+
+        return _handler
+
     for sig in signals or (_signal.SIGINT, _signal.SIGTERM):
-        _signal.signal(sig, lambda *_: shutdown(query))
+        prev = _signal.getsignal(sig)
+        _signal.signal(sig, _make(prev))
 
 
 # -- tiny schema registry (per-topic JSON file beside the landing tables) ----

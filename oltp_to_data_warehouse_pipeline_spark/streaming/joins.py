@@ -23,13 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_ltz
+
 
 def _ensure_ltz(df: DataFrame, ts_col: str) -> DataFrame:
-    """Watermark/interval arithmetic needs TIMESTAMP, not TIMESTAMP_NTZ;
-    exact under the pinned-UTC session zone (session.py)."""
-    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return df
+    """Watermark/interval arithmetic needs TIMESTAMP, not TIMESTAMP_NTZ —
+    delegates to the single shared cast (util.ensure_ltz)."""
+    return ensure_ltz(df, ts_col)
 
 
 def interval_join(

@@ -13,12 +13,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_ltz
+
 
 def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
-    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); the cast is exact
-    # under the engine's pinned-UTC session zone (session.py).
-    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # Watermarks require TIMESTAMP (not TIMESTAMP_NTZ) — shared cast helper
+    df = ensure_ltz(df, ts_col)
     return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
 
 

@@ -24,3 +24,21 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def ensure_ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ column to TIMESTAMP (exact under the engine's
+    pinned-UTC session zone, session.py).
+
+    The single shared implementation: catalog.load_table applies it at the
+    table boundary, and the streaming helpers re-apply it defensively for
+    DataFrames that didn't come through the catalog (watermarks and interval
+    arithmetic require TIMESTAMP).  One definition, three call sites — a
+    semantic change here cannot desynchronize them.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df

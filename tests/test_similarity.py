@@ -125,9 +125,10 @@ def test_all_pairs_paths_refuse_unbounded_input(spark):
     emb = _emb(spark)
     with pytest.raises(ValueError, match="max_rows"):
         similarity.cosine_near_dup_pairs(emb, max_rows=3).collect()
-    with pytest.raises(ValueError, match="max_rows"):
+    # the error must name the knob THIS caller can actually pass
+    with pytest.raises(ValueError, match="max_queries"):
         similarity.cosine_topk(emb, emb, k=2, max_queries=3).collect()
-    with pytest.raises(ValueError, match="max_rows"):
+    with pytest.raises(ValueError, match="max_queries"):
         similarity.cosine_topk_pandas(emb, emb, k=2, max_queries=3)
 
 

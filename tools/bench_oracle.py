@@ -22,13 +22,10 @@ import sys
 import time
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
+from _common import connect_views, parse_sf  # noqa: E402
 
 
 def main() -> int:
@@ -39,17 +36,13 @@ def main() -> int:
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = parse_sf(sf_dir)
 
     import __spark_entry__ as entrymod
     from bench import HEADLINE
 
     oracles = entrymod.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect_views(sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

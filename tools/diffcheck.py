@@ -18,13 +18,10 @@ import sys
 import time
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
+from _common import connect_views  # noqa: E402
 
 
 def canon_cell(v) -> str:
@@ -72,11 +69,7 @@ def main() -> int:
     from oltp_to_data_warehouse_pipeline_spark.session import get_spark
 
     spark = get_spark("diffcheck")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = connect_views(sf_dir)
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
@@ -114,13 +107,15 @@ def main() -> int:
                             "spark_rows": len(srows), "oracle_rows": None, "err": f"duckdb: {e}"}
             continue
         problems = []
+        hash_ok = False
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         else:
             hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
-            if hs != hd:
+            hash_ok = hs == hd
+            if not hash_ok:
                 problems.append(f"hash spark={hs} duck={hd}")
                 # show first differing rows for debugging
                 order_s = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -133,7 +128,6 @@ def main() -> int:
                         break
         rows_ok = len(srows) == len(drows)
         schema_ok = sorted(scols) == sorted(dcols)
-        hash_ok = schema_ok and not any(p.startswith("hash") for p in problems)
         report[name] = {"rows_match": rows_ok, "schema_match": schema_ok, "hash_match": hash_ok,
                         "spark_rows": len(srows), "oracle_rows": len(drows), "err": None}
         if problems:
@@ -143,7 +137,8 @@ def main() -> int:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
     if json_out:
         Path(json_out).write_text(json.dumps(report, indent=2) + "\n")
-    print(f"\n{len(qs) - len(failures)}/{len([n for n in qs if not only or n in only])} passed")
+    ran = len([n for n in qs if not only or n in only])
+    print(f"\n{ran - len(failures)}/{ran} passed")
     return 1 if failures else 0
 
 
