@@ -3258,6 +3258,54 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 4096),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(avg(log2(coalesce(v.c, 1) / CAST(t.n AS DOUBLE))), 4) AS avg_log2_prob
+    FROM tok LEFT JOIN vocab v USING (tok), tot t
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: average per-token log2 probability under
+    the corpus's own top-4096 unigram model (OOV tokens get a 1-pseudocount
+    floor).  The fluency/perplexity proxy that separates natural prose from
+    gibberish and OOV-dense boilerplate when no external LM is available.
+
+    Two-pass shape that scales: pass 1 builds the model (token counts →
+    deterministic top-K by (count desc, token)), pass 2 scores every token
+    against the model as a BROADCAST relation — the model is data, not
+    driver state, so nothing collects and the scoring join is map-side.
+    The only corpus-sized shuffle is the per-document aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(4096)
+    totals = tok.agg(F.count("*").alias("n"))
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.avg(F.log2(F.coalesce(F.col("c"), F.lit(1)) / F.col("n").cast("double"))), 4
+            ).alias("avg_log2_prob"),
+        )
+    )
+
+
+@query(
     "doc_char_entropy",
     r"""
     WITH norm AS (
@@ -3392,6 +3440,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "doc_unigram_logprob",
     "corpus_vocab_stats",
     "doc_char_entropy",
     "corpus_mixture_plan",

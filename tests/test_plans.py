@@ -281,3 +281,13 @@ def test_llm_narrow_map_ops_zero_shuffle(spark):
         plan = _plan(q[name](spark, SF_DIR))
         for keyed in ("hashpartitioning", "rangepartitioning"):
             assert keyed not in plan, f"{name} must not shuffle on a key:\n{plan}"
+
+
+def test_unigram_model_broadcasts_not_shuffles(spark):
+    """The unigram model must join as a broadcast relation: a sort-merge
+    join would co-shuffle the entire exploded token stream with the model."""
+    q, _ = registry()
+    plan = _plan(q["doc_unigram_logprob"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
