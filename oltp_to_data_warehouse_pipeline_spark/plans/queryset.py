@@ -3290,7 +3290,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(4096)
-    totals = tok.agg(F.count("*").alias("n"))
+    # Σc over the count relation == total token count, and it lets Spark
+    # reuse the counts aggregation exchange — totals from `tok` directly
+    # would re-scan and re-tokenize the whole corpus for one number.
+    totals = counts.agg(F.sum("c").alias("n"))
     return (
         tok.join(F.broadcast(vocab), "tok", "left")
         .crossJoin(F.broadcast(totals))

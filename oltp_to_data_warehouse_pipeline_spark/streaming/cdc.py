@@ -159,6 +159,9 @@ def shutdown(query, drain: bool = True, timeout_s: float = 60.0) -> bool:
     even a non-graceful kill only ever replays, never loses or duplicates
     state.
     """
+    import time as _time
+
+    t0 = _time.monotonic()
     if drain and query.isActive:
         import threading
 
@@ -166,7 +169,11 @@ def shutdown(query, drain: bool = True, timeout_s: float = 60.0) -> bool:
         drainer.start()
         drainer.join(timeout=timeout_s / 2)
     query.stop()
-    return query.awaitTermination(timeout_s)
+    # awaitTermination gets the REMAINING budget, so the documented bound is
+    # timeout_s total — a fresh timeout_s here would stretch worst-case wall
+    # time to 1.5x and blow a supervisor's grace period (SIGKILL).
+    remaining = max(timeout_s - (_time.monotonic() - t0), 1.0)
+    return query.awaitTermination(remaining)
 
 
 def install_signal_shutdown(query, signals=None) -> None:
@@ -181,16 +188,23 @@ def install_signal_shutdown(query, signals=None) -> None:
     import signal as _signal
 
     def _make(prev):
+        # getsignal() returns None for handlers installed by non-Python code
+        # (embedded interpreters, the JVM); signal() rejects None, so fall
+        # back to the default disposition.
+        restore = prev if prev is not None else _signal.SIG_DFL
+
         def _handler(signum, frame):
+            # Restore BEFORE draining: a second Ctrl-C during the (up to
+            # timeout_s) graceful shutdown must hard-exit via the previous
+            # disposition, not re-enter another full drain.
+            _signal.signal(signum, restore)
             shutdown(query)
-            _signal.signal(signum, prev)
             _os.kill(_os.getpid(), signum)
 
         return _handler
 
     for sig in signals or (_signal.SIGINT, _signal.SIGTERM):
-        prev = _signal.getsignal(sig)
-        _signal.signal(sig, _make(prev))
+        _signal.signal(sig, _make(_signal.getsignal(sig)))
 
 
 # -- tiny schema registry (per-topic JSON file beside the landing tables) ----

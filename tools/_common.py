@@ -31,8 +31,9 @@ def connect_views(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def parse_sf(sf_dir: str) -> float:
     """Scale factor from a path like .../sf0.1; -1.0 when absent.
 
-    Matches only a trailing `sf<number>` component — a bare `'sf' in path`
-    test would crash float() on paths like /srv/sftest/data.
+    Anchored to a full trailing path component — a bare `'sf' in path` test
+    would crash float() on /srv/sftest/data, and an unanchored search would
+    extract 0.5 from /srv/datasf0.5.
     """
-    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir.rstrip("/"))
+    m = re.search(r"(?:^|/)sf(\d+(?:\.\d+)?)$", sf_dir.rstrip("/"))
     return float(m.group(1)) if m else -1.0
