@@ -3258,6 +3258,48 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    seen AS (SELECT DISTINCT fp FROM base WHERE doc_id % 10 <> 0),
+    batch AS (SELECT doc_id, fp FROM base WHERE doc_id % 10 = 0),
+    first_in_batch AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM batch)
+    SELECT b.doc_id, b.fp
+    FROM first_in_batch b LEFT JOIN seen s ON b.fp = s.fp
+    WHERE b.rn = 1 AND s.fp IS NULL
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the operation a production pipeline runs
+    per ingest batch: drop arrivals whose (normalized) content fingerprint
+    already exists in the standing corpus, then dedup within the batch
+    itself (keep min doc_id).  Fixture split: doc_id % 10 == 0 plays
+    "today's batch", the rest the standing corpus.
+
+    Scale shape: the corpus side reduces to DISTINCT 32-byte fingerprints
+    (at 100 TB this relation is maintained incrementally as its own table,
+    not recomputed — here it derives from the same fixture), the batch
+    dedups with one keyed window, and membership is a LEFT ANTI join on the
+    fingerprint — shuffle carries hashes, never document text.  Both the
+    window and the anti-join shuffle ∝ batch + fingerprint count."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = text.normalized_fingerprint("text")
+    base = d.select("doc_id", fp.alias("fp"))
+    seen = base.where(F.col("doc_id") % 10 != 0).select("fp").distinct()
+    batch = base.where(F.col("doc_id") % 10 == 0)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first_in_batch = (
+        batch.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+    return first_in_batch.join(seen, "fp", "left_anti").select("doc_id", "fp")
+
+
+@query(
     "doc_unigram_logprob",
     r"""
     WITH tok AS (
@@ -3443,6 +3485,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "incremental_dedup_docs",
     "doc_unigram_logprob",
     "corpus_vocab_stats",
     "doc_char_entropy",
