@@ -3541,8 +3541,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "lineitem_price_stats",
     "shipping_lag_by_month",
     "doc_token_masking",
-    # still driver-unverified but trivial single-table projections — the
-    # three names that overflow the 50-slot window land here deliberately
+    # still driver-unverified but simple, low-risk queries — the names that
+    # overflow the 50-slot window land at this end of the list deliberately
     # (their green CORRECTNESS_LOCAL row is the committed record)
     "embedding_norms",
     "customer_order_years",
