@@ -43,6 +43,9 @@ HEADLINE = [
     "doc_char_entropy",
     "embedding_quantize_int8",
     "corpus_vocab_stats",
+    "cosine_topk_rerank",
+    "doc_idf_rarity",
+    "doc_ngram_novelty",
 ]
 
 

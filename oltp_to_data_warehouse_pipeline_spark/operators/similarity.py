@@ -505,6 +505,100 @@ def ivf_topk(
     )
 
 
+def int8_codes(c: Column | str) -> Column:
+    """Symmetric int8 code array for a float vector column.
+
+    scale = max|x| / 127, q_i = floor(x_i / scale + 0.5) — the same
+    round-half-up spelling as :func:`quantize_int8` (floor keeps every SQL
+    engine bit-identical; banker's-rounding builtins don't).  All-zero
+    vectors code to zeros.  The scale itself is NOT returned: cosine over
+    codes is scale-free (the per-vector scalar cancels in the ratio), which
+    is what makes code-space scoring usable without carrying the scale.
+    """
+    v = as_double_vec(c)
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    return F.when(
+        amax > 0, F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def cosine_topk_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Two-stage retrieval: int8 coarse scan → exact re-rank of the top-m.
+
+    Stage 1 scores every candidate against each query in CODE space —
+    cosine of the int8 quantization (per-vector scale cancels, so the dot
+    products are pure integer sums evaluated exactly in double) — and keeps
+    the top ``m`` per query with a deterministic (coarse desc, id) tiebreak.
+    Stage 2 re-fetches exact float vectors for the ≤ m·|queries| survivors
+    (hash join on id — the candidate relation is tiny vs the store) and
+    re-ranks with true cosine to produce the final top ``k``.
+
+    This is the memory-bandwidth play of a 100 TB vector store: the coarse
+    scan streams 1 byte/dim instead of 4, and only survivors ever touch the
+    full-precision store.  Recall < 1 comes only from quantization error at
+    the top-m boundary; ``m = |store|`` degrades to exact search (the
+    oracle-verification configuration).  Deterministic in both stages, so a
+    SQL twin reproduces it bit-for-bit.
+    """
+    cand = ensure_min_parallelism(emb).select(
+        F.col(id_col).alias("neighbor_id"), int8_codes(vec_col).alias("__cq")
+    )
+    q = bounded(queries, max_queries, "cosine_topk_rerank queries", knob="max_queries").select(
+        F.col(id_col).alias("query_id"), int8_codes(vec_col).alias("__qq")
+    )
+    # code-space cosine; all-zero codes (zero vectors) rank last via -2.0
+    # (cosine lives in [-1, 1]) instead of poisoning the window with NaN
+    qnorm = l2_norm(F.col("__qq"))
+    cnorm = l2_norm(F.col("__cq"))
+    coarse = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "coarse",
+            F.when(
+                (qnorm > 0) & (cnorm > 0),
+                dot(F.col("__qq"), F.col("__cq")) / (qnorm * cnorm),
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.col("coarse").desc(), F.col("neighbor_id"))
+    survivors = (
+        coarse.withColumn("__mr", F.row_number().over(wm))
+        .where(F.col("__mr") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: fetch float vectors for survivors only
+    nv = emb.select(F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")).withColumn(
+        "__n", l2_norm(F.col("__v"))
+    )
+    qv = nv.select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+    cv = nv.select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    exact = (
+        survivors.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -521,9 +615,7 @@ def quantize_int8(
     v = as_double_vec(vec_col)
     amax = F.array_max(F.transform(v, F.abs))
     scale = amax / F.lit(127.0)
-    q = F.when(
-        amax > 0, F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    q = int8_codes(vec_col)
     mse = F.aggregate(
         F.zip_with(v, q, lambda x, qq: (x - qq * scale) * (x - qq * scale)),
         F.lit(0.0),

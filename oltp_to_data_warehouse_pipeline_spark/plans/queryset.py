@@ -3476,6 +3476,264 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cosine_topk_rerank",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    codes AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_transform(v, x -> CAST(floor(
+                         x / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5) AS DOUBLE))
+                  ELSE list_transform(v, x -> 0.0) END AS q
+      FROM e),
+    qs AS (SELECT * FROM codes WHERE vec_id < 10),
+    coarse AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, qs.v AS qv, c.v AS cv,
+             CASE WHEN list_dot_product(qs.q, qs.q) > 0 AND list_dot_product(c.q, c.q) > 0
+                  THEN list_dot_product(qs.q, c.q) /
+                       (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q)))
+                  ELSE -2.0 END AS cs
+      FROM qs CROSS JOIN codes c WHERE c.vec_id <> qs.vec_id),
+    surv AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS mr
+      FROM coarse),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim_raw
+      FROM surv WHERE mr <= 50)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(sim_raw, 4) AS sim
+    FROM (SELECT query_id, neighbor_id, sim_raw,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
+          FROM exact)
+    WHERE rn <= 5
+    """,
+)
+def cosine_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8 code-space coarse scan (1 byte/dim of memory
+    traffic — the per-vector scale cancels out of the cosine, so the coarse
+    scores are exact integer arithmetic) keeps the top-50 per query, then
+    exact float re-rank of the survivors produces the top-5.  Both stages
+    deterministic, so the oracle replays them bit-for-bit — quantization
+    recall loss shows up as a hash mismatch, not a silent regression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_rerank(emb, queries, k=5, m=50)
+
+
+@query(
+    "doc_idf_rarity",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    nd AS (SELECT count(*) AS nd FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(avg(ln(nd / CAST(df AS DOUBLE))), 4) AS mean_idf
+    FROM tok JOIN dfreq USING (tok), nd
+    GROUP BY doc_id
+    """,
+)
+def doc_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-IDF rarity score per document: mean ln(N/df) over the doc's
+    DISTINCT tokens plus its count of corpus-unique tokens — the
+    informativeness signal that separates formulaic/boilerplate documents
+    (all high-df tokens → mean_idf near 0) from content-bearing ones.
+
+    Two-pass self-referential shape like doc_unigram_logprob: pass 1
+    aggregates document frequencies (map-side partial collapse; shuffle ∝
+    vocabulary), pass 2 scores each (doc, token) pair against the df
+    relation — a token-keyed equi-join, never a driver collect — and the
+    corpus size joins in as a broadcast 1-row relation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("nd"))
+    return (
+        tok.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_rare"),
+            F.round(F.avg(F.log(F.col("nd") / F.col("df").cast("double"))), 4).alias("mean_idf"),
+        )
+    )
+
+
+@query(
+    "doc_ngram_novelty",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS s
+      FROM documents),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+             AS novelty_ratio
+    FROM sh JOIN dfreq USING (s)
+    GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's distinct word
+    shingles that occur NOWHERE else in the corpus.  Low novelty means the
+    document is assembled from corpus-common n-grams (template/boilerplate
+    risk); it's the per-document complement of the pairwise Jaccard ops.
+
+    Same inverted-index economics as ngram_jaccard_pairs: shingle df
+    aggregates collapse map-side, the score join is keyed on an 8-byte
+    xxhash64 of the shingle (counts are hash-invariant; the oracle groups on
+    the string), and nothing ever holds a posting list wider than one
+    shingle's df."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(dedup.word_shingles("text", 3)).alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count("*").cast("double"), 4).alias("novelty_ratio"),
+        )
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+    firstw AS (SELECT user_id, min(w) AS cw FROM act GROUP BY user_id),
+    j AS (
+      SELECT a.user_id, f.cw,
+             CAST(date_diff('day', f.cw, a.w) // 7 AS INTEGER) AS week_offset
+      FROM act a JOIN firstw f USING (user_id)),
+    counts AS (
+      SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM j GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_users,
+           round(n_users / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort_week) AS DOUBLE), 4) AS retention
+    FROM counts
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the event stream: users grouped by
+    first-active ISO week, then the fraction still active k weeks later —
+    the canonical product-analytics rollup.  (user, week) activity dedups
+    FIRST (shuffle carries one row per user-week, not per event), the
+    cohort assignment is a user-keyed join, and retention normalizes via a
+    window over the ~weeks-sized aggregate, so nothing downstream of the
+    dedup scales with raw event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    act = ev.select("user_id", wk.alias("w")).distinct()
+    firstw = act.groupBy("user_id").agg(F.min("w").alias("cw"))
+    j = act.join(firstw, "user_id").select(
+        "user_id",
+        "cw",
+        F.expr("cast(floor(datediff(w, cw) / 7) as int)").alias("week_offset"),
+    )
+    counts = j.groupBy(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("n_users"))
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(
+        Window.partitionBy("cohort_week")
+    )
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / base.cast("double"), 4).alias("retention"),
+    )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+    f AS (
+      SELECT 1 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+    SELECT stage_idx, stage, n_users,
+           round(n_users / CAST(max(CASE WHEN stage_idx = 1 THEN n_users END)
+                 OVER () AS DOUBLE), 4) AS conversion
+    FROM f
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user advances a
+    stage only with a strictly-later event of the next type (min-timestamp
+    frontier per stage).  Each stage is one user-keyed aggregate joined to
+    the previous frontier with an equi-key + time-residual predicate — the
+    same no-cross-product shape as the as-of join, run N-stages deep.  The
+    frontier relations shrink monotonically, so later stages get cheaper,
+    and the final counts are 3 scalar aggregates unioned + one window over
+    3 rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    f = stage(v, 1, "view").unionByName(stage(c, 2, "click")).unionByName(
+        stage(p, 3, "purchase")
+    )
+    base = F.max(F.when(F.col("stage_idx") == 1, F.col("n_users"))).over(
+        Window.partitionBy(F.lit(1))
+    )
+    return f.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / base.cast("double"), 4).alias("conversion"),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -3485,6 +3743,11 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "cosine_topk_rerank",
+    "doc_idf_rarity",
+    "doc_ngram_novelty",
+    "user_retention_cohorts",
+    "event_funnel",
     "incremental_dedup_docs",
     "doc_unigram_logprob",
     "corpus_vocab_stats",
