@@ -3734,6 +3734,151 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "daily_revenue_ma7",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS day_num,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2)
+    SELECT strftime(d, '%Y-%m-%d') AS day, revenue, n_orders,
+           round(avg(revenue) OVER (ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM daily
+    """,
+)
+def daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day moving average of daily order revenue — the RANGE-frame
+    window family (frame bounds in value space, so calendar gaps shorten the
+    frame instead of silently widening it like a ROWS frame would).
+
+    Scale shape: the corpus-sized work is the daily rollup (keyed hash
+    aggregate, map-side partial); the window then runs over ONE ROW PER DAY
+    — a few thousand rows for a decade of data — so the unpartitioned sort
+    is a deliberate constant, not a scaling concern.  Daily revenue is
+    rounded BEFORE the frame average so both engines feed identical inputs
+    through the frame in the same ascending-day order."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day_num"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        "n_orders",
+        F.round(F.avg("revenue").over(w), 4).alias("ma7"),
+    )
+
+
+@query(
+    "session_stats",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(date_diff('microseconds', min(ts), max(ts)) // 1000000 AS BIGINT)
+               AS duration_secs
+      FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events,
+           round(avg(duration_secs), 2) AS avg_duration_secs,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS bounce_rate
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session behavior profile on top of 30-minute session windows:
+    session count, mean events per session, mean first-to-last duration, and
+    bounce rate (1-event sessions).  Runs on Spark's native session_window
+    aggregate — duration recovers last-event − first-event by subtracting
+    the gap from the half-open window end — while the oracle builds the same
+    islands with the gaps-and-islands SQL; both reduce to one user-keyed
+    shuffle plus a user-sized aggregate."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = windows.session_counts(ev, gap="30 minutes", group_cols=("user_id",), watermark=None)
+    # duration = last event − first event: subtract the 30 min gap from the
+    # half-open window end, then floor the MICROSECOND difference once —
+    # truncating each endpoint separately (unix_timestamp) would round the
+    # two ends independently and drift ±1 s vs the oracle's floor-of-diff
+    per_sess = sess.select(
+        "user_id",
+        "n_events",
+        F.floor(
+            (
+                F.unix_micros("session_end")
+                - F.unix_micros("session_start")
+                - F.lit(1_800_000_000)
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_secs"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("duration_secs"), 2).alias("avg_duration_secs"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)) / F.count("*").cast("double"),
+            4,
+        ).alias("bounce_rate"),
+    )
+
+
+@query(
+    "yearly_revenue_growth",
+    """
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT yr, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 4) AS yoy_growth
+    FROM yearly
+    """,
+)
+def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: lag navigation over the yearly rollup
+    (first year's growth is NULL by definition).  Same economics as the
+    moving average: all data-proportional work is the keyed aggregate; the
+    window sees one row per year."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    prev = F.lag("revenue").over(Window.orderBy("yr"))
+    return yearly.select(
+        "yr", "revenue", F.round((F.col("revenue") - prev) / prev, 4).alias("yoy_growth")
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -3743,6 +3888,9 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "daily_revenue_ma7",
+    "session_stats",
+    "yearly_revenue_growth",
     "cosine_topk_rerank",
     "doc_idf_rarity",
     "doc_ngram_novelty",

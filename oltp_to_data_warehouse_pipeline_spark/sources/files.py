@@ -72,3 +72,70 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 1,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered, sorted write — the data-skipping layout.
+
+    ``repartitionByRange(sort_cols)`` gives each output file a DISJOINT key
+    range and ``sortWithinPartitions`` orders rows inside it, so parquet
+    row-group min/max statistics become selective: a point or range filter
+    on the sort key prunes whole files and row groups at scan time.  This is
+    the plain-parquet equivalent of clustering/Z-order on one dimension —
+    the substitute for the reference's btree indexes (`mongo_postgres_cdc.py
+    :277-280`) that actually works at 100 TB.  Unsorted writes interleave
+    keys across every file, making every min/max span the whole domain and
+    every filter a full scan.
+    """
+    if fmt not in _READ_OPTS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_OPTS)}")
+    cols = [F.col(c) for c in sort_cols]
+    out = df.repartitionByRange(num_files, *cols).sortWithinPartitions(*cols)
+    out.write.format(fmt).mode(mode).save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a table directory into ~target-size
+    files.  Returns (files_before, files_after).
+
+    Streaming upserts and per-trigger micro-batches accrete thousands of
+    tiny files; at scale the scan cost becomes file-open latency, not bytes.
+    Sizing from the actual on-disk bytes (``len`` over the scan's file
+    index) avoids a data pass; the rewrite is one coalesce-shaped shuffle to
+    ``ceil(bytes / target)`` tasks.  The rewrite goes through a temp
+    directory + overwrite so a mid-job failure never leaves the table
+    half-deleted (the final overwrite is the only destructive step, and it
+    is itself a Spark job with task-commit atomicity).
+    """
+    df = read_table(spark, path, fmt)
+    # file inventory from the input_file_name() distinct — format-agnostic
+    # and exact, without listing the filesystem ourselves
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    n_before = len(files)
+    import os
+
+    total = sum(os.path.getsize(f.removeprefix("file://")) for f in files if f)
+    n_after = max(1, -(-total // target_file_bytes))
+    if n_after >= n_before:
+        return (n_before, n_before)  # already compact — don't rewrite
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(int(n_after)).write.format(fmt).mode("overwrite").save(tmp)
+    spark.read.format(fmt).load(tmp).write.format(fmt).mode("overwrite").save(path)
+    # best-effort temp cleanup (local/HDFS path via Hadoop FS API)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    fs_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs_path.getFileSystem(jsc.hadoopConfiguration()).delete(fs_path, True)
+    return (n_before, int(n_after))

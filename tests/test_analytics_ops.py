@@ -112,3 +112,34 @@ def test_ngram_novelty_bounds(spark):
     for r in rows:
         assert 0.0 <= r["novelty_ratio"] <= 1.0
         assert r["n_novel"] <= r["n_shingles"]
+
+
+def test_daily_ma7_frame_semantics(spark):
+    rows = queryset.QUERIES["daily_revenue_ma7"](spark, SF_DIR).collect()
+    assert rows
+    by_day = sorted(rows, key=lambda r: r["day"])
+    # day 1 has an empty trailing frame beyond itself: ma7 == own revenue
+    assert abs(by_day[0]["ma7"] - by_day[0]["revenue"]) < 0.01
+    # a RANGE frame average stays inside the window's value envelope
+    for i, r in enumerate(by_day):
+        window = [x["revenue"] for x in by_day[max(0, i - 6) : i + 1]]
+        assert min(window) - 0.01 <= r["ma7"] <= max(window) + 0.01
+
+
+def test_session_stats_invariants(spark):
+    rows = queryset.QUERIES["session_stats"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sessions"] >= 1
+        assert r["avg_events"] >= 1.0
+        assert r["avg_duration_secs"] >= 0.0
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_yearly_growth_lag_null_first(spark):
+    rows = sorted(
+        queryset.QUERIES["yearly_revenue_growth"](spark, SF_DIR).collect(),
+        key=lambda r: r["yr"],
+    )
+    assert rows[0]["yoy_growth"] is None
+    assert all(r["yoy_growth"] is not None for r in rows[1:])

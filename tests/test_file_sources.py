@@ -99,3 +99,48 @@ def test_text_gates_are_stream_safe(spark, tmp_path):
     streamed = {tuple(r) for r in spark.table("text_gates_sink").collect()}
     batch = {tuple(r) for r in gates(spark.read.parquet(src)).collect()}
     assert streamed == batch and len(batch) == 100
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(path)  # 32 tiny files
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert n_before == 32 and n_after < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == before_rows
+    assert back.select(F.input_file_name()).distinct().count() == n_after
+    assert not (tmp_path / "frag__compact_tmp").exists()
+
+
+def test_compact_table_noop_when_already_compact(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import compact_table
+
+    path = str(tmp_path / "ok")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    n_before, n_after = compact_table(spark, path, target_file_bytes=128 * 1024 * 1024)
+    assert n_before == n_after == 1
+
+
+def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import write_sorted
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 10_000).withColumn("k", (F.col("id") * 2654435761 % 10_000).cast("long"))
+    write_sorted(df, path, sort_cols=["k"], num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    # each file's key range must be disjoint (that's what makes min/max
+    # row-group stats selective for scan-time pruning)
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) == 4
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
