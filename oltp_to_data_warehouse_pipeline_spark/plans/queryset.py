@@ -3879,6 +3879,169 @@ def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "nation_revenue_trend",
+    """
+    SELECT n.n_name AS nation,
+           CAST(regr_count(o.o_totalprice,
+                date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))) AS BIGINT)
+             AS n_orders,
+           round(regr_slope(o.o_totalprice,
+                date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))), 4)
+             AS slope_per_day,
+           round(regr_intercept(o.o_totalprice,
+                date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))), 2)
+             AS intercept
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation linear trend of order value over time via the SQL
+    regression aggregates (regr_slope / regr_intercept / regr_count) —
+    single-pass moment sketches, the same mergeable-aggregate family as
+    corr/covar in lineitem_price_stats, so the fit costs one keyed
+    aggregation: no iteration, no collect, no ML library.  Dims broadcast
+    into the fact scan; x is an integer day number so both engines
+    accumulate identical values."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.regr_count(F.col("o_totalprice"), x).cast("bigint").alias("n_orders"),
+            F.round(F.regr_slope(F.col("o_totalprice"), x), 4).alias("slope_per_day"),
+            F.round(F.regr_intercept(F.col("o_totalprice"), x), 2).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "daily_revenue_spine",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           coalesce(daily.revenue, 0.0) AS revenue,
+           coalesce(daily.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    """,
+)
+def daily_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a gap-free daily revenue series, zero-filled
+    on order-less days — what every downstream time-series consumer
+    (forecasting, anomaly detection, the MA above) needs as input, since a
+    groupBy alone silently drops empty days.  The spine is sequence() over
+    the min/max bounds exploded from a 1-row aggregate — generated data, not
+    a driver loop — and the fill is a LEFT join of two already-aggregated
+    day-sized relations, so densification adds nothing data-proportional."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return spine.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "customer_scd2",
+    """
+    WITH snap AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+             round(c_acctbal, 2) AS acctbal
+      FROM customer),
+    upd AS (
+      SELECT custkey, 'MIGRATED' AS mktsegment, acctbal FROM snap WHERE custkey % 10 = 0
+      UNION ALL
+      SELECT custkey, mktsegment, acctbal FROM snap WHERE custkey % 10 = 5
+      UNION ALL
+      SELECT custkey + 1000000, 'NEW', 0.0 FROM snap WHERE custkey % 100 = 0),
+    changed AS (
+      SELECT s.custkey FROM snap s JOIN upd u USING (custkey)
+      WHERE s.mktsegment IS DISTINCT FROM u.mktsegment
+         OR s.acctbal IS DISTINCT FROM u.acctbal),
+    merged AS (
+      -- closed-out prior versions
+      SELECT custkey, mktsegment, acctbal,
+             DATE '1900-01-01' AS valid_from, DATE '1996-06-01' AS valid_to, 0 AS is_current
+      FROM snap WHERE custkey IN (SELECT custkey FROM changed)
+      UNION ALL
+      -- untouched current versions
+      SELECT custkey, mktsegment, acctbal, DATE '1900-01-01', NULL, 1
+      FROM snap WHERE custkey NOT IN (SELECT custkey FROM changed)
+      UNION ALL
+      -- new versions for changed keys + inserts for unknown keys
+      SELECT u.custkey, u.mktsegment, u.acctbal, DATE '1996-06-01', NULL, 1
+      FROM upd u
+      WHERE u.custkey IN (SELECT custkey FROM changed)
+         OR u.custkey NOT IN (SELECT custkey FROM snap))
+    SELECT custkey, mktsegment, acctbal,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           is_current
+    FROM merged
+    """,
+)
+def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension merge (operators/scd.scd2_apply): a synthetic
+    update batch — segment migrations for custkey%10==0, no-op re-sends for
+    %10==5 (must NOT version), inserts for unknown keys — applied to the
+    initial customer snapshot.  Changed keys get their current version
+    closed out and a new open version appended; everything is equi/semi/anti
+    joins on the natural key (one key shuffle per pass, merge cost ∝
+    |dim| + |batch|, independent of history length).  The reference only
+    ever does Type-1 (`mongo_postgres_cdc.py:359-380` ON CONFLICT UPDATE) or
+    full rebuilds (`DB.sql:24,51`); Type 2 is the warehouse-history
+    completion of that surface."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import scd
+
+    c = load_table(spark, sf_dir, "customer")
+    snap = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    dim = scd.scd2_init(snap)
+    upd = (
+        snap.where(F.col("custkey") % 10 == 0)
+        .withColumn("mktsegment", F.lit("MIGRATED"))
+        .unionByName(snap.where(F.col("custkey") % 10 == 5))
+        .unionByName(
+            snap.where(F.col("custkey") % 100 == 0).select(
+                (F.col("custkey") + 1000000).alias("custkey"),
+                F.lit("NEW").alias("mktsegment"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    out = scd.scd2_apply(dim, upd, "custkey", ["mktsegment", "acctbal"], "1996-06-01")
+    return out.select(
+        "custkey",
+        "mktsegment",
+        "acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -3888,6 +4051,9 @@ def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # new this round — never seen by the driver gate
+    "customer_scd2",
+    "daily_revenue_spine",
+    "nation_revenue_trend",
     "daily_revenue_ma7",
     "session_stats",
     "yearly_revenue_growth",

@@ -89,6 +89,75 @@ def upsert_parquet(
     )
 
 
+def scd2_upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    tracked: list[str],
+    eff_col: str,
+    num_buckets: int = 64,
+) -> None:
+    """Maintain an SCD Type 2 dimension on bucketed parquet from CDC batches
+    (the ``foreachBatch`` body for a versioned-dimension sink — the Type-2
+    counterpart of :func:`upsert_parquet`'s Type-1 LWW).
+
+    ``batch`` carries the dimension attribute schema plus ``eff_col`` (each
+    change's event date).  Within a micro-batch only the LATEST change per
+    key is applied (ordered by ``eff_col``, ties broken by full-row content
+    hash) — sub-batch intermediate versions collapse, the same granularity
+    trade every micro-batched CDC consumer makes.  Merge mechanics and
+    economics are inherited from the bucketed layout: only buckets touched
+    by the batch are read back, merged through
+    :func:`~oltp_to_data_warehouse_pipeline_spark.operators.scd.scd2_apply`,
+    and dynamically overwritten — cost ∝ touched buckets, never table size,
+    and history rows stay co-bucketed with their key.
+
+    Idempotent under replay (at-least-once → exactly-once effect): a
+    re-delivered batch finds every change already current, the null-safe
+    change detection reports no differences, and the merge is a no-op.
+    """
+    from oltp_to_data_warehouse_pipeline_spark.operators.scd import scd2_apply, scd2_init
+
+    content = F.xxhash64(*[F.col(c) for c in sorted(batch.columns)])
+    latest = lww_dedup(batch, [key], [F.col(eff_col).desc(), content.desc()])
+
+    if not os.path.exists(path):
+        # first batch: every row is an insert, open from its own event date
+        attrs = [c for c in latest.columns if c != eff_col]
+        empty_dim = scd2_init(latest.select(*attrs).limit(0))
+        first = scd2_apply(empty_dim, latest, key, tracked, eff_col=eff_col)
+        (
+            _bucketed(first, key, num_buckets)
+            .repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+        return
+
+    incoming = _bucketed(latest, key, num_buckets)
+    existing = spark.read.parquet(path)
+    touched = [r[BUCKET_COL] for r in incoming.select(BUCKET_COL).distinct().collect()]
+    relevant = existing.where(F.col(BUCKET_COL).isin(touched)).drop(BUCKET_COL)
+    merged = scd2_apply(relevant, latest, key, tracked, eff_col=eff_col)
+    (
+        _bucketed(merged, key, num_buckets)
+        .repartition(BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def read_scd2(spark: SparkSession, path: str, current_only: bool = False) -> DataFrame:
+    """Read the versioned dimension (drops the physical bucket column).
+    ``current_only`` gives the Type-1 view (open versions only)."""
+    df = spark.read.parquet(path).drop(BUCKET_COL)
+    return df.where(F.col("is_current") == 1) if current_only else df
+
+
 def compact_tombstones(
     spark: SparkSession,
     path: str,
