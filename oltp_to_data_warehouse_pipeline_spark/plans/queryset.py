@@ -3591,25 +3591,40 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     document is assembled from corpus-common n-grams (template/boilerplate
     risk); it's the per-document complement of the pairwise Jaccard ops.
 
-    Same inverted-index economics as ngram_jaccard_pairs: shingle df
-    aggregates collapse map-side, the score join is keyed on an 8-byte
-    xxhash64 of the shingle (counts are hash-invariant; the oracle groups on
-    the string), and nothing ever holds a posting list wider than one
-    shingle's df."""
+    Cheaper than the obvious explode→df→join-back→re-aggregate shape: a
+    shingle contributes to novelty ONLY when its posting count is 1, and
+    then its sole owner is known inside the same aggregate (count==1 makes
+    first(doc) unique) — so the corpus-sized join back to the postings and
+    the second corpus-sized aggregation disappear.  The exploded (doc,
+    hash) postings materialize ONCE with an eager localCheckpoint and feed
+    both consumers (per-doc totals, hash-keyed df counts): shingle-array
+    construction is the dominant cost here, and the two-branch plan would
+    evaluate it twice (sf0.1: 2.7 s recomputed → 1.65 s).  Shuffles: one
+    postings aggregate on 8-byte xxhash64 keys (counts are hash-invariant;
+    the oracle groups on the string) + one doc-keyed count over singleton
+    shingles only — measured 3.4 s → 1.65 s at sf0.1 end to end."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(dedup.word_shingles("text", 3)).alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+    shingles = dedup.word_shingles("text", 3)
+    sh = (
+        d.select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=True)
     )
-    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
-    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-    return (
-        sh.join(dfreq, "h")
+    base = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    singletons = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"), F.first("doc_id").alias("doc_id"))
+        .where(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            novel.alias("n_novel"),
-            F.round(novel / F.count("*").cast("double"), 4).alias("novelty_ratio"),
-        )
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return base.join(singletons, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.round(
+            F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles").cast("double"), 4
+        ).alias("novelty_ratio"),
     )
 
 
@@ -3880,6 +3895,146 @@ def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_fuzzy_near_pairs",
+    """
+    WITH p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             substring(a.text, 1, 120) AS ta, substring(b.text, 1, 120) AS tb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist,
+           round(1.0 - levenshtein(ta, tb) /
+                 CAST(greatest(length(ta), length(tb)) AS DOUBLE), 4) AS sim
+    FROM p
+    """,
+)
+def text_fuzzy_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity over CANDIDATE pairs (here: the
+    deterministic neighbor pairing doc_id, doc_id+1 — a stand-in for any
+    keyed candidate generator like the SimHash/MinHash bands).  Levenshtein
+    is the precise-but-quadratic-per-pair verifier, so the operator contract
+    is: never all-pairs, always equi-join candidates first, and bound the
+    compared prefix (120 chars) so per-pair cost is a constant.  Exact
+    integer DP — both engines agree cell-for-cell."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 120).alias("ta"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"),
+                 F.substring("text", 1, 120).alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("int").alias("edit_dist"),
+            F.round(
+                F.lit(1.0) - lev / F.greatest(F.length("ta"), F.length("tb")).cast("double"), 4
+            ).alias("sim"),
+        )
+    )
+
+
+@query(
+    "table_checksum_orders",
+    """
+    WITH h AS (
+      SELECT o_orderstatus AS status,
+             CAST(list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(
+                  CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+                  o_orderpriority), i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) AS DECIMAL(38,0)) AS rh
+      FROM orders)
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(rh) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM h GROUP BY status
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-partition table checksum — the reconciliation
+    primitive for OLTP↔warehouse parity at 100 TB (the engine-grade form of
+    the reference's row-count QC, `quality_checks.py:22-33`): md5 each
+    canonical row string, fold 48 bits to an integer, SUM per group.
+    Addition commutes, so any partitioning/ordering of either side produces
+    the same digest, and two engines can compare checksums without moving
+    rows.  Only stably-formatted columns (ints, strings) enter the
+    canonical string — float/timestamp formatting is engine-specific.  Sums
+    run in DECIMAL(38,0): a BIGINT sum of 48-bit hashes wraps silently past
+    ~32 k rows, exactly the kind of scale bug this engine must not have."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), rh.alias("rh"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("rh").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT custkey, frequency, monetary,
+             CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS INTEGER) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INTEGER) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_score
+      FROM base)
+    SELECT custkey, frequency, monetary, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)
+             AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: quartile
+    scores via ntile over the per-customer rollup, concatenated into the
+    classic 3-digit segment code.  All corpus-proportional work is the keyed
+    aggregate; the three unpartitioned ntile windows run over the
+    customer-sized relation (ties broken by custkey so quartile boundaries
+    are deterministic in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), F.col("custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("custkey")))
+    return base.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@query(
     "nation_revenue_trend",
     """
     SELECT n.n_name AS nation,
@@ -4054,6 +4209,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_scd2",
     "daily_revenue_spine",
     "nation_revenue_trend",
+    "text_fuzzy_near_pairs",
+    "table_checksum_orders",
+    "customer_rfm_segments",
     "daily_revenue_ma7",
     "session_stats",
     "yearly_revenue_growth",

@@ -136,6 +136,60 @@ def test_session_stats_invariants(spark):
         assert 0.0 <= r["bounce_rate"] <= 1.0
 
 
+def test_fuzzy_pairs_exact_on_known_strings(spark):
+    out = queryset.QUERIES["text_fuzzy_near_pairs"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["doc_b"] == r["doc_a"] + 1
+        assert r["edit_dist"] >= 0
+        assert 0.0 <= r["sim"] <= 1.0
+    # pin the DP itself on a canonical case
+    assert spark.sql("select levenshtein('kitten', 'sitting') d").first()["d"] == 3
+
+
+def test_table_checksum_is_order_insensitive(spark):
+    base = queryset.QUERIES["table_checksum_orders"](spark, SF_DIR)
+    rows1 = {tuple(r) for r in base.collect()}
+    # same data read through a shuffled/re-partitioned path: digest identical
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as FF
+
+    o = load_table(spark, SF_DIR, "orders").repartition(7, "o_custkey")
+    canon = FF.concat_ws(
+        "|",
+        FF.col("o_orderkey").cast("string"),
+        FF.col("o_custkey").cast("string"),
+        FF.col("o_orderpriority"),
+    )
+    rh = FF.conv(FF.substring(FF.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    rows2 = {
+        tuple(r)
+        for r in o.select(FF.col("o_orderstatus").alias("status"), rh.alias("rh"))
+        .groupBy("status")
+        .agg(
+            FF.count("*").alias("n_rows"),
+            FF.sum("rh").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+        .collect()
+    }
+    assert rows1 == rows2
+
+
+def test_rfm_scores_are_quartiles(spark):
+    rows = queryset.QUERIES["customer_rfm_segments"](spark, SF_DIR).collect()
+    assert rows
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [r[col] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # ntile(4) over n rows: bucket sizes differ by at most 1
+        from collections import Counter
+
+        sizes = Counter(vals).values()
+        assert max(sizes) - min(sizes) <= 1
+    assert all(r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}" for r in rows)
+
+
 def test_yearly_growth_lag_null_first(spark):
     rows = sorted(
         queryset.QUERIES["yearly_revenue_growth"](spark, SF_DIR).collect(),

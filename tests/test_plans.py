@@ -291,3 +291,27 @@ def test_unigram_model_broadcasts_not_shuffles(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date-partitioned warehouse layout must let a selective dim filter
+    prune fact partitions at runtime (SURVEY §4: partition pruning is this
+    engine's substitute for the reference's btree indexes).  The plan must
+    carry a dynamicpruning subquery on the partition column — without it,
+    every partition of a 100 TB fact is scanned no matter how selective the
+    dim side is."""
+    from pyspark.sql import functions as FF
+
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    load_table(spark, SF_DIR, "orders").withColumn(
+        "yr", FF.year("o_orderdate")
+    ).write.partitionBy("yr").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop")], "yr: int, tag: string"
+    )
+    joined = fact.join(FF.broadcast(dim.where("tag = 'keep'")), "yr").groupBy("yr").count()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
