@@ -82,3 +82,35 @@ def quality_gate(df: DataFrame, key_cols: list[str], not_null_cols: list[str]) -
     for c in not_null_cols:
         results[f"no_nulls_{c}"] = (row[f"__nulls_{c}"] or 0) == 0
     return results
+
+
+def observed(
+    df: DataFrame,
+    name: str,
+    not_null_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
+):
+    """Attach free QC metrics to a pipeline: row count, per-column null
+    counts, per-column sums, collected DURING the pipeline's own action via
+    Spark's Observation API — zero extra passes over the data.
+
+    The `quality_gate` above re-scans the table to profile it (fine as a
+    standalone gate); at 100 TB the better pattern is observing the write
+    itself: the metrics accumulate on executors while rows stream to the
+    sink, and the driver reads O(#metrics) scalars afterwards.
+
+    Returns (observed_df, observation).  Run an action on ``observed_df``
+    (e.g. the warehouse write), then read ``observation.get`` — a dict like
+    {"rows": n, "<col>_nulls": n, "<col>_sum": x}.  Contract caveat, per
+    Spark semantics: ``get`` blocks until the FIRST action completes and
+    reflects exactly the rows that action processed.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in not_null_cols or []:
+        metrics.append(F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"{c}_nulls"))
+    for c in sum_cols or []:
+        metrics.append(F.sum(F.col(c)).alias(f"{c}_sum"))
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

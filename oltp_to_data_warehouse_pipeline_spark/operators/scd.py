@@ -60,6 +60,13 @@ def scd2_apply(
     ``updates`` — the CDC case, where each change carries its own event
     time).  Deterministic given deterministic inputs — no timestamps are
     read from the clock.
+
+    When chaining many applies in ONE Spark job (backfills), materialize
+    between rounds (``.localCheckpoint(eager=True)`` or a table write):
+    each apply layers joins over the previous result and a deeply nested
+    plan stalls the driver at analysis time, same as any iterative
+    operator.  The streaming sink doesn't need this — every micro-batch
+    writes to parquet, which truncates lineage naturally.
     """
     if (effective_date is None) == (eff_col is None):
         raise ValueError("pass exactly one of effective_date or eff_col")

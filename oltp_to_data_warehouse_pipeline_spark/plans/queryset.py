@@ -3895,6 +3895,40 @@ def yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_top_order",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(max(o_totalprice), 2) AS top_value,
+           arg_max(o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey)
+             AS top_orderkey
+    FROM orders GROUP BY 1
+    """,
+)
+def customer_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax via the max_by aggregate — the one-pass form of
+    "which order was the biggest" that needs no window sort and no
+    self-join.  The ordering key is a single BIGINT composite
+    (cents · 10⁷ + orderkey) so ties on value break deterministically on
+    the key in BOTH engines — max_by with a bare double ordering key picks
+    an arbitrary winner under ties, which is exactly the kind of
+    nondeterminism a differential gate exists to catch.  Cents come from
+    floor(x·100 + 0.5): Spark's double→bigint cast truncates while DuckDB's
+    rounds, so the rounding must be spelled out."""
+    o = load_table(spark, sf_dir, "orders")
+    ordkey = (
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("top_value"),
+        F.max_by(F.col("o_orderkey"), ordkey).alias("top_orderkey"),
+    )
+
+
+@query(
     "text_fuzzy_near_pairs",
     """
     WITH p AS (
@@ -4212,6 +4246,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "text_fuzzy_near_pairs",
     "table_checksum_orders",
     "customer_rfm_segments",
+    "customer_top_order",
     "daily_revenue_ma7",
     "session_stats",
     "yearly_revenue_growth",

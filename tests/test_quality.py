@@ -47,3 +47,19 @@ def test_fk_orphans(spark):
     rows = fk_orphans(child, parent, "fk", "pk").collect()
     # NULL fk excluded (SQL semantics); only the true orphan remains
     assert [(r["fk"], r["payload"]) for r in rows] == [(9, "orphan")]
+
+
+def test_observed_metrics_ride_the_write(spark, tmp_path):
+    """Observation metrics must reflect the rows the action processed,
+    with no second scan of the input."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.quality import observed
+
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (2, "b", 3.0), (3, "c", None)], "k: long, s: string, v: double"
+    )
+    out, obs = observed(df, "load_qc", not_null_cols=["s", "v"], sum_cols=["k"])
+    out.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = obs.get
+    assert got["rows"] == 3
+    assert got["s_nulls"] == 1 and got["v_nulls"] == 1
+    assert got["k_sum"] == 6
