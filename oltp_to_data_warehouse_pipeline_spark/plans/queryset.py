@@ -4231,6 +4231,172 @@ def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_quality_zscore_by_source",
+    """
+    WITH atl AS (
+      SELECT doc_id, source,
+             length(regexp_replace(text, '\\s+', '', 'g')) /
+               greatest(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 1) AS atl
+      FROM documents)
+    SELECT doc_id, source,
+           round(atl, 4) AS avg_token_len,
+           round((atl - avg(atl) OVER (PARTITION BY source)) /
+                 stddev_samp(atl) OVER (PARTITION BY source), 3) AS z_score
+    FROM atl
+    """,
+)
+def doc_quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: z-score of a continuous quality
+    signal (avg token length) within each source.  Raw quality heuristics
+    are not comparable across crawls/sources — a fixed global threshold
+    over- or under-prunes whole sources; normalizing per source is the
+    standard fix before a single keep-threshold is applied.  One window
+    shuffle on the source key; both moments come from the same window spec,
+    so Catalyst plans a single sort+exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    atl = text.avg_token_len("text")
+    w = Window.partitionBy("source")
+    base = d.select("doc_id", "source", atl.alias("atl"))
+    return base.select(
+        "doc_id",
+        "source",
+        F.round("atl", 4).alias("avg_token_len"),
+        F.round(
+            (F.col("atl") - F.avg("atl").over(w)) / F.stddev_samp("atl").over(w), 3
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             pow((list_sum(list_transform(generate_series(1, 12), i ->
+                    (strpos('0123456789abcdef',
+                            substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+                      << (4 * (12 - i)))) + 0.5) / 281474976710656.0,
+                 1.0 / greatest(n_chars, 1)) AS k
+      FROM documents)
+    SELECT doc_id, n_chars, round(k, 6) AS sample_key
+    FROM k ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1) from a 48-bit md5
+    fold of its key and competes with key u^(1/w), w = n_chars; the top-k
+    keys ARE a weighted sample.  Reproducible across runs AND engines
+    (unlike rand()-based sampleBy), needs no pre-pass over the weights
+    (unlike inverse-CDF sampling), and selection is a per-row expression +
+    one TakeOrderedAndProject (per-partition heaps, no global sort) — the
+    shape that samples 10^11 docs by importance weight without a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(float(2**48))
+    k = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    return (
+        d.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
+
+
+@query(
+    "token_shard_assign",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT lang,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tokens) AS shard_tokens
+    FROM c GROUP BY lang, shard_id
+    """,
+)
+def token_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token training-shard assignment: per language, documents are
+    laid out in deterministic md5 order and cut into ~512-token shards by
+    the running token count (a doc belongs to the shard its FIRST token
+    lands in).  This is the step that turns a curated corpus into
+    equal-sized training files; downstream loaders depend on shard sizes
+    being uniform, which the shard_tokens rollup verifies.  Same single
+    stratum-key window shuffle as token_budget_pack; the rollup reuses the
+    sort order, so no second exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "lang", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "lang",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 512)
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+@query(
+    "order_priority_modal_month",
+    """
+    WITH pm AS (
+      SELECT o_orderpriority AS priority,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT priority,
+           arg_max(m, n * 100 + (12 - m)) AS modal_month,
+           max(n) AS n_orders
+    FROM pm GROUP BY priority
+    """,
+)
+def order_priority_modal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal (most-frequent-value) aggregate: the busiest order month per
+    priority class.  mode() in both engines is tie-nondeterministic, so the
+    mode is computed as arg_max over the (value, count) rollup with a
+    composite ordering key — count dominates, smaller month wins ties —
+    making the answer deterministic and engine-portable.  Two keyed
+    aggregations, the second over a tiny rollup; no window sort."""
+    o = load_table(spark, sf_dir, "orders")
+    pm = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return pm.groupBy("priority").agg(
+        F.max_by("m", F.col("n") * 100 + (F.lit(12) - F.col("m"))).alias("modal_month"),
+        F.max("n").alias("n_orders"),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
