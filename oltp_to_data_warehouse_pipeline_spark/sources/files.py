@@ -139,3 +139,76 @@ def compact_table(
     fs_path = jvm.org.apache.hadoop.fs.Path(tmp)
     fs_path.getFileSystem(jsc.hadoopConfiguration()).delete(fs_path, True)
     return (n_before, int(n_after))
+
+
+def zorder_key(cols: list, mins: list[float], maxs: list[float], bits: int = 16):
+    """Morton (Z-order) key expression: interleave the ``bits``-bit
+    quantized ranks of each column.
+
+    Each column is linearly scaled into [0, 2^bits) using the provided
+    min/max, then bit b of column i lands at position ``b*ncols + i`` of the
+    key.  All terms occupy disjoint bit positions, so a plain SUM equals the
+    bitwise OR and the whole key is one codegen'd integer expression —
+    ncols*bits shift/mask terms, no UDF.
+    """
+    n = len(cols)
+    if not (1 <= n * bits <= 62):
+        raise ValueError(f"ncols*bits must fit a signed 64-bit key, got {n}x{bits}")
+    quantized = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor((col.cast("double") - float(lo)) / span * ((1 << bits) - 1))
+        quantized.append(F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))).cast("long"))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            key = key + F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional clustered (Z-ordered) write — data skipping on
+    SEVERAL filter columns at once.
+
+    ``write_sorted`` makes one dimension's min/max stats selective but
+    leaves every other column spanning the full domain in every file.
+    Sorting by the Morton interleave of the cluster columns keeps rows that
+    are close in EVERY dimension in the same file, so each file covers only
+    a fraction of each column's range and a predicate on ANY subset of the
+    cluster columns prunes files/row groups (the open-table-format
+    ``ZORDER BY`` affordance, on plain parquet).
+
+    Cost: one tiny agg pass for per-column min/max (driver gets 2·ncols
+    scalars — at 100 TB this reads parquet footer stats, not data), then the
+    same repartitionByRange + local sort as ``write_sorted``; the key never
+    hits disk.  Quantization uses fixed global bounds, so the layout is
+    deterministic under repartition/retry.
+    """
+    if fmt not in _READ_OPTS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_OPTS)}")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cluster_cols)],
+    ).first()
+    mins = [stats[f"lo_{i}"] for i in range(len(cluster_cols))]
+    maxs = [stats[f"hi_{i}"] for i in range(len(cluster_cols))]
+    key = zorder_key(cluster_cols, mins, maxs, bits=bits)
+    out = (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    out.write.format(fmt).mode(mode).save(path)

@@ -144,3 +144,54 @@ def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in ranges)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_zorder_key_interleaves_disjoint_bits(spark):
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (3, 0), (0, 3), (3, 3)], "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key(["x", "y"], mins=[0, 0], maxs=[3, 3], bits=2)
+        ).collect()
+    }
+    # 2-bit quantization of a 0..3 domain is the identity; interleaved bits:
+    # x at even positions, y at odd → (3,0)=0b0101, (0,3)=0b1010, (3,3)=0b1111
+    assert got == {(0, 0): 0, (3, 0): 5, (0, 3): 10, (3, 3): 15}
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import (
+        write_sorted,
+        write_zordered,
+    )
+
+    n, files = 16_384, 16
+    # two independent uniform dimensions (decorrelated by multiplicative hashing)
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.col("id") * 2654435761 % n).cast("long"))
+        .withColumn("y", (F.col("id") * 40503 % n).cast("long"))
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], num_files=files)
+    write_sorted(df, spath, sort_cols=["x"], num_files=files)
+
+    def mean_span(path, col):
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(((F.max(col) - F.min(col)) / float(n)).alias("frac"))
+            .collect()
+        )
+        return sum(r["frac"] for r in rows) / len(rows)
+
+    # lossless
+    assert spark.read.parquet(zpath).count() == n
+    # sorted-by-x: x is selective but y spans ~the whole domain in every file
+    assert mean_span(spath, "x") < 0.15
+    assert mean_span(spath, "y") > 0.85
+    # z-ordered: BOTH dimensions' per-file spans shrink well below full domain
+    assert mean_span(zpath, "x") < 0.55
+    assert mean_span(zpath, "y") < 0.55
