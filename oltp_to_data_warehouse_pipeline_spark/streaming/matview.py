@@ -1,0 +1,68 @@
+"""Streaming materialized views: a rollup kept fresh by a stream.
+
+The reference's dashboard aggregates (`DB.sql:109-124`, `DATA BI.pdf p.1`)
+are recomputed from the whole warehouse on every refresh.  The streaming
+completion of that surface is a *materialized view*: the same mergeable
+rollup algebra as `plans/incremental_agg` (rollup(all) == merge(stored,
+partial(delta))), driven by `foreachBatch` so each micro-batch folds its
+partial aggregate into the stored rollup.
+
+Why foreachBatch and not a stateful streaming aggregation: the rollup must
+live in a TABLE other engines/consumers can scan (the reference serves Power
+BI from warehouse tables, not from an in-flight query), survive stream
+restarts without state-store migration, and admit batch backfills through
+the exact same merge path.  Streaming state here is only Spark's source
+offsets; the data state is the parquet rollup itself, guarded by
+batch-id markers so a replayed epoch is a no-op (exactly-once effect under
+at-least-once delivery — same contract as the upsert sink, ST3).
+
+Scale: per micro-batch cost is partial-agg of the batch (map-side combine,
+shuffle ∝ touched groups) + rewrite of touched rollup partitions only —
+independent of table history, which is what makes a 100 TB fact stream
+maintainable at minute-level freshness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
+    RollupSpec,
+    refresh_rollup,
+)
+
+
+def maintain_rollup(
+    stream: DataFrame,
+    path: str,
+    spec: RollupSpec,
+    checkpoint: str,
+    partition_key: str | None = None,
+    query_name: str = "matview",
+) -> StreamingQuery:
+    """Attach a rollup-maintenance sink to a streaming DataFrame.
+
+    Returns the started query; callers own trigger/await.  ``epoch_id`` is
+    Spark's replay-stable micro-batch id — reusing it as the merge batch_id
+    is what makes checkpoint-recovery replays no-ops.
+    """
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        refresh_rollup(
+            batch.sparkSession,
+            batch,
+            path,
+            spec,
+            batch_id=f"{query_name}-{epoch_id}",
+            partition_key=partition_key,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
