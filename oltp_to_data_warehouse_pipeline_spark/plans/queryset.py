@@ -4397,6 +4397,225 @@ def order_priority_modal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_value_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           round(d.med, 4) AS med,
+           round(a.mad, 4) AS mad,
+           CAST(count(*) FILTER (WHERE d.dev > 3 * 1.4826 * a.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type, d.med, a.mad
+    """,
+)
+def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per-type median + MAD (median absolute
+    deviation), counting points beyond the 3σ-equivalent robust fence
+    (1.4826·MAD ≈ σ for normal data).  Mean/stddev fences break down exactly
+    when you need them — a fat-tailed metric drags its own threshold — so
+    production data-quality monitors use MAD.  Three keyed passes over the
+    (tiny-cardinality) type key: median, deviation median, fence count; the
+    two median relations are broadcast back against the stream of events, so
+    the event table is never shuffled."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count_if(F.col("dev") > 3 * 1.4826 * F.col("mad"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "brand_affinity_lift",
+    """
+    WITH ib AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ib),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ib GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM ib a JOIN ib c ON a.ok = c.ok AND a.b < c.b
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * n.n_orders / (ba.nb * bb.nb), 4) AS lift
+    FROM pairs
+    CROSS JOIN n
+    JOIN bc ba ON ba.b = brand_a
+    JOIN bc bb ON bb.b = brand_b
+    WHERE n_ab >= 10
+    """,
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand co-occurrence within an order, scored
+    by lift = P(a,b) / (P(a)·P(b)).  The pair expansion is the inverted-
+    index shape (self-equi-join on the basket key, a.b < c.b), so cost is
+    Σ(basket size²) — baskets are a few items, never n² in orders; the
+    brand-frequency relation and the 1-row total are broadcast.  The
+    standard co-purchase / recommend-adjacent primitive, and the same
+    economics as the n-gram Jaccard family."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ib = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ib.select(F.count_distinct("ok").cast("bigint").alias("n_orders"))
+    bc = ib.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    a, c = ib.alias("a"), ib.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 10)
+    )
+    ba = bc.select(F.col("b").alias("brand_a"), F.col("nb").alias("na_"))
+    bb = bc.select(F.col("b").alias("brand_b"), F.col("nb").alias("nb_"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("na_") * F.col("nb_")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "revenue_pareto_customers",
+    """
+    WITH cr AS (
+      SELECT o_custkey AS custkey,
+             CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY 1)
+    SELECT custkey,
+           round(cents / 100.0, 2) AS revenue,
+           round(CAST(sum(cents) OVER (ORDER BY cents DESC, custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / sum(cents) OVER (), 4) AS cum_share,
+           (sum(cents) OVER (ORDER BY cents DESC, custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            <= CAST(0.8 * sum(cents) OVER () AS BIGINT)) AS in_top80
+    FROM cr
+    """,
+)
+def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-share) analysis: customers ranked by revenue with
+    running share of total and an 80%-band flag — the concentration question
+    every BI review asks.  All accumulation happens in integer cents
+    (BIGINT), so the running and total sums are exact and engine-portable
+    regardless of accumulation order; only the final share division touches
+    floats.  The ranking window runs over the CUSTOMER rollup (dim-scale,
+    ≪ fact) — the global-order window never sees raw order rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cr = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    run = (
+        Window.orderBy(F.desc("cents"), "custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy()
+    cum = F.sum("cents").over(run)
+    tot = F.sum("cents").over(total)
+    return cr.select(
+        "custkey",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(cum.cast("double") / tot, 4).alias("cum_share"),
+        (cum <= (0.8 * tot).cast("bigint")).alias("in_top80"),
+    )
+
+
+@query(
+    "daily_revenue_ewma",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS day_num,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT strftime(a.d, '%Y-%m-%d') AS day, a.revenue,
+           round(sum(b.revenue * pow(0.5, (a.day_num - b.day_num) / 3.0))
+                 / sum(pow(0.5, (a.day_num - b.day_num) / 3.0)), 2) AS ewma7
+    FROM daily a JOIN daily b ON b.day_num BETWEEN a.day_num - 6 AND a.day_num
+    GROUP BY a.d, a.revenue
+    """,
+)
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life 3 days) over the
+    daily revenue series — the trend signal that reacts faster than a flat
+    MA7 but still smooths noise.  Weights depend on the DISTANCE from the
+    current row, which a plain window aggregate cannot express; instead the
+    7-day RANGE window collects (day, revenue) pairs and two higher-order
+    ``aggregate`` folds compute the weighted mean per row — zero joins, one
+    sort, JVM-codegen'd (the self-join formulation the oracle uses would be
+    a range join growing O(days·window) at scale).  Window input is the
+    dim-sized daily rollup, same posture as daily_revenue_ma7."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("day_num"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    pairs = F.collect_list(F.struct(F.col("day_num").alias("dn"), F.col("revenue").alias("r"))).over(w)
+    decay = lambda x: F.pow(F.lit(0.5), (F.col("day_num") - x["dn"]) / F.lit(3.0))  # noqa: E731
+    num = F.aggregate(
+        F.col("__pairs"), F.lit(0.0), lambda acc, x: acc + x["r"] * decay(x)
+    )
+    den = F.aggregate(F.col("__pairs"), F.lit(0.0), lambda acc, x: acc + decay(x))
+    return (
+        daily.withColumn("__pairs", pairs)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            F.round(num / den, 2).alias("ewma7"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
