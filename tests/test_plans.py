@@ -315,3 +315,53 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = fact.join(FF.broadcast(dim.where("tag = 'keep'")), "yr").groupBy("yr").count()
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
+    """When neither join side broadcasts, a selective filter on one side
+    should inject a runtime bloom filter on the other side's scan
+    (`spark.sql.optimizer.runtime.bloomFilter.*`): probe rows that cannot
+    match are dropped BEFORE the shuffle, which at 100 TB is the difference
+    between shuffling the whole fact table and shuffling the matching
+    slice.  Thresholds are production-scale by default; this pins that the
+    engine's session keeps the feature ON and that the rewrite fires once
+    size gates are met (lowered here to fit the fixture)."""
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan(joined)
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
