@@ -46,6 +46,9 @@ HEADLINE = [
     "cosine_topk_rerank",
     "doc_idf_rarity",
     "doc_ngram_novelty",
+    "brand_affinity_lift",
+    "token_shard_assign",
+    "event_value_outliers_mad",
 ]
 
 
@@ -73,6 +76,11 @@ def main() -> None:
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
+        # DataFrame-level persist() entries live in the CacheManager, not
+        # the RDD registry — clear those too so every timed sample pays the
+        # full materialization cost (honest timings for queries that cache
+        # a multi-consumer relation)
+        spark.catalog.clearCache()
         # full collection outside the timed window: keeps one query's garbage
         # from billing a GC pause to the next query's timing
         spark.sparkContext._jvm.System.gc()

@@ -4475,27 +4475,42 @@ def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: brand co-occurrence within an order, scored
-    by lift = P(a,b) / (P(a)·P(b)).  The pair expansion is the inverted-
-    index shape (self-equi-join on the basket key, a.b < c.b), so cost is
-    Σ(basket size²) — baskets are a few items, never n² in orders; the
-    brand-frequency relation and the 1-row total are broadcast.  The
-    standard co-purchase / recommend-adjacent primitive, and the same
-    economics as the n-gram Jaccard family."""
+    by lift = P(a,b) / (P(a)·P(b)).
+
+    Spark shape: ONE shuffle by basket key builds the per-order sorted
+    distinct-brand array (collect_set dedups in-group); the a<b pair
+    expansion is then a higher-order `transform×transform` over that array —
+    no self-join, so the basket relation is never re-shuffled and pair cost
+    is Σ(basket size²) with baskets a few items wide (never n² in orders).
+    The array relation feeds three branches (pairs, brand frequencies,
+    basket total), so it is persisted — the standard Spark answer for
+    multi-consumer derived relations (recomputing it per branch is the plan
+    the oracle's CTE would naively suggest).  Frequency and total relations
+    broadcast back onto the pair stream."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ib = (
+    baskets = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .persist()
     )
-    n = ib.select(F.count_distinct("ok").cast("bigint").alias("n_orders"))
-    bc = ib.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
-    a, c = ib.alias("a"), ib.alias("c")
-    pairs = (
-        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.b") < F.col("c.b")))
-        .groupBy(
-            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+    n = baskets.select(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    bc = baskets.select(F.explode("bs").alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "bs",
+            lambda x, i: F.transform(
+                F.slice("bs", i + 2, F.size("bs")),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= 10)
     )
