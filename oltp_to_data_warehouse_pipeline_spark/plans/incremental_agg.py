@@ -9,8 +9,12 @@ table scan per refresh; the scalable contract is:
 
 which holds for the *mergeable* aggregate algebra — SUM and COUNT merge by
 summing, MIN/MAX by min/max, and AVG is re-derived at read time from its
-SUM+COUNT pair.  (Non-mergeable exact aggregates — median, distinct count —
-need sketches; see `approx_percentile_orders` / `approx_distinct_orders`.)
+SUM+COUNT pair.  Exact distinct counts are NOT mergeable, but their sketch
+is: ``distinct_sketches`` columns carry a Datasketches HLL binary per group
+(`hll_sketch_agg`), merge by union (`hll_union_agg`), and estimate at read
+time — incremental "distinct users per day" over 100 TB without ever
+re-shuffling history.  (Exact medians likewise need a one-shot recompute or
+a quantile sketch; see `approx_percentile_orders`.)
 
 Refresh cost ∝ delta size + touched partitions, not table size: the stored
 rollup is partitioned on a group key (e.g. month), only partitions present
@@ -42,6 +46,8 @@ class RollupSpec:
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
     count_col: str | None = "n_rows"
+    # out-col -> source col: mergeable distinct-count sketches (HLL binary)
+    distinct_sketches: dict[str, str] = field(default_factory=dict)
 
     def partial(self, df: DataFrame) -> DataFrame:
         """Per-group partial aggregates of one delta (or of the full data —
@@ -49,6 +55,10 @@ class RollupSpec:
         aggs = [F.sum(src).alias(out) for out, src in self.sums.items()]
         aggs += [F.min(src).alias(out) for out, src in self.mins.items()]
         aggs += [F.max(src).alias(out) for out, src in self.maxs.items()]
+        aggs += [
+            F.hll_sketch_agg(src).alias(out)
+            for out, src in self.distinct_sketches.items()
+        ]
         if self.count_col:
             aggs.append(F.count(F.lit(1)).alias(self.count_col))
         return df.groupBy(*self.keys).agg(*aggs)
@@ -58,6 +68,7 @@ class RollupSpec:
         aggs = [F.sum(out).alias(out) for out in self.sums]
         aggs += [F.min(out).alias(out) for out in self.mins]
         aggs += [F.max(out).alias(out) for out in self.maxs]
+        aggs += [F.hll_union_agg(out).alias(out) for out in self.distinct_sketches]
         if self.count_col:
             aggs.append(F.sum(self.count_col).alias(self.count_col))
         return stacked.groupBy(*self.keys).agg(*aggs)
@@ -122,11 +133,17 @@ def refresh_rollup(
 
 
 def read_rollup(
-    spark: SparkSession, path: str, avgs: dict[str, tuple[str, str]] | None = None
+    spark: SparkSession,
+    path: str,
+    avgs: dict[str, tuple[str, str]] | None = None,
+    distinct_estimates: list[str] | None = None,
 ) -> DataFrame:
     """Read the rollup; ``avgs`` derives averages from (sum_col, count_col)
-    pairs — the read-time half of AVG's mergeable decomposition."""
+    pairs and ``distinct_estimates`` turns stored HLL sketch columns into
+    counts — the read-time half of the mergeable decompositions."""
     df = spark.read.parquet(path)
     for out, (sum_col, cnt_col) in (avgs or {}).items():
         df = df.withColumn(out, F.col(sum_col) / F.col(cnt_col))
+    for col in distinct_estimates or []:
+        df = df.withColumn(col, F.hll_sketch_estimate(col))
     return df

@@ -94,3 +94,35 @@ def test_avg_derived_at_read(spark, tmp_path):
     }
     for r in got.collect():
         assert round(r["avg_price"], 4) == want[(r["order_month"], r["o_orderstatus"])]
+
+
+def test_distinct_sketch_merges_and_matches_exact(spark, tmp_path):
+    """HLL sketch columns: union-of-partials == sketch-of-all (estimates
+    identical — HLL is deterministic), and at small cardinality the
+    estimate equals the exact distinct count."""
+    path = str(tmp_path / "rollup_hll")
+    spec = RollupSpec(
+        keys=("order_month",),
+        distinct_sketches={"custs": "o_custkey"},
+    )
+    o = _orders(spark)
+    split = F.col("o_orderkey") % 3
+    for i in range(3):
+        refresh_rollup(
+            spark, o.where(split == i), path, spec,
+            batch_id=f"b{i}", partition_key="order_month",
+        )
+    got = {
+        r["order_month"]: r["custs"]
+        for r in read_rollup(spark, path, distinct_estimates=["custs"]).collect()
+    }
+    oracle = {
+        r["order_month"]: r["exact"]
+        for r in o.groupBy("order_month")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(oracle)
+    for m, exact in oracle.items():
+        # per-month cardinality here is far below HLL's ~lgK=12 error floor
+        assert got[m] == exact, (m, got[m], exact)
