@@ -628,3 +628,113 @@ def quantize_int8(
         F.array_max(q).alias("q_max"),
         F.round(mse, 8).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: cell-partitioned layout + incremental maintenance
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors written PARTITIONED BY cell, with
+    the centroid model stored alongside (`_ivf_model.json`).
+
+    This is the at-scale form of `ivf_topk`'s inline assignment: pay the
+    cell assignment once at write time, and every probe afterwards is a
+    partition-pruned scan (nprobe/k of the files, enforced by the planner,
+    not by a filter over a full scan).  The model rides with the data so
+    readers and appenders can never disagree about cell geometry.
+    """
+    import json
+    import os
+
+    assigned = (
+        ensure_min_parallelism(emb)
+        .select(F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("embedding"))
+        .withColumn("cell", nearest_cell(F.col("embedding"), centroids))
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_ivf_model.json"), "w") as f:
+        json.dump({"centroids": centroids}, f)
+
+
+def ivf_read_model(path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_model.json")) as f:
+        return json.load(f)["centroids"]
+
+
+def ivf_append(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a batch of new vectors to the
+    EXISTING centroids and append into their cell partitions.
+
+    Cost ∝ batch size (one narrow assignment map + appends into touched
+    partitions); the index never needs a rebuild to stay queryable, which
+    is the operational property that matters when embeddings arrive from a
+    streaming encoder.  Centroid drift is a retrain decision (re-run
+    `ivf_centroids` + `ivf_write_index`), not an append-path concern —
+    exactly how production IVF deployments split the duty.
+    """
+    centroids = ivf_read_model(path)
+    assigned = (
+        ensure_min_parallelism(new_emb)
+        .select(F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("embedding"))
+        .withColumn("cell", nearest_cell(F.col("embedding"), centroids))
+    )
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted index: filter on the partition column prunes to
+    the queries' union of probe cells BEFORE any data is read, then score
+    exactly like `ivf_topk`.  Same deterministic output as the inline path
+    on identical vectors+centroids (assignment is a pure function of both)."""
+    centroids = ivf_read_model(path)
+    cand = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+        "cell",
+    )
+    probe_cells = F.slice(
+        F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec"))
+        .withColumn("cell", F.explode(F.transform(probe_cells, lambda e: e.getField("i"))))
+        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+        .withColumn(
+            "sim", dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -157,3 +157,36 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     # vec 3: scale = 0.1; 12.7 -> 127, -6.35 -> floor(-63.5+0.5) = -63 (half-up)
     assert got[3]["q_max"] == 127 and got[3]["q_min"] == -63
     assert got[3]["mse"] < (0.1 / 2) ** 2, "error bounded by half a quantization step"
+
+
+def test_ivf_index_write_append_probe(spark, tmp_path):
+    """Persisted IVF index: write → append → probe equals the inline path
+    over the full data (assignment is a pure function of vector+centroids),
+    and the probe plan prunes cell partitions before the scan."""
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where("vec_id % 5 != 0")
+    late = emb.where("vec_id % 5 = 0")
+    centroids = similarity.ivf_centroids(first, k=4, iters=1)
+
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(first, path, centroids)
+    similarity.ivf_append(late, path)
+
+    q = emb.where("vec_id < 3")
+    got = similarity.ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
+    want = similarity.ivf_topk(emb, q, centroids, k=3, nprobe=2)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"]) for r in got.collect()))
+    want_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"]) for r in want.collect()))
+    assert got_rows == want_rows and got_rows
+
+    # layout: one directory per touched cell; append did not rewrite
+    cells = [p.name for p in (tmp_path / "ivf").iterdir() if p.name.startswith("cell=")]
+    assert cells, "expected cell partitions"
+
+    # partition pruning: probing ONE cell must plan a partition filter
+    one_cell = spark.read.parquet(path).where("cell = 0")
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan
