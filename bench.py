@@ -53,6 +53,13 @@ HEADLINE = [
 
 
 def main() -> None:
+    # stdout contract: EXACTLY one JSON line.  The JVM writes banners to
+    # fd 1 under some timings (observed under heavy host load), so fd 1 is
+    # redirected into stderr for the whole run and the JSON goes to a saved
+    # dup of the original stdout at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -113,13 +120,13 @@ def main() -> None:
     # garbage from distorting the next query's measurement
     total = round(sum(timings.values()), 3)
 
-    print(json.dumps({
+    os.write(real_stdout, (json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }) + "\n").encode())
 
 
 if __name__ == "__main__":
