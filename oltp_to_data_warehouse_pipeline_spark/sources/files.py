@@ -120,13 +120,21 @@ def compact_table(
     is itself a Spark job with task-commit atomicity).
     """
     df = read_table(spark, path, fmt)
-    # file inventory from the input_file_name() distinct — format-agnostic
-    # and exact, without listing the filesystem ourselves
-    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
-    n_before = len(files)
-    import os
-
-    total = sum(os.path.getsize(f.removeprefix("file://")) for f in files if f)
+    # file inventory from the hidden `_metadata` struct: names AND sizes come
+    # from the scan's own file index (no data columns projected, no
+    # driver-side filesystem walk) — works identically on local/HDFS/S3
+    inv = (
+        df.select(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("f")
+        .agg(F.first("bytes").alias("bytes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("total"))
+        .first()
+    )
+    n_before = int(inv["n"])
+    total = int(inv["total"] or 0)
     n_after = max(1, -(-total // target_file_bytes))
     if n_after >= n_before:
         return (n_before, n_before)  # already compact — don't rewrite
