@@ -4631,6 +4631,49 @@ def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_only_near_dups",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+    SELECT id_a, id_b, round(s, 4) AS sim
+    FROM p
+    JOIN fp fa ON fa.doc_id = id_a
+    JOIN fp fb ON fb.doc_id = id_b
+    WHERE s >= {_NEAR_DUP_T} AND fa.fp <> fb.fp
+    """,
+)
+def semantic_only_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal semantic dedup: embedding-cosine near-dup pairs whose
+    TEXT fingerprints differ — exactly the paraphrase/translation/rewrite
+    duplicates that every lexical dedup stage (exact, MinHash, SimHash)
+    structurally misses.  In production curation this list is the second
+    dedup pass after lexical dedup has collapsed the literal copies.
+
+    Shape: the pair source is the embedding near-dup operator (LSH-banded
+    at scale; the bounded exact path here, where the fixture is small), and
+    the text-fingerprint relation joins in by document id — two broadcast
+    hash joins of an id→32-byte-hash projection, never the text itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(F.col("doc_id"), F.md5(F.lower(F.trim("text"))).alias("fp"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        pairs.join(F.broadcast(fa), "id_a")
+        .join(F.broadcast(fb), "id_b")
+        .where(F.col("fp_a") != F.col("fp_b"))
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
