@@ -82,3 +82,30 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def progress_metrics(query) -> dict:
+    """Operational counters from a streaming query's recent progress:
+    rows seen, state size, and — the one that guards correctness — rows
+    DROPPED by the watermark.
+
+    Late data past the watermark horizon is silently excluded from window
+    results; at 100 TB "silently" is how gaps ship to dashboards.  This
+    helper folds `StreamingQueryProgress.stateOperators` into a plain dict
+    a pipeline can alert on (the watermark-lateness twin of the batch QC
+    gate).  Counters are summed over the query's retained progress history
+    (spark.sql.streaming.numRecentProgressUpdates, default 100 batches).
+    """
+    totals = {
+        "input_rows": 0,
+        "state_rows": 0,
+        "dropped_by_watermark": 0,
+        "batches": 0,
+    }
+    for p in query.recentProgress:
+        totals["batches"] += 1
+        totals["input_rows"] += int(p.get("numInputRows") or 0)
+        for op in p.get("stateOperators") or []:
+            totals["dropped_by_watermark"] += int(op.get("numRowsDroppedByWatermark") or 0)
+            totals["state_rows"] = int(op.get("numRowsTotal") or totals["state_rows"])
+    return totals

@@ -219,3 +219,49 @@ def test_cdc_within_batch_ordering_by_offset(spark, tmp_path):
         for r in read_upserted(spark, f"{wh}/users").collect()
     }
     assert got2 == got
+
+
+def test_progress_metrics_count_watermark_drops(spark, tmp_path):
+    """A record older than the watermark horizon must be dropped from the
+    windowed aggregation AND show up in the progress counters — silent
+    late-data loss is the failure mode progress_metrics exists to surface."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    fresh = spark.createDataFrame(
+        [(base, "click", 1.0), (base + dt.timedelta(minutes=5), "click", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    fresh.write.parquet(str(src / "f1"))
+    late = spark.createDataFrame(
+        [(base - dt.timedelta(hours=2), "click", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    late.write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = windows.tumbling_counts(stream, window_len="10 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_drops")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        metrics = windows.progress_metrics(q)
+    finally:
+        q.stop()
+    assert metrics["batches"] >= 2
+    assert metrics["input_rows"] == 3
+    assert metrics["dropped_by_watermark"] >= 1, metrics
+    # and the dropped event's window is absent from results
+    got = {r["window_start"] for r in spark.sql("select * from wm_drops").collect()}
+    assert all(w >= base.replace(minute=0) for w in got)
