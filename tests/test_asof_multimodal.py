@@ -140,3 +140,35 @@ def test_audio_chunk_plan(spark):
         for r in mm.audio_chunk_plan(df, "media_id", chunk_ms=30_000, overlap_ms=10_000).collect()
     )
     assert out2 == [0, 20_000, 40_000, 60_000]
+
+
+def test_media_to_ann_pipeline_end_to_end(spark, tmp_path):
+    """Composition: binary media → Arrow-batched feature extraction → IVF
+    index on disk → partition-pruned top-k probe.  The full multimodal
+    retrieval path with the stub codec standing in for a real encoder —
+    every Spark-side seam (schemas, partitioning, index layout, probe
+    join) is the production one."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+    media = spark.createDataFrame(
+        [(i, bytes([i % 7] * (50 + i))) for i in range(40)],
+        "media_id long, content binary",
+    )
+    feats = multimodal.extract_features(media, dim=8)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").cast("array<float>").alias("embedding"),
+    )
+    centroids = similarity.ivf_centroids(emb, k=3, iters=1)
+    path = str(tmp_path / "media_ivf")
+    similarity.ivf_write_index(emb, path, centroids)
+
+    q = emb.where("vec_id = 0")
+    got = similarity.ivf_topk_indexed(spark, path, q, k=3, nprobe=3)
+    rows = sorted(got.collect(), key=lambda r: r["rank"])
+    assert len(rows) == 3 and all(r["query_id"] == 0 for r in rows)
+    # nprobe == k scans every cell, so this equals exact cosine top-k
+    exact = similarity.cosine_topk(emb, q, k=3)
+    assert [r["neighbor_id"] for r in rows] == [
+        r["neighbor_id"] for r in sorted(exact.collect(), key=lambda r: r["rank"])
+    ]
