@@ -54,3 +54,34 @@ def salted_join(
         salted_large.join(salted_small.hint("shuffle_hash"), [on, "__salt"], how)
         .drop("__salt")
     )
+
+
+def skew_profile(df: DataFrame, key_cols: list[str], top_n: int = 20) -> DataFrame:
+    """Join-key skew diagnostic: the decision input for `salted_join` vs
+    trusting AQE.
+
+    One keyed count + one tiny global aggregate produce, per heavy key:
+    its row count, its share of all rows, and the ratio to a perfectly
+    uniform key (`skew_x`, rows·distinct/total) — skew_x ≈ 1 means uniform;
+    a key at skew_x 500 will put 500× the average partition load on one
+    task, which AQE can split for sort-merge joins but nothing can fix for
+    a hash-partitioned aggregation except salting.  Output is top_n rows
+    (TakeOrderedAndProject), so the diagnostic is safe to run on the full
+    100 TB table."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") * F.col("__keys") / F.col("__total"), 2
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_n)
+    )

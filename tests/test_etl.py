@@ -72,3 +72,28 @@ def test_incremental_run_watermark_and_qc(spark):
     )
     cleaned3, wm3, qc3 = run.run(df.unionByName(doomed), prior_watermark=4)
     assert cleaned3.count() == 0 and wm3 == 7 and not qc3["non_empty"]
+
+
+def test_backfill_slices_resume_and_match_single_pass(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.plans.etl import backfill
+
+    df = _fixture(spark)
+    run = IncrementalRun(watermark_col="row_id")
+    loaded: list[tuple[int, list]] = []
+
+    def load(cleaned, slice_id):
+        loaded.append((slice_id, [r["row_id"] for r in cleaned.collect()]))
+
+    state = str(tmp_path / "bf")
+    res = backfill(run, df, lo=0, hi=6, num_slices=3, load=load, state_dir=state)
+    assert [r["skipped"] for r in res] == [False, False, False]
+    # slices are disjoint and their union equals the single-pass clean
+    all_ids = sorted(i for _, ids in loaded for i in ids)
+    want = sorted(r["row_id"] for r in clean_loan_data(df).where("row_id > 0 and row_id <= 6").collect())
+    assert all_ids == want
+    assert len(all_ids) == len(set(all_ids)), "slices must not overlap"
+
+    # resume: nothing re-loads
+    n_before = len(loaded)
+    res2 = backfill(run, df, lo=0, hi=6, num_slices=3, load=load, state_dir=state)
+    assert all(r["skipped"] for r in res2) and len(loaded) == n_before

@@ -62,3 +62,19 @@ def test_salted_join_rejects_small_preserving_types(spark):
         salted_join(large, small, on="k", how="right")
     with pytest.raises(ValueError):
         salted_join(large, small, on="k", how="full")
+
+
+def test_skew_profile_flags_hot_key(spark):
+    from oltp_to_data_warehouse_pipeline_spark.operators.skew import skew_profile
+
+    # 1000 rows on key 'hot', 1 row each on 100 cold keys
+    df = spark.range(1000).select(F.lit("hot").alias("k")).unionAll(
+        spark.range(100).select(F.concat(F.lit("c"), F.col("id")).alias("k"))
+    )
+    prof = skew_profile(df, ["k"], top_n=3).collect()
+    assert prof[0]["k"] == "hot"
+    assert prof[0]["n_rows"] == 1000
+    assert abs(prof[0]["row_share"] - 1000 / 1100) < 1e-6
+    # uniform expectation is 1100/101 ≈ 10.9 rows/key -> hot is ~92x
+    assert 80 < prof[0]["skew_x"] < 100
+    assert prof[1]["n_rows"] == 1
