@@ -93,7 +93,9 @@ def _violation_indicator(e: Expectation) -> Column:
     elif e.kind == "between":
         bad = c.isNotNull() & ~c.between(e.lo, e.hi)
     elif e.kind == "matches":
-        bad = c.isNotNull() & ~c.rlike(e.pattern)
+        # rlike is substring search; the declared contract is FULL match —
+        # anchor so a valid fragment inside garbage cannot pass the gate
+        bad = c.isNotNull() & ~c.rlike(f"^(?:{e.pattern})$")
     elif e.kind == "custom":
         bad = ~F.coalesce(e.predicate, F.lit(False))
     else:  # pragma: no cover - guarded by validate()

@@ -123,11 +123,15 @@ def backfill(
 
     The range (lo, hi] splits into ``num_slices`` half-open slices; each
     slice runs extract→clean→QC exactly like a watermark increment (both
-    slice bounds push into the scan) and hands the cleaned delta to
-    ``load(df, slice_id)``.  A completion marker per slice makes an
-    interrupted backfill resumable without double-loading: re-running skips
-    finished slices (for mid-slice crashes the sink must be idempotent per
-    slice — the same contract every sink in this engine already honors).
+    slice bounds push into the scan; the run's quality gate judges every
+    slice and a failing slice STOPS the backfill before its load, exactly
+    like the incremental path's QC-gates-load ordering) and hands the
+    cleaned delta to ``load(df, slice_id)``.  A completion marker per slice
+    — keyed by the (lo, hi, num_slices) range so a reused state_dir cannot
+    silently skip a DIFFERENT range — makes an interrupted backfill
+    resumable without double-loading: re-running skips finished slices (for
+    mid-slice crashes the sink must be idempotent per slice — the same
+    contract every sink in this engine already honors).
 
     Slicing bounds peak resource usage (each slice shuffles/loads its own
     fraction) and gives linear progress checkpoints — at 100 TB an
@@ -136,15 +140,18 @@ def backfill(
     """
     import os
 
+    from oltp_to_data_warehouse_pipeline_spark.operators.quality import quality_gate
+
     if num_slices < 1 or hi <= lo:
         raise ValueError("need hi > lo and num_slices >= 1")
     os.makedirs(state_dir, exist_ok=True)
+    range_key = f"{lo}_{hi}_{num_slices}"
     width = (hi - lo) / num_slices
     results: list[dict] = []
     for i in range(num_slices):
         s_lo = lo + int(i * width)
         s_hi = hi if i == num_slices - 1 else lo + int((i + 1) * width)
-        marker = os.path.join(state_dir, f"slice_{i:05d}")
+        marker = os.path.join(state_dir, f"slice_{range_key}_{i:05d}")
         if os.path.exists(marker):
             results.append({"slice": i, "lo": s_lo, "hi": s_hi, "skipped": True})
             continue
@@ -152,6 +159,19 @@ def backfill(
             (F.col(run.watermark_col) > s_lo) & (F.col(run.watermark_col) <= s_hi)
         )
         cleaned = clean_loan_data(delta, run.cleaning_cfg)
+        if run.quality_keys or run.quality_not_null:
+            qc = quality_gate(
+                cleaned, list(run.quality_keys), list(run.quality_not_null)
+            )
+            # an empty slice is fine (sparse key ranges); any OTHER failed
+            # gate poisons the backfill — stop before loading bad data
+            bad = [k for k, ok in qc.items() if not ok and k != "non_empty"]
+            if bad:
+                results.append(
+                    {"slice": i, "lo": s_lo, "hi": s_hi, "skipped": False,
+                     "qc_failed": bad}
+                )
+                return results
         load(cleaned, i)
         open(marker, "w").close()
         results.append({"slice": i, "lo": s_lo, "hi": s_hi, "skipped": False})

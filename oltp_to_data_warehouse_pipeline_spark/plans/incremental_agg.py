@@ -78,10 +78,25 @@ def _applied(path: str, batch_id: str) -> bool:
     return os.path.exists(os.path.join(path, _BATCH_DIR, batch_id))
 
 
+def _mark_begin(path: str, batch_id: str) -> None:
+    d = os.path.join(path, _BATCH_DIR)
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, batch_id + ".begin"), "w").close()
+
+
+def _interrupted(path: str, batch_id: str) -> bool:
+    return os.path.exists(
+        os.path.join(path, _BATCH_DIR, batch_id + ".begin")
+    ) and not _applied(path, batch_id)
+
+
 def _mark_applied(path: str, batch_id: str) -> None:
     d = os.path.join(path, _BATCH_DIR)
     os.makedirs(d, exist_ok=True)
     open(os.path.join(d, batch_id), "w").close()
+    begin = os.path.join(d, batch_id + ".begin")
+    if os.path.exists(begin):
+        os.remove(begin)
 
 
 def refresh_rollup(
@@ -103,13 +118,27 @@ def refresh_rollup(
         raise ValueError(f"partition_key {partition_key!r} must be one of spec.keys")
     if _applied(path, batch_id):
         return  # replayed batch: no-op (exactly-once effect)
-
+    if _interrupted(path, batch_id):
+        # A begin marker without its commit means a previous attempt died
+        # BETWEEN writing the merged rollup and committing the marker — on
+        # plain parquet that pair is not atomic, and merging again would
+        # double-count.  Detect it and fail LOUDLY instead of corrupting:
+        # the operator restores the rollup (rebuild from source, or restore
+        # the touched partitions from backup), removes the .begin marker,
+        # and replays.
+        raise RuntimeError(
+            f"rollup at {path!r}: batch {batch_id!r} was interrupted between "
+            "merge and commit; state may already include this delta. "
+            "Rebuild/restore the rollup, remove the .begin marker, then replay."
+        )
     partials = spec.partial(delta)
 
     exists = os.path.exists(path) and any(
         not e.startswith("_") for e in os.listdir(path)
     )
     if not exists:
+        # initial population is a plain overwrite — replaying it after any
+        # crash just rewrites the same partials, so no journal is needed
         w = partials.write.mode("overwrite")
         if partition_key:
             w = w.partitionBy(partition_key)
@@ -117,6 +146,9 @@ def refresh_rollup(
         _mark_applied(path, batch_id)
         return
 
+    # merging is NOT idempotent — journal the attempt so a crash inside the
+    # merge+commit pair is detected on replay (the _interrupted gate above)
+    _mark_begin(path, batch_id)
     stored = spark.read.parquet(path)
     if partition_key:
         touched = [

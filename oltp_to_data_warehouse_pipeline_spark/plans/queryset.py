@@ -4547,8 +4547,8 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / sum(cents) OVER (), 4) AS cum_share,
            (sum(cents) OVER (ORDER BY cents DESC, custkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            <= CAST(0.8 * sum(cents) OVER () AS BIGINT)) AS in_top80
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 5
+            <= sum(cents) OVER () * 4) AS in_top80
     FROM cr
     """,
 )
@@ -4557,8 +4557,12 @@ def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     running share of total and an 80%-band flag — the concentration question
     every BI review asks.  All accumulation happens in integer cents
     (BIGINT), so the running and total sums are exact and engine-portable
-    regardless of accumulation order; only the final share division touches
-    floats.  The ranking window runs over the CUSTOMER rollup (dim-scale,
+    regardless of accumulation order, and the 80%% band test is the integer
+    cross-multiplication cum*5 <= total*4 (a 0.8*total float threshold
+    rounds half-up through DuckDB's DECIMAL but truncates through Spark's
+    double->bigint cast - boundary customers would flip between engines).
+    Only the reported share division touches floats.  The ranking window
+    runs over the CUSTOMER rollup (dim-scale,
     ≪ fact) — the global-order window never sees raw order rows."""
     o = load_table(spark, sf_dir, "orders")
     cr = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -4577,7 +4581,7 @@ def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(cum.cast("double") / tot, 4).alias("cum_share"),
-        (cum <= (0.8 * tot).cast("bigint")).alias("in_top80"),
+        (cum * 5 <= tot * 4).alias("in_top80"),
     )
 
 

@@ -210,8 +210,11 @@ def write_zordered(
         *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(cluster_cols)],
         *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(cluster_cols)],
     ).first()
-    mins = [stats[f"lo_{i}"] for i in range(len(cluster_cols))]
-    maxs = [stats[f"hi_{i}"] for i in range(len(cluster_cols))]
+    # empty input / all-NULL cluster column → no bounds; treat that column
+    # as constant (zorder_key's span<=0 path) so the write degrades to a
+    # plain single-range write instead of crashing on float(None)
+    mins = [stats[f"lo_{i}"] if stats[f"lo_{i}"] is not None else 0.0 for i in range(len(cluster_cols))]
+    maxs = [stats[f"hi_{i}"] if stats[f"hi_{i}"] is not None else 0.0 for i in range(len(cluster_cols))]
     key = zorder_key(cluster_cols, mins, maxs, bits=bits)
     out = (
         df.withColumn("__zkey", key)

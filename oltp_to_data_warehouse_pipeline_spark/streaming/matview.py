@@ -12,9 +12,13 @@ live in a TABLE other engines/consumers can scan (the reference serves Power
 BI from warehouse tables, not from an in-flight query), survive stream
 restarts without state-store migration, and admit batch backfills through
 the exact same merge path.  Streaming state here is only Spark's source
-offsets; the data state is the parquet rollup itself, guarded by
-batch-id markers so a replayed epoch is a no-op (exactly-once effect under
-at-least-once delivery — same contract as the upsert sink, ST3).
+offsets; the data state is the parquet rollup itself, guarded by batch-id
+markers so a replayed epoch is a no-op.  One honesty note versus the upsert
+sink (ST3, idempotent at any interruption point): a rollup MERGE is not
+idempotent, and plain parquet cannot commit data+marker atomically — so
+`refresh_rollup` journals each merge (begin/commit pair) and a crash inside
+that window is DETECTED on replay and fails loudly instead of silently
+double-counting (see incremental_agg.refresh_rollup).
 
 Scale: per micro-batch cost is partial-agg of the batch (map-side combine,
 shuffle ∝ touched groups) + rewrite of touched rollup partitions only —
@@ -40,12 +44,16 @@ def maintain_rollup(
     checkpoint: str,
     partition_key: str | None = None,
     query_name: str = "matview",
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Attach a rollup-maintenance sink to a streaming DataFrame.
 
-    Returns the started query; callers own trigger/await.  ``epoch_id`` is
-    Spark's replay-stable micro-batch id — reusing it as the merge batch_id
-    is what makes checkpoint-recovery replays no-ops.
+    Returns the started query; callers own await/stop.  ``trigger`` passes
+    through to ``DataStreamWriter.trigger`` — default is drain-and-stop
+    (``{"availableNow": True}``); pass e.g. ``{"processingTime": "1
+    minute"}`` for a continuously-running view.  ``epoch_id`` is Spark's
+    replay-stable micro-batch id — reusing it as the merge batch_id is what
+    makes checkpoint-recovery replays no-ops.
     """
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
@@ -63,6 +71,6 @@ def maintain_rollup(
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -105,7 +105,13 @@ def progress_metrics(query) -> dict:
     for p in query.recentProgress:
         totals["batches"] += 1
         totals["input_rows"] += int(p.get("numInputRows") or 0)
-        for op in p.get("stateOperators") or []:
+        ops = p.get("stateOperators") or []
+        for op in ops:
             totals["dropped_by_watermark"] += int(op.get("numRowsDroppedByWatermark") or 0)
-            totals["state_rows"] = int(op.get("numRowsTotal") or totals["state_rows"])
+        if ops:
+            # state size is a gauge, not a counter: report the LATEST
+            # batch's total summed across ALL stateful operators (a plain
+            # `or`-guard here would pin a drained store at its last nonzero
+            # value and a state-size alert would never clear)
+            totals["state_rows"] = sum(int(op.get("numRowsTotal") or 0) for op in ops)
     return totals

@@ -97,3 +97,33 @@ def test_backfill_slices_resume_and_match_single_pass(spark, tmp_path):
     n_before = len(loaded)
     res2 = backfill(run, df, lo=0, hi=6, num_slices=3, load=load, state_dir=state)
     assert all(r["skipped"] for r in res2) and len(loaded) == n_before
+
+
+def test_backfill_markers_keyed_by_range(spark, tmp_path):
+    """Reusing a state_dir for a DIFFERENT range must not skip it."""
+    from oltp_to_data_warehouse_pipeline_spark.plans.etl import backfill
+
+    df = _fixture(spark)
+    run = IncrementalRun(watermark_col="row_id")
+    loaded = []
+    state = str(tmp_path / "bf")
+    backfill(run, df, lo=0, hi=3, num_slices=1, load=lambda d, i: loaded.append(("a", i)), state_dir=state)
+    res = backfill(run, df, lo=3, hi=6, num_slices=1, load=lambda d, i: loaded.append(("b", i)), state_dir=state)
+    assert not res[0]["skipped"]
+    assert ("b", 0) in loaded
+
+
+def test_backfill_qc_failure_stops_before_load(spark, tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.plans.etl import backfill
+
+    df = _fixture(spark)
+    # member_id nulls exist pre-clean; require uniqueness on a NON-unique
+    # column to force a failing gate
+    run = IncrementalRun(watermark_col="row_id", quality_keys=("term",))
+    loaded = []
+    res = backfill(
+        run, df, lo=0, hi=6, num_slices=1,
+        load=lambda d, i: loaded.append(i), state_dir=str(tmp_path / "bf"),
+    )
+    assert res[0].get("qc_failed"), res
+    assert loaded == []  # nothing loaded, no marker written

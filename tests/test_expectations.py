@@ -30,7 +30,7 @@ def test_row_level_kinds_and_null_convention(spark):
             ("a", 10, "x@y.io"),
             ("b", -5, "nope"),
             (None, 200, None),
-            ("a", None, "z@w.co"),
+            ("a", None, "garbage x@y.io garbage"),  # embedded fragment ≠ full match
         ],
         "k string, n int, email string",
     )
@@ -48,7 +48,7 @@ def test_row_level_kinds_and_null_convention(spark):
     # NULL k is "not applicable" for accepted_values (covered by not_null)
     assert got["accepted_values(k)"] == (0, True)
     assert got["between(n,0,100)"] == (2, False)  # -5 and 200; NULL exempt
-    assert got["matches(email)"] == (1, False)  # 'nope'; NULL exempt
+    assert got["matches(email)"] == (2, False)  # 'nope' + embedded fragment; NULL exempt
     assert got["n_even"] == (1, False)  # -5
 
 def test_unique_exact_and_approx(spark):

@@ -126,3 +126,22 @@ def test_distinct_sketch_merges_and_matches_exact(spark, tmp_path):
     for m, exact in oracle.items():
         # per-month cardinality here is far below HLL's ~lgK=12 error floor
         assert got[m] == exact, (m, got[m], exact)
+
+
+def test_interrupted_merge_detected_not_double_applied(spark, tmp_path):
+    """A begin marker without its commit (crash inside the merge+commit
+    pair) must make the replay fail loudly instead of double-counting."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "rollup")
+    o = _orders(spark)
+    refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
+    # simulate: merge for b1 wrote data but died before the commit marker
+    open(os.path.join(path, "_applied_batches", "b1.begin"), "w").close()
+    with pytest.raises(RuntimeError, match="interrupted between merge and commit"):
+        refresh_rollup(spark, o.limit(5), path, SPEC, batch_id="b1", partition_key="order_month")
+    # operator resolves (removes the marker) -> replay proceeds
+    os.remove(os.path.join(path, "_applied_batches", "b1.begin"))
+    refresh_rollup(spark, o.limit(5), path, SPEC, batch_id="b1", partition_key="order_month")
