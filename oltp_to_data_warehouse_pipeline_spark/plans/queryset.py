@@ -4678,6 +4678,129 @@ def semantic_only_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "nation_share_of_region",
+    """
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(round(round(sum(o.o_totalprice), 2) * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+           round(cents / 100.0, 2) AS revenue,
+           round(CAST(cents AS DOUBLE) / sum(cents) OVER (PARTITION BY region), 4)
+             AS region_share
+    FROM nr
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region —
+    the percent-of-parent column every drill-down report carries.  The
+    share denominator is a PARTITIONED window over the nation rollup
+    (25 rows), in exact integer cents so accumulation order cannot move
+    the 4th decimal; dims broadcast onto the orders scan, one aggregation
+    shuffle total."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nr = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("region")
+    return nr.select(
+        "region",
+        "nation",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(w), 4).alias(
+            "region_share"
+        ),
+    )
+
+
+@query(
+    "discount_band_revenue",
+    """
+    SELECT CAST(floor(l_discount * 11 / CAST(0.11 AS DOUBLE)) + 1 AS BIGINT) AS band,
+           round(min(l_discount), 2) AS band_lo,
+           round(max(l_discount), 2) AS band_hi,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * l_discount), 2) AS discount_given
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram bands over a continuous measure
+    (`width_bucket`; the oracle replays Spark's floor((v−lo)·n/(hi−lo))+1
+    double arithmetic term-for-term since DuckDB lacks the function — the
+    association order matters: (v/width) flips boundary values): items and
+    total discount dollars per discount band, the pricing-leakage histogram.
+    Pure map + one tiny-key aggregation; band arithmetic happens in the
+    scan stage, so the exchange carries 11 groups regardless of table
+    size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.width_bucket("l_discount", F.lit(0.0), F.lit(0.11), F.lit(11)).alias("band"))
+        .agg(
+            F.round(F.min("l_discount"), 2).alias("band_lo"),
+            F.round(F.max("l_discount"), 2).alias("band_hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "discount_given"
+            ),
+        )
+    )
+
+
+@query(
+    "user_activity_entropy",
+    """
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ue AS (
+      SELECT user_id, sum(c) AS n,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS type_entropy,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM tc GROUP BY user_id)
+    SELECT user_id, n, n_types, type_entropy FROM ue
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type mix
+    (0 = single-type bots, log2(k) = uniform engagement) — the standard
+    engagement/anomaly feature.  Entropy folds from the (user, type) count
+    rollup via H = log2(n) − Σc·log2(c)/n, so the event stream shuffles
+    once on (user, type) and once on user — counts only, never rows."""
+    e = load_table(spark, sf_dir, "events")
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        tc.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+            ).alias("type_entropy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        )
+        .select("user_id", "n", "n_types", "type_entropy")
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
