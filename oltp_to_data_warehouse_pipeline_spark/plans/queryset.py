@@ -4801,6 +4801,55 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    jp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= {_NEAR_DUP_T}
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    reach AS (
+      SELECT s AS node, d AS r FROM edges
+      UNION
+      SELECT reach.node, e2.d FROM reach JOIN edges e2 ON e2.s = reach.r
+    ),
+    comp AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+    SELECT em.vec_id,
+           coalesce(c.cluster_id, em.vec_id) AS cluster_id,
+           (coalesce(c.cluster_id, em.vec_id) = em.vec_id) AS is_canonical
+    FROM embeddings em LEFT JOIN comp c ON c.node = em.vec_id
+    """,
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, end to end: embedding near-dup pairs → connected
+    components → canonical representative per cluster (min id) — the same
+    cluster/keep-list contract as the lexical `near_dup_clusters`, driven
+    by cosine geometry instead of shingles, so paraphrase families collapse
+    to one kept document.  The pair source swaps to the LSH-banded operator
+    at scale; the propagation loop is O(diameter) rounds over the EDGE set
+    only.  The oracle replays the components as a recursive-CTE transitive
+    closure — exact cross-engine agreement on every cluster assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+    labels = dedup.connected_components(pairs.select("id_a", "id_b"), a="id_a", b="id_b")
+    return (
+        emb.select("vec_id")
+        .join(labels, emb["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("lbl", "vec_id").alias("cluster_id"),
+            (F.coalesce("lbl", "vec_id") == F.col("vec_id")).alias("is_canonical"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
