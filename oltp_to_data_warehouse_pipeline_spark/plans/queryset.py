@@ -4850,6 +4850,63 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status,
+             round(o_totalprice, 2) AS price
+      FROM orders),
+    new AS (
+      -- deterministic synthetic drift: %97==0 re-priced, %89==0 deleted,
+      -- shifted keys inserted
+      SELECT okey, status,
+             CASE WHEN okey % 97 = 0 THEN round(price + 1.0, 2) ELSE price END AS price
+      FROM old WHERE okey % 89 != 0
+      UNION ALL
+      SELECT okey + 100000000, status, price FROM old WHERE okey % 101 = 0)
+    SELECT coalesce(o.okey, n.okey) AS okey,
+           CASE WHEN o.okey IS NULL THEN 'added'
+                WHEN n.okey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.okey = n.okey
+    WHERE o.okey IS NULL OR n.okey IS NULL
+       OR o.status IS DISTINCT FROM n.status
+       OR o.price IS DISTINCT FROM n.price
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation (`operators/diff.table_diff`) between an
+    orders snapshot and a drifted copy (synthetic but deterministic:
+    re-prices, deletes, inserts) — the drill-down that follows a
+    `table_checksum_orders` mismatch.  One co-partitioned full-outer join;
+    compared columns ride as one struct, so change detection is a single
+    null-safe equality."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.diff import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new = (
+        old.where(F.col("okey") % 89 != 0)
+        .withColumn(
+            "price",
+            F.when(F.col("okey") % 97 == 0, F.round(F.col("price") + 1.0, 2)).otherwise(
+                F.col("price")
+            ),
+        )
+        .unionByName(
+            old.where(F.col("okey") % 101 == 0).select(
+                (F.col("okey") + 100000000).alias("okey"), "status", "price"
+            )
+        )
+    )
+    return table_diff(old, new, keys=["okey"])
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a

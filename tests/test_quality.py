@@ -63,3 +63,26 @@ def test_observed_metrics_ride_the_write(spark, tmp_path):
     assert got["rows"] == 3
     assert got["s_nulls"] == 1 and got["v_nulls"] == 1
     assert got["k_sum"] == 6
+
+
+def test_table_diff_classification_and_null_safety(spark):
+    from oltp_to_data_warehouse_pipeline_spark.operators.diff import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0),        # identical -> absent from diff
+         (2, "b", None),        # NULL == NULL -> identical
+         (3, "c", 31.0),        # changed value
+         (5, "e", 50.0)],       # new key
+        "k int, s string, v double",
+    )
+    got = {r["k"]: r["change"] for r in table_diff(left, right, keys=["k"]).collect()}
+    assert got == {3: "changed", 4: "removed", 5: "added"}
+
+    # NULL vs value is a change, not "same"
+    right2 = spark.createDataFrame([(2, "b", 7.0)], "k int, s string, v double")
+    got2 = {r["k"]: r["change"] for r in table_diff(left.where("k=2"), right2, keys=["k"]).collect()}
+    assert got2 == {2: "changed"}
