@@ -4907,6 +4907,92 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(old, new, keys=["okey"])
 
 
+@query(
+    "daily_active_users",
+    """
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER)
+               AS day_num,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(d, '%Y-%m-%d') AS day, dau,
+           round(avg(dau) OVER (ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS dau_ma7
+    FROM dau
+    """,
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU with a 7-day smoothing window — the first chart on every product
+    dashboard.  Exact per-day distinct (one (day, user) shuffle, map-side
+    partial dedup); the MA rides the day-grain rollup via a RANGE frame, so
+    the window input is ~days, not events.  (For rolling 7/28-day DISTINCT
+    windows at 100 TB — not averages of dailies — use the HLL sketch
+    columns of `plans/incremental_agg` and union 7 daily sketches at read:
+    exact sliding distinct over raw events is a re-shuffle per window.)"""
+    e = load_table(spark, sf_dir, "events")
+    dau = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("day_num"),
+    ).agg(F.count_distinct("user_id").cast("bigint").alias("dau"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return dau.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        F.round(F.avg("dau").over(w), 2).alias("dau_ma7"),
+    )
+
+
+@query(
+    "doc_search_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+      FROM q JOIN e c ON c.vec_id != q.vec_id),
+    topk AS (
+      SELECT query_id, neighbor_id, round(s, 4) AS sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT t.query_id, t.neighbor_id, CAST(t.rank AS BIGINT) AS rank, t.sim,
+           d.lang, d.source, substring(d.text, 1, 40) AS snippet
+    FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+    WHERE t.rank <= 5
+    """,
+)
+def doc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-user retrieval query: ANN top-k then JOIN BACK to the
+    document store for display fields (language, source, snippet) — the
+    result a search API actually returns, not bare neighbor ids.  Top-k
+    runs entirely in the embedding space (queries broadcast over
+    candidates; swap in the IVF probe at scale) and only the k·|queries|
+    winning ids hit the documents table — an id-keyed join of a tiny
+    relation against a broadcast-or-bucketed store, never a text scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 3")
+    topk = similarity.cosine_topk(emb, q, k=5)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), "lang", "source", F.substring("text", 1, 40).alias("snippet")
+    )
+    return (
+        topk.join(d, topk["neighbor_id"] == d["doc_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "sim",
+            "lang",
+            "source",
+            "snippet",
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
