@@ -1,0 +1,77 @@
+"""Streaming corpus ingestion: documents arrive as a stream, the stored
+corpus stays exactly-deduplicated.
+
+The batch form of this contract is `incremental_dedup_docs` (window-dedup
+the batch, LEFT ANTI against the corpus's distinct fingerprints).  Here the
+same two relational steps run per micro-batch under `foreachBatch`, so a
+training corpus can ingest a crawl feed continuously without ever holding
+duplicate text.
+
+Replay safety comes from the dedup itself: a re-delivered batch anti-joins
+against a corpus that already contains its fingerprints, so the replay
+appends zero rows — idempotence WITHOUT a batch-id ledger (the dedup
+predicate is its own exactly-once guard; contrast matview.maintain_rollup,
+whose merge needs a journal).
+
+Scale: the anti-join shuffles 32-byte fingerprints, never text; the corpus
+side prunes to the fingerprint column (parquet column projection).  At
+100 TB keep the corpus bucketed by fingerprint so each micro-batch joins
+against co-located buckets instead of re-shuffling the store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from oltp_to_data_warehouse_pipeline_spark.functions import text as text_fns
+
+
+def dedup_batch_against_corpus(
+    batch: DataFrame, corpus_path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The batch step: first-per-fingerprint within the batch, then LEFT
+    ANTI against the stored corpus's fingerprints.  Returns the rows to
+    append (original columns + ``fp``)."""
+    spark = batch.sparkSession
+    with_fp = batch.withColumn("fp", text_fns.normalized_fingerprint(text_col))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    firsts = (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if os.path.exists(corpus_path) and any(
+        not e.startswith("_") for e in os.listdir(corpus_path)
+    ):
+        seen = spark.read.parquet(corpus_path).select("fp").distinct()
+        firsts = firsts.join(seen, "fp", "left_anti")
+    return firsts
+
+
+def ingest_documents(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Attach the dedup-ingest sink to a document stream; each micro-batch
+    appends only fingerprints the corpus has never seen."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        kept = dedup_batch_against_corpus(batch, corpus_path, id_col, text_col)
+        kept.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .queryName("corpus-ingest")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
