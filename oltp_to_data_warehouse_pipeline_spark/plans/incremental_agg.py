@@ -179,3 +179,49 @@ def read_rollup(
     for col in distinct_estimates or []:
         df = df.withColumn(col, F.hll_sketch_estimate(col))
     return df
+
+
+def route_aggregate(
+    spark: SparkSession,
+    path: str,
+    spec: RollupSpec,
+    group_keys: list[str],
+    avgs: dict[str, tuple[str, str]] | None = None,
+    distinct_estimates: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate navigation: answer a coarser-grain aggregate FROM the
+    stored rollup instead of the base table.
+
+    Any grouping over a subset of ``spec.keys`` is derivable by re-merging
+    the rollup with the same mergeable algebra (sums re-sum, mins re-min,
+    HLL sketches re-union) — the classic materialized-view rewrite, done
+    explicitly because plain Spark has no aggregate navigator.  Cost is a
+    scan of the rollup (∝ distinct key combinations, usually orders of
+    magnitude under the base table) + one tiny shuffle; a BI layer pointing
+    dashboards here never touches the 100 TB fact table for covered
+    queries.  Raises KeyError when the requested grain is NOT covered, so
+    a caller can fall back to the base-table plan explicitly.
+
+    ``avgs`` / ``distinct_estimates`` resolve read-time derivations after
+    the re-merge (AVG from its sum+count pair, counts from sketches).
+    """
+    not_covered = [k for k in group_keys if k not in spec.keys]
+    if not_covered:
+        raise KeyError(
+            f"rollup keyed on {spec.keys} cannot answer grouping {group_keys}: "
+            f"{not_covered} not covered — compute from the base table"
+        )
+    sub = RollupSpec(
+        keys=tuple(group_keys),
+        sums=dict.fromkeys(spec.sums, ""),
+        mins=dict.fromkeys(spec.mins, ""),
+        maxs=dict.fromkeys(spec.maxs, ""),
+        count_col=spec.count_col,
+        distinct_sketches=dict.fromkeys(spec.distinct_sketches, ""),
+    )
+    out = sub.merge(spark.read.parquet(path))
+    for col, (sum_col, cnt_col) in (avgs or {}).items():
+        out = out.withColumn(col, F.col(sum_col) / F.col(cnt_col))
+    for col in distinct_estimates or []:
+        out = out.withColumn(col, F.hll_sketch_estimate(col))
+    return out

@@ -145,3 +145,54 @@ def test_interrupted_merge_detected_not_double_applied(spark, tmp_path):
     # operator resolves (removes the marker) -> replay proceeds
     os.remove(os.path.join(path, "_applied_batches", "b1.begin"))
     refresh_rollup(spark, o.limit(5), path, SPEC, batch_id="b1", partition_key="order_month")
+
+
+def test_route_aggregate_answers_coarser_grain_from_rollup(spark, tmp_path):
+    """Aggregate navigation: any grouping over a subset of the rollup keys
+    re-merges to exactly the base-table answer (sketches included)."""
+    import pytest
+
+    from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
+        route_aggregate,
+    )
+
+    path = str(tmp_path / "rollup")
+    spec = RollupSpec(
+        keys=("order_month", "o_orderstatus"),
+        sums={"revenue": "o_totalprice"},
+        maxs={"max_price": "o_totalprice"},
+        distinct_sketches={"custs": "o_custkey"},
+    )
+    o = _orders(spark)
+    refresh_rollup(spark, o, path, spec, batch_id="b0", partition_key="order_month")
+
+    routed = route_aggregate(
+        spark, path, spec, ["o_orderstatus"], distinct_estimates=["custs"]
+    )
+    got = {
+        r["o_orderstatus"]: (round(r["revenue"], 2), r["n_rows"], r["custs"])
+        for r in routed.collect()
+    }
+    want = {
+        r["o_orderstatus"]: (
+            round(r["revenue"], 2),
+            r["n_rows"],
+            r["exact_custs"],
+        )
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_custkey").alias("exact_custs"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        # HLL estimate vs exact: tiny per-status cardinalities -> exact here
+        assert got[k][2] == want[k][2]
+
+    # uncovered grain must refuse, not silently mis-answer
+    with pytest.raises(KeyError, match="not covered"):
+        route_aggregate(spark, path, spec, ["o_orderpriority"])
