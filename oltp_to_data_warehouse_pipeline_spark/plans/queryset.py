@@ -4993,6 +4993,111 @@ def doc_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "segment_priority_chi2",
+    """
+    WITH joint AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT seg, prio, n,
+             sum(n) OVER (PARTITION BY seg)  AS n_seg,
+             sum(n) OVER (PARTITION BY prio) AS n_prio,
+             sum(n) OVER ()                  AS n_all
+      FROM joint)
+    SELECT seg, prio, n,
+           round(CAST(n_seg AS DOUBLE) * n_prio / n_all, 2) AS expected,
+           round((n - CAST(n_seg AS DOUBLE) * n_prio / n_all)
+                 * (n - CAST(n_seg AS DOUBLE) * n_prio / n_all)
+                 / (CAST(n_seg AS DOUBLE) * n_prio / n_all), 4) AS chi2_term
+    FROM m
+    """,
+)
+def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence analysis: observed vs expected counts
+    and per-cell χ² contributions for market segment × order priority — the
+    statistical test behind "does segment drive priority mix?".  Everything
+    derives from ONE joint-count rollup (25 cells); margins are partitioned
+    window sums over that rollup, so the base table shuffles exactly once
+    and the χ² arithmetic is pure column math.  Summing chi2_term gives the
+    test statistic; cells with big terms are the actionable anomalies."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joint = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    n_seg = F.sum("n").over(Window.partitionBy("seg"))
+    n_prio = F.sum("n").over(Window.partitionBy("prio"))
+    n_all = F.sum("n").over(Window.partitionBy())
+    expected = n_seg.cast("double") * n_prio / n_all
+    return joint.select(
+        "seg",
+        "prio",
+        "n",
+        F.round(expected, 2).alias("expected"),
+        F.round((F.col("n") - expected) * (F.col("n") - expected) / expected, 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "order_value_winsorized",
+    """
+    WITH b AS (
+      SELECT o_orderstatus AS status,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o.o_totalprice), 2) AS mean_raw,
+           round(avg(least(greatest(o.o_totalprice, b.p05), b.p95)), 2)
+             AS mean_winsorized,
+           CAST(count(*) FILTER (WHERE o.o_totalprice < b.p05
+                                    OR o.o_totalprice > b.p95) AS BIGINT)
+             AS n_clipped
+    FROM orders o JOIN b ON b.status = o.o_orderstatus
+    GROUP BY 1
+    """,
+)
+def order_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: per-status mean with values clipped to the
+    [p05, p95] band — the robust-mean companion to the MAD outlier fence
+    (report a mean a single fat-finger order cannot move).  Two passes of
+    the same grouped shape: exact percentiles per group (tiny key), bounds
+    broadcast back onto the stream, clipped aggregate — the base table is
+    never shuffled, only its 3-row bounds relation moves."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return (
+        o.join(F.broadcast(b), o["o_orderstatus"] == b["status"])
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+            F.round(F.avg(clipped), 2).alias("mean_winsorized"),
+            F.count_if(
+                (F.col("o_totalprice") < F.col("p05"))
+                | (F.col("o_totalprice") > F.col("p95"))
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
