@@ -5098,6 +5098,88 @@ def order_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_pit_segment_join",
+    """
+    WITH snap AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+      FROM customer),
+    dim AS (
+      -- two-version history: segment migrations for custkey%10==0 took
+      -- effect 1996-06-01; everyone else has one open version
+      SELECT custkey, mktsegment,
+             DATE '1900-01-01' AS valid_from, DATE '1996-06-01' AS valid_to
+      FROM snap WHERE custkey % 10 = 0
+      UNION ALL
+      SELECT custkey, 'MIGRATED', DATE '1996-06-01', DATE '9999-12-31'
+      FROM snap WHERE custkey % 10 = 0
+      UNION ALL
+      SELECT custkey, mktsegment, DATE '1900-01-01', DATE '9999-12-31'
+      FROM snap WHERE custkey % 10 != 0)
+    SELECT d.mktsegment AS segment_at_order_time,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN dim d ON d.custkey = o.o_custkey
+              AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+              AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    GROUP BY 1
+    """,
+)
+def orders_pit_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each order joins the dimension
+    VERSION that was valid on its order date — the query SCD Type 2 exists
+    to answer (revenue by the segment the customer was in AT ORDER TIME,
+    not today's segment; a current-only join silently rewrites history).
+    Join shape: equi-key on the natural key + validity-range residual —
+    each fact row matches exactly one version, so this is a keyed join with
+    a cheap post-filter, never a range explosion; the versioned dim
+    broadcasts like any dim.  History here is synthesized deterministically
+    (the same %10 migration rule as `customer_scd2`) so both engines build
+    identical versions."""
+    c = load_table(spark, sf_dir, "customer")
+    snap = c.select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    lo, mid, hi = (
+        F.lit("1900-01-01").cast("date"),
+        F.lit("1996-06-01").cast("date"),
+        F.lit("9999-12-31").cast("date"),
+    )
+    migrated = snap.where(F.col("custkey") % 10 == 0)
+    dim = (
+        migrated.select("custkey", "mktsegment", lo.alias("valid_from"), mid.alias("valid_to"))
+        .unionByName(
+            migrated.select(
+                "custkey",
+                F.lit("MIGRATED").alias("mktsegment"),
+                mid.alias("valid_from"),
+                hi.alias("valid_to"),
+            )
+        )
+        .unionByName(
+            snap.where(F.col("custkey") % 10 != 0).select(
+                "custkey", "mktsegment", lo.alias("valid_from"), hi.alias("valid_to")
+            )
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("custkey") == F.col("o_custkey"))
+            & (od >= F.col("valid_from"))
+            & (od < F.col("valid_to")),
+        )
+        .groupBy(F.col("mktsegment").alias("segment_at_order_time"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
