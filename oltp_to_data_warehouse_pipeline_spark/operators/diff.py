@@ -40,10 +40,9 @@ def table_diff(
     if missing:
         raise ValueError(f"compare_cols not in right side: {missing}")
 
-    lpayload = F.struct(*[F.col(c) for c in compare_cols])
-    rpayload = F.struct(*[F.col(c) for c in compare_cols])
-    l = left.select(*keys, lpayload.alias("__l"))
-    r = right.select(*keys, rpayload.alias("__r"))
+    payload = F.struct(*[F.col(c) for c in compare_cols])
+    l = left.select(*keys, payload.alias("__l"))
+    r = right.select(*keys, payload.alias("__r"))
     joined = l.join(r, on=keys, how="full_outer")
     change = (
         F.when(F.col("__l").isNull(), F.lit("added"))

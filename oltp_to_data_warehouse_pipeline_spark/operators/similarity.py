@@ -460,6 +460,45 @@ def ivf_centroids(
     return centroids
 
 
+
+
+def _probe_cells_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF probe: explode queries to their nprobe nearest cells,
+    equi-join candidates (``neighbor_id``, ``__cvec``, ``cell``) on cell,
+    exact-cosine score, per-query top-k.  Both the inline and the persisted
+    index paths end here, so their outputs are identical by construction."""
+    probe_cells = F.slice(
+        F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec"))
+        .withColumn("cell", F.explode(F.transform(probe_cells, lambda e: e.getField("i"))))
+        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+        .withColumn(
+            "sim", dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -482,27 +521,8 @@ def ivf_topk(
         ensure_min_parallelism(emb)
         .select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
         .withColumn("cell", nearest_cell(F.col("__cvec"), centroids))
-        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
     )
-    probe_cells = F.slice(F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe)
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec"))
-        .withColumn("cell", F.explode(F.transform(probe_cells, lambda e: e.getField("i"))))
-        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
-    )
-    scored = (
-        cand.join(F.broadcast(q), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim", dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    return _probe_cells_topk(cand, queries, centroids, k, nprobe, id_col, vec_col)
 
 
 def int8_codes(c: Column | str) -> Column:
@@ -716,25 +736,4 @@ def ivf_topk_indexed(
         F.col("embedding").alias("__cvec"),
         "cell",
     )
-    probe_cells = F.slice(
-        F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec"))
-        .withColumn("cell", F.explode(F.transform(probe_cells, lambda e: e.getField("i"))))
-        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
-    )
-    scored = (
-        cand.join(F.broadcast(q), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
-        .withColumn(
-            "sim", dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    return _probe_cells_topk(cand, queries, centroids, k, nprobe, id_col, vec_col)

@@ -63,6 +63,18 @@ class RollupSpec:
             aggs.append(F.count(F.lit(1)).alias(self.count_col))
         return df.groupBy(*self.keys).agg(*aggs)
 
+    def at_grain(self, keys: tuple[str, ...]) -> "RollupSpec":
+        """The same measures re-keyed to a coarser grain (for re-merging a
+        stored rollup); source columns are irrelevant post-partial."""
+        return RollupSpec(
+            keys=tuple(keys),
+            sums=dict.fromkeys(self.sums, ""),
+            mins=dict.fromkeys(self.mins, ""),
+            maxs=dict.fromkeys(self.maxs, ""),
+            count_col=self.count_col,
+            distinct_sketches=dict.fromkeys(self.distinct_sketches, ""),
+        )
+
     def merge(self, stacked: DataFrame) -> DataFrame:
         """Re-combine stacked partials (old rollup rows + delta partials)."""
         aggs = [F.sum(out).alias(out) for out in self.sums]
@@ -211,15 +223,7 @@ def route_aggregate(
             f"rollup keyed on {spec.keys} cannot answer grouping {group_keys}: "
             f"{not_covered} not covered — compute from the base table"
         )
-    sub = RollupSpec(
-        keys=tuple(group_keys),
-        sums=dict.fromkeys(spec.sums, ""),
-        mins=dict.fromkeys(spec.mins, ""),
-        maxs=dict.fromkeys(spec.maxs, ""),
-        count_col=spec.count_col,
-        distinct_sketches=dict.fromkeys(spec.distinct_sketches, ""),
-    )
-    out = sub.merge(spark.read.parquet(path))
+    out = spec.at_grain(tuple(group_keys)).merge(spark.read.parquet(path))
     for col, (sum_col, cnt_col) in (avgs or {}).items():
         out = out.withColumn(col, F.col(sum_col) / F.col(cnt_col))
     for col in distinct_estimates or []:

@@ -128,8 +128,7 @@ def compact_table(
             F.col("_metadata.file_path").alias("f"),
             F.col("_metadata.file_size").alias("bytes"),
         )
-        .groupBy("f")
-        .agg(F.first("bytes").alias("bytes"))
+        .distinct()  # (path, size) is one row per file — size is a constant per path
         .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("total"))
         .first()
     )
