@@ -5180,6 +5180,94 @@ def orders_pit_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "monthly_seasonality_index",
+    """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mth,
+             CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2)
+    SELECT yr, mth,
+           round(cents / 100.0, 2) AS revenue,
+           round(CAST(cents AS DOUBLE) * 12
+                 / sum(cents) OVER (PARTITION BY yr), 4) AS seasonality_idx
+    FROM m
+    """,
+)
+def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality index: each month's revenue relative to its year's
+    monthly average (1.0 = typical month; the planning number behind
+    inventory/capacity decisions).  Index = month·12 / year-total, computed
+    over the month rollup in exact integer cents with a partitioned window
+    — the fact table shuffles once into ~84 rows and everything after is
+    window math on the rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mth"),
+    ).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("yr")
+    return m.select(
+        "yr",
+        "mth",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents").cast("double") * 12 / F.sum("cents").over(w), 4).alias(
+            "seasonality_idx"
+        ),
+    )
+
+
+@query(
+    "dedup_yield_report",
+    """
+    WITH fp AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT)
+               AS n_tokens,
+             md5(lower(trim(text))) AS fp
+      FROM documents),
+    keep AS (
+      SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp)
+    SELECT f.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE f.doc_id = k.keep_id) AS BIGINT) AS n_kept,
+           sum(f.n_tokens) AS tokens_in,
+           sum(f.n_tokens) FILTER (WHERE f.doc_id = k.keep_id) AS tokens_kept
+    FROM fp f JOIN keep k ON k.fp = f.fp
+    GROUP BY f.lang
+    """,
+)
+def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield accounting: per language, documents and TOKENS in vs
+    kept after exact dedup (keep = min doc id per fingerprint) — the number
+    a curation run reports to answer "how much training data survived?".
+    Token budgets, not doc counts, are what the training plan consumes, so
+    the report carries both.  One fingerprint aggregate + a hash-keyed join
+    back; text never shuffles, only 32-byte hashes and token counts."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = F.col("doc_id") == F.col("keep_id")
+    return (
+        fp.join(keep, "fp")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_if(kept).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum(F.when(kept, F.col("n_tokens"))).alias("tokens_kept"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
