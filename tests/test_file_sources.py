@@ -195,3 +195,27 @@ def test_write_zordered_skips_on_both_dimensions(spark, tmp_path):
     # z-ordered: BOTH dimensions' per-file spans shrink well below full domain
     assert mean_span(zpath, "x") < 0.55
     assert mean_span(zpath, "y") < 0.55
+
+
+def test_zorder_key_bijective_on_grid(spark):
+    """Property: with b bits per dimension, the Morton key is a BIJECTION
+    on the full 2^b × 2^b quantized grid — no two cells collide and the
+    key space is exactly covered.  Collisions would merge far-apart rows
+    into one sort position and silently weaken skipping."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import zorder_key
+
+    bits = 4
+    side = 1 << bits
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    keys = grid.withColumn(
+        "z", zorder_key(["x", "y"], mins=[0, 0], maxs=[side - 1, side - 1], bits=bits)
+    )
+    stats = keys.agg(
+        F.count_distinct("z").alias("n"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).first()
+    assert stats["n"] == side * side
+    assert stats["lo"] == 0 and stats["hi"] == side * side - 1
