@@ -41,9 +41,15 @@ def table_diff(
         raise ValueError(f"compare_cols not in right side: {missing}")
 
     payload = F.struct(*[F.col(c) for c in compare_cols])
-    l = left.select(*keys, payload.alias("__l"))
-    r = right.select(*keys, payload.alias("__r"))
-    joined = l.join(r, on=keys, how="full_outer")
+    l = left.select(*[F.col(c).alias(f"__lk_{c}") for c in keys], payload.alias("__l"))
+    r = right.select(*[F.col(c).alias(f"__rk_{c}") for c in keys], payload.alias("__r"))
+    # keys join null-safely too: a NULL-keyed row present identically on
+    # both sides is "same", not a phantom removed+added pair
+    cond = None
+    for c in keys:
+        eq = F.col(f"__lk_{c}").eqNullSafe(F.col(f"__rk_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = l.join(r, on=cond, how="full_outer")
     change = (
         F.when(F.col("__l").isNull(), F.lit("added"))
         .when(F.col("__r").isNull(), F.lit("removed"))
@@ -52,5 +58,11 @@ def table_diff(
     return (
         joined.withColumn("change", change)
         .where(F.col("change").isNotNull())
-        .select(*keys, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"__lk_{c}"), F.col(f"__rk_{c}")).alias(c)
+                for c in keys
+            ],
+            "change",
+        )
     )

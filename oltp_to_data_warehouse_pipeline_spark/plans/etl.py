@@ -159,7 +159,11 @@ def backfill(
             (F.col(run.watermark_col) > s_lo) & (F.col(run.watermark_col) <= s_hi)
         )
         cleaned = clean_loan_data(delta, run.cleaning_cfg)
-        if run.quality_keys or run.quality_not_null:
+        gated = bool(run.quality_keys or run.quality_not_null)
+        if gated:
+            # the gate is its own action; persist so gate + load share one
+            # extract->clean computation instead of scanning the slice twice
+            cleaned = cleaned.persist()
             qc = quality_gate(
                 cleaned, list(run.quality_keys), list(run.quality_not_null)
             )
@@ -167,12 +171,15 @@ def backfill(
             # gate poisons the backfill — stop before loading bad data
             bad = [k for k, ok in qc.items() if not ok and k != "non_empty"]
             if bad:
+                cleaned.unpersist()
                 results.append(
                     {"slice": i, "lo": s_lo, "hi": s_hi, "skipped": False,
                      "qc_failed": bad}
                 )
                 return results
         load(cleaned, i)
+        if gated:
+            cleaned.unpersist()
         open(marker, "w").close()
         results.append({"slice": i, "lo": s_lo, "hi": s_hi, "skipped": False})
     return results

@@ -90,23 +90,47 @@ def _applied(path: str, batch_id: str) -> bool:
     return os.path.exists(os.path.join(path, _BATCH_DIR, batch_id))
 
 
-def _mark_begin(path: str, batch_id: str) -> None:
+def _begin_path(path: str, batch_id: str) -> str:
+    return os.path.join(path, _BATCH_DIR, batch_id + ".begin")
+
+
+def _data_inventory(path: str) -> str:
+    """Fingerprint of the rollup's committed data files (relative path +
+    size, sorted) — cheap (directory metadata only) and enough to tell "the
+    previous attempt committed nothing" from "data may have landed"."""
+    entries = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, f)
+            entries.append(f"{os.path.relpath(full, path)}:{os.path.getsize(full)}")
+    return "\n".join(sorted(entries))
+
+
+def _mark_begin(path: str, batch_id: str, phase: str) -> None:
     d = os.path.join(path, _BATCH_DIR)
     os.makedirs(d, exist_ok=True)
-    open(os.path.join(d, batch_id + ".begin"), "w").close()
+    with open(_begin_path(path, batch_id), "w") as f:
+        f.write(phase + "\n" + _data_inventory(path))
 
 
-def _interrupted(path: str, batch_id: str) -> bool:
-    return os.path.exists(
-        os.path.join(path, _BATCH_DIR, batch_id + ".begin")
-    ) and not _applied(path, batch_id)
+def _read_begin(path: str, batch_id: str) -> tuple[str, str] | None:
+    """(phase, inventory-at-begin) of an uncommitted attempt, else None."""
+    p = _begin_path(path, batch_id)
+    if not os.path.exists(p) or _applied(path, batch_id):
+        return None
+    content = open(p).read()
+    phase, _, inv = content.partition("\n")
+    return phase, inv
 
 
 def _mark_applied(path: str, batch_id: str) -> None:
     d = os.path.join(path, _BATCH_DIR)
     os.makedirs(d, exist_ok=True)
     open(os.path.join(d, batch_id), "w").close()
-    begin = os.path.join(d, batch_id + ".begin")
+    begin = _begin_path(path, batch_id)
     if os.path.exists(begin):
         os.remove(begin)
 
@@ -130,27 +154,38 @@ def refresh_rollup(
         raise ValueError(f"partition_key {partition_key!r} must be one of spec.keys")
     if _applied(path, batch_id):
         return  # replayed batch: no-op (exactly-once effect)
-    if _interrupted(path, batch_id):
-        # A begin marker without its commit means a previous attempt died
-        # BETWEEN writing the merged rollup and committing the marker — on
-        # plain parquet that pair is not atomic, and merging again would
-        # double-count.  Detect it and fail LOUDLY instead of corrupting:
-        # the operator restores the rollup (rebuild from source, or restore
-        # the touched partitions from backup), removes the .begin marker,
-        # and replays.
-        raise RuntimeError(
-            f"rollup at {path!r}: batch {batch_id!r} was interrupted between "
-            "merge and commit; state may already include this delta. "
-            "Rebuild/restore the rollup, remove the .begin marker, then replay."
-        )
+
+    begin = _read_begin(path, batch_id)
     partials = spec.partial(delta)
 
     exists = os.path.exists(path) and any(
         not e.startswith("_") for e in os.listdir(path)
     )
+    # An uncommitted previous attempt: decide whether replaying is safe.
+    #  - init phase: the initial overwrite is idempotent — just redo it
+    #    (without the phase record, a crash after the init write but before
+    #    its commit marker would leave data on disk and send the replay
+    #    down the MERGE path, double-counting the batch).
+    #  - merge phase, data inventory unchanged since begin: the failed
+    #    write committed nothing (Spark's job abort cleans its staging) —
+    #    retrying the merge is safe; transient failures self-heal.
+    #  - merge phase, inventory changed: the merge may have (partially)
+    #    committed; merging again would double-count.  Fail LOUDLY: the
+    #    operator restores the rollup, removes the .begin marker, replays.
+    if begin is not None:
+        phase, inv_at_begin = begin
+        if phase == "merge" and _data_inventory(path) != inv_at_begin:
+            raise RuntimeError(
+                f"rollup at {path!r}: batch {batch_id!r} was interrupted between "
+                "merge and commit AND the data files changed since the attempt "
+                "began; state may already include this delta. Rebuild/restore "
+                "the rollup, remove the .begin marker, then replay."
+            )
+        if phase == "init":
+            exists = False  # redo the idempotent initial overwrite
+
     if not exists:
-        # initial population is a plain overwrite — replaying it after any
-        # crash just rewrites the same partials, so no journal is needed
+        _mark_begin(path, batch_id, "init")
         w = partials.write.mode("overwrite")
         if partition_key:
             w = w.partitionBy(partition_key)
@@ -158,9 +193,9 @@ def refresh_rollup(
         _mark_applied(path, batch_id)
         return
 
-    # merging is NOT idempotent — journal the attempt so a crash inside the
-    # merge+commit pair is detected on replay (the _interrupted gate above)
-    _mark_begin(path, batch_id)
+    # merging is NOT idempotent — journal the attempt (phase + current file
+    # inventory) so replays can tell clean-abort from possibly-landed
+    _mark_begin(path, batch_id, "merge")
     stored = spark.read.parquet(path)
     if partition_key:
         touched = [

@@ -4546,9 +4546,10 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(cents) OVER (ORDER BY cents DESC, custkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / sum(cents) OVER (), 4) AS cum_share,
-           (sum(cents) OVER (ORDER BY cents DESC, custkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 5
-            <= sum(cents) OVER () * 4) AS in_top80
+           (CAST(sum(cents) OVER (ORDER BY cents DESC, custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) * 5
+            <= CAST(sum(cents) OVER () AS DECIMAL(38,0)) * 4) AS in_top80
     FROM cr
     """,
 )
@@ -4557,8 +4558,10 @@ def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     running share of total and an 80%-band flag — the concentration question
     every BI review asks.  All accumulation happens in integer cents
     (BIGINT), so the running and total sums are exact and engine-portable
-    regardless of accumulation order, and the 80%% band test is the integer
-    cross-multiplication cum*5 <= total*4 (a 0.8*total float threshold
+    regardless of accumulation order, and the 80%% band test is the exact
+    cross-multiplication cum*5 <= total*4 in DECIMAL(38,0) — BIGINT would
+    overflow the *5 at ~2e18 total cents, i.e. precisely at the 100 TB
+    scale this engine targets (and a 0.8*total float threshold
     rounds half-up through DuckDB's DECIMAL but truncates through Spark's
     double->bigint cast - boundary customers would flip between engines).
     Only the reported share division touches floats.  The ranking window
@@ -4581,7 +4584,9 @@ def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(cum.cast("double") / tot, 4).alias("cum_share"),
-        (cum * 5 <= tot * 4).alias("in_top80"),
+        (cum.cast("decimal(38,0)") * 5 <= tot.cast("decimal(38,0)") * 4).alias(
+            "in_top80"
+        ),
     )
 
 
@@ -4859,12 +4864,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     new AS (
       -- deterministic synthetic drift: %97==0 re-priced, %89==0 deleted,
-      -- shifted keys inserted
+      -- NEGATED keys inserted (disjoint from every real orderkey at ANY sf)
       SELECT okey, status,
              CASE WHEN okey % 97 = 0 THEN round(price + 1.0, 2) ELSE price END AS price
       FROM old WHERE okey % 89 != 0
       UNION ALL
-      SELECT okey + 100000000, status, price FROM old WHERE okey % 101 = 0)
+      SELECT -okey, status, price FROM old WHERE okey % 101 = 0)
     SELECT coalesce(o.okey, n.okey) AS okey,
            CASE WHEN o.okey IS NULL THEN 'added'
                 WHEN n.okey IS NULL THEN 'removed'
@@ -4900,7 +4905,7 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             old.where(F.col("okey") % 101 == 0).select(
-                (F.col("okey") + 100000000).alias("okey"), "status", "price"
+                (-F.col("okey")).alias("okey"), "status", "price"
             )
         )
     )

@@ -16,8 +16,9 @@ offsets; the data state is the parquet rollup itself, guarded by batch-id
 markers so a replayed epoch is a no-op.  One honesty note versus the upsert
 sink (ST3, idempotent at any interruption point): a rollup MERGE is not
 idempotent, and plain parquet cannot commit data+marker atomically — so
-`refresh_rollup` journals each merge (begin/commit pair) and a crash inside
-that window is DETECTED on replay and fails loudly instead of silently
+`refresh_rollup` journals each merge (begin marker + file inventory): a
+replay after a clean job abort (inventory unchanged) retries safely, while
+a replay after a possibly-committed merge fails loudly instead of silently
 double-counting (see incremental_agg.refresh_rollup).
 
 Scale: per micro-batch cost is partial-agg of the batch (map-side combine,

@@ -129,22 +129,59 @@ def test_distinct_sketch_merges_and_matches_exact(spark, tmp_path):
 
 
 def test_interrupted_merge_detected_not_double_applied(spark, tmp_path):
-    """A begin marker without its commit (crash inside the merge+commit
-    pair) must make the replay fail loudly instead of double-counting."""
+    """Journal semantics: a clean-aborted merge retries safely; a merge
+    whose data may have landed fails loudly; an uncommitted INITIAL write
+    redoes the overwrite instead of double-merging."""
     import os
 
     import pytest
 
+    from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
+        _mark_begin,
+    )
+
     path = str(tmp_path / "rollup")
     o = _orders(spark)
     refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
-    # simulate: merge for b1 wrote data but died before the commit marker
-    open(os.path.join(path, "_applied_batches", "b1.begin"), "w").close()
+    baseline = _snapshot(read_rollup(spark, path))
+
+    # clean abort: begin marker exists but file inventory is unchanged
+    # (the failed job committed nothing) -> replay retries and succeeds
+    delta = o.limit(5)
+    _mark_begin(path, "b1", "merge")
+    refresh_rollup(spark, delta, path, SPEC, batch_id="b1", partition_key="order_month")
+    after_b1 = _snapshot(read_rollup(spark, path))
+    assert after_b1 != baseline  # merge landed exactly once
+
+    # possibly-landed: inventory recorded at begin differs from disk now
+    with open(os.path.join(path, "_applied_batches", "b2.begin"), "w") as f:
+        f.write("merge\nbogus-inventory-from-before-the-crash")
     with pytest.raises(RuntimeError, match="interrupted between merge and commit"):
-        refresh_rollup(spark, o.limit(5), path, SPEC, batch_id="b1", partition_key="order_month")
+        refresh_rollup(spark, delta, path, SPEC, batch_id="b2", partition_key="order_month")
     # operator resolves (removes the marker) -> replay proceeds
-    os.remove(os.path.join(path, "_applied_batches", "b1.begin"))
-    refresh_rollup(spark, o.limit(5), path, SPEC, batch_id="b1", partition_key="order_month")
+    os.remove(os.path.join(path, "_applied_batches", "b2.begin"))
+    refresh_rollup(spark, delta, path, SPEC, batch_id="b2", partition_key="order_month")
+
+
+def test_uncommitted_initial_write_replays_as_overwrite(spark, tmp_path):
+    """Crash between the FIRST batch's overwrite and its commit marker:
+    data is on disk but uncommitted — the replay must redo the idempotent
+    overwrite, NOT fall into the merge path and double every sum."""
+    import os
+
+    from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
+        _mark_begin,
+    )
+
+    path = str(tmp_path / "rollup")
+    o = _orders(spark)
+    refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
+    once = _snapshot(read_rollup(spark, path))
+    # simulate the crash: commit marker gone, init-phase begin marker present
+    os.remove(os.path.join(path, "_applied_batches", "b0"))
+    _mark_begin(path, "b0", "init")
+    refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
+    assert _snapshot(read_rollup(spark, path)) == once  # not doubled
 
 
 def test_route_aggregate_answers_coarser_grain_from_rollup(spark, tmp_path):

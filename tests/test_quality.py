@@ -86,3 +86,13 @@ def test_table_diff_classification_and_null_safety(spark):
     right2 = spark.createDataFrame([(2, "b", 7.0)], "k int, s string, v double")
     got2 = {r["k"]: r["change"] for r in table_diff(left.where("k=2"), right2, keys=["k"]).collect()}
     assert got2 == {2: "changed"}
+
+
+def test_table_diff_null_keys_join_null_safely(spark):
+    from oltp_to_data_warehouse_pipeline_spark.operators.diff import table_diff
+
+    left = spark.createDataFrame([(None, "same"), (1, "x")], "k int, v string")
+    right = spark.createDataFrame([(None, "same"), (1, "y")], "k int, v string")
+    got = {r["k"]: r["change"] for r in table_diff(left, right, keys=["k"]).collect()}
+    # NULL-keyed identical row is "same" (absent), not a phantom add+remove
+    assert got == {1: "changed"}
