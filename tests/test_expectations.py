@@ -88,10 +88,12 @@ def test_row_level_constraints_compile_to_one_job(spark):
     tracker = spark.sparkContext.statusTracker()
 
     def jobs_for(contract):
-        before = len(tracker.getJobIdsForGroup(None) or [])
+        # max-id delta, not list-length delta: the tracker retains only
+        # recent jobs, so lengths go negative once a long session evicts
+        before = max(tracker.getJobIdsForGroup(None) or [0])
         report = validate(df, contract)
         assert all(r["passed"] for r in report.collect())
-        return len(tracker.getJobIdsForGroup(None) or []) - before
+        return max(tracker.getJobIdsForGroup(None) or [0]) - before
 
     # job count must be CONSTANT in the number of row-level constraints
     # (AQE may split the one agg into a couple of jobs — that's fine; a
