@@ -5437,6 +5437,66 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_mixture_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    budget AS (
+      SELECT min(s_tokens) AS b
+      FROM (SELECT sum(n_tokens) AS s_tokens FROM t GROUP BY source)),
+    c AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tokens) AS sampled_tokens
+    FROM c CROSS JOIN budget
+    WHERE cum <= budget.b
+    GROUP BY source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan EXECUTED: every source down-sampled (deterministic
+    md5 admission order) to the smallest source's token budget — a uniform
+    source mixture without upsampling, the step that turns
+    `corpus_mixture_plan`'s weights into an actual training corpus.  Each
+    source lands within one document of the shared budget, which the
+    per-source rollup here verifies.  One stratum-key window shuffle plus a
+    broadcast 1-row budget relation."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    budget = (
+        t.groupBy("source")
+        .agg(F.sum("n_tokens").alias("s_tokens"))
+        .agg(F.min("s_tokens").alias("b"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .where(F.col("cum") <= F.col("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
