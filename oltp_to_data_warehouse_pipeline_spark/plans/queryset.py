@@ -5497,6 +5497,126 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_burst_minutes",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(date_diff('minute', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('minute', ts)) AS BIGINT) AS minute_num,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, minute_num, n,
+             avg(n) OVER (PARTITION BY event_type ORDER BY minute_num
+                          RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING) AS baseline
+      FROM m)
+    SELECT event_type, minute_num, n, round(baseline, 4) AS baseline,
+           round(n / baseline, 4) AS burst_x
+    FROM w
+    WHERE baseline IS NOT NULL AND n >= 3 * baseline
+    """,
+)
+def event_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: minutes where an event type runs ≥3× its trailing
+    30-minute baseline — the rate-anomaly primitive behind alerting and
+    abuse detection.  The baseline is a RANGE frame ending at 1 PRECEDING,
+    so a burst can never suppress itself by inflating its own baseline;
+    calendar gaps shrink the frame honestly.  Events shuffle once into the
+    minute rollup; the window runs per type over minutes, not events."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 60)
+        .cast("bigint")
+        .alias("minute_num"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_num")
+        .rangeBetween(-30, -1)
+    )
+    out = m.withColumn("baseline", F.avg("n").over(w))
+    return (
+        out.where(F.col("baseline").isNotNull() & (F.col("n") >= 3 * F.col("baseline")))
+        .select(
+            "event_type",
+            "minute_num",
+            "n",
+            F.round("baseline", 4).alias("baseline"),
+            F.round(F.col("n") / F.col("baseline"), 4).alias("burst_x"),
+        )
+    )
+
+
+@query(
+    "daily_order_backlog",
+    """
+    WITH placed AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_placed
+      FROM orders GROUP BY 1),
+    completed AS (
+      SELECT done, CAST(count(*) AS BIGINT) AS n_done
+      FROM (SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS done
+            FROM lineitem GROUP BY 1)
+      GROUP BY 1),
+    days AS (
+      SELECT d, n_placed, 0 AS n_done FROM placed
+      UNION ALL
+      SELECT done, 0, n_done FROM completed),
+    series AS (
+      SELECT d, sum(n_placed) AS n_placed, sum(n_done) AS n_done
+      FROM days GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_placed AS BIGINT) AS n_placed,
+           CAST(n_done AS BIGINT) AS n_done,
+           CAST(sum(n_placed - n_done) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_backlog
+    FROM series
+    """,
+)
+def daily_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-net accounting: open-order backlog per day = cumulative
+    placed − cumulative completed (an order completes when its LAST line
+    ships) — the event-sourcing pattern behind inventory, queue-depth, and
+    WIP dashboards.  Completion needs one per-order max over lineitem; the
+    two daily series then union into a ±delta stream and a single ordered
+    window folds the running balance — integers end to end, no float
+    drift.  Window input is the day-grain series (~2.4k rows), never
+    facts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_placed")
+    )
+    completed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").cast("date").alias("done"))
+        .groupBy("done")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_done"))
+    )
+    days = placed.select("d", "n_placed", F.lit(0).cast("bigint").alias("n_done")).unionByName(
+        completed.select(
+            F.col("done").alias("d"),
+            F.lit(0).cast("bigint").alias("n_placed"),
+            "n_done",
+        )
+    )
+    series = days.groupBy("d").agg(
+        F.sum("n_placed").alias("n_placed"), F.sum("n_done").alias("n_done")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return series.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_placed").cast("bigint").alias("n_placed"),
+        F.col("n_done").cast("bigint").alias("n_done"),
+        F.sum(F.col("n_placed") - F.col("n_done")).over(w).cast("bigint").alias(
+            "open_backlog"
+        ),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
