@@ -5617,6 +5617,74 @@ def daily_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY prev_type), 4) AS p_next
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    P(next | prev) from each user's time-ordered stream — the clickstream
+    Markov chain behind "what do users do after X?" and next-action
+    anomaly scoring.  One user-keyed window sort produces the lag pairs,
+    the matrix aggregates to |types|² rows, and the row-normalizing
+    denominator is a partitioned window over that tiny rollup.
+    Deterministic ordering via the (ts, event_id) tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wn = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 4).alias("p_next"),
+    )
+
+
+@query(
+    "order_shape_profile",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1)
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY n_lines
+    """,
+)
+def order_shape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-shape profile: the distribution of lines per order — the
+    cardinality histogram capacity planning and join-size estimation read
+    (it bounds basket-expansion costs like `brand_affinity_lift`'s Σsize²).
+    Two keyed aggregations, the second over the per-order rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
