@@ -5,6 +5,13 @@ The reference keeps its tables in Postgres and reads them over JDBC
 registered in the Spark catalog, so every query gets vectorized parquet
 scans, column pruning, and filter pushdown for free.  JDBC remains available
 through :mod:`oltp_to_data_warehouse_pipeline_spark.sources.jdbc`.
+
+LOCAL-FILESYSTEM ONLY: ``sf_dir`` must be a driver-local path — the
+nanosecond-footer sniff (pyarrow) and the existence checks here read the
+local filesystem by design, because this module fronts the driver-generated
+test fixtures.  Production tables go through sources/ and streaming/, whose
+path handling resolves via the Hadoop FileSystem API (fs.py) and works on
+any scheme.
 """
 
 from __future__ import annotations

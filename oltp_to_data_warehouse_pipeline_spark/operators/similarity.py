@@ -672,7 +672,8 @@ def ivf_write_index(
     readers and appenders can never disagree about cell geometry.
     """
     import json
-    import os
+
+    from oltp_to_data_warehouse_pipeline_spark import fs
 
     assigned = (
         ensure_min_parallelism(emb)
@@ -680,16 +681,19 @@ def ivf_write_index(
         .withColumn("cell", nearest_cell(F.col("embedding"), centroids))
     )
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
-    with open(os.path.join(path, "_ivf_model.json"), "w") as f:
-        json.dump({"centroids": centroids}, f)
+    # model file written via the Hadoop FileSystem API so the index works on
+    # object stores, not just file:// (round-2 advisor class of bug)
+    fs.write_text(
+        emb.sparkSession, fs.join(path, "_ivf_model.json"), json.dumps({"centroids": centroids})
+    )
 
 
-def ivf_read_model(path: str) -> list[list[float]]:
+def ivf_read_model(spark, path: str) -> list[list[float]]:
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_model.json")) as f:
-        return json.load(f)["centroids"]
+    from oltp_to_data_warehouse_pipeline_spark import fs
+
+    return json.loads(fs.read_text(spark, fs.join(path, "_ivf_model.json")))["centroids"]
 
 
 def ivf_append(
@@ -708,7 +712,7 @@ def ivf_append(
     `ivf_centroids` + `ivf_write_index`), not an append-path concern —
     exactly how production IVF deployments split the duty.
     """
-    centroids = ivf_read_model(path)
+    centroids = ivf_read_model(new_emb.sparkSession, path)
     assigned = (
         ensure_min_parallelism(new_emb)
         .select(F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("embedding"))
@@ -726,14 +730,35 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe the persisted index: filter on the partition column prunes to
-    the queries' union of probe cells BEFORE any data is read, then score
-    exactly like `ivf_topk`.  Same deterministic output as the inline path
-    on identical vectors+centroids (assignment is a pure function of both)."""
-    centroids = ivf_read_model(path)
-    cand = spark.read.parquet(path).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("__cvec"),
-        "cell",
+    """Probe the persisted index: the queries' union of probe cells (a
+    bounded driver list — n_queries × nprobe ints) is collected first and
+    applied as an explicit ``.where(cell IN …)`` on the partition column, so
+    STATIC partition pruning is guaranteed at plan time — the probe never
+    degrades to a full index scan even when dynamic partition pruning
+    declines to fire for the broadcast join (round-2 advisor finding).
+    Then score exactly like `ivf_topk`.  Same deterministic output as the
+    inline path on identical vectors+centroids (assignment is a pure
+    function of both)."""
+    centroids = ivf_read_model(spark, path)
+    probe = F.slice(
+        F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe
+    )
+    cells = [
+        r["cell"]
+        for r in (
+            queries.select(as_double_vec(vec_col).alias("__qvec"))
+            .select(F.explode(F.transform(probe, lambda e: e.getField("i"))).alias("cell"))
+            .distinct()
+            .collect()
+        )
+    ]
+    cand = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+            "cell",
+        )
     )
     return _probe_cells_topk(cand, queries, centroids, k, nprobe, id_col, vec_col)

@@ -138,21 +138,21 @@ def backfill(
     unsliced backfill is one giant all-or-nothing job.  Returns one status
     dict per slice.
     """
-    import os
-
+    from oltp_to_data_warehouse_pipeline_spark import fs
     from oltp_to_data_warehouse_pipeline_spark.operators.quality import quality_gate
 
+    spark = source.sparkSession
     if num_slices < 1 or hi <= lo:
         raise ValueError("need hi > lo and num_slices >= 1")
-    os.makedirs(state_dir, exist_ok=True)
+    fs.mkdirs(spark, state_dir)
     range_key = f"{lo}_{hi}_{num_slices}"
     width = (hi - lo) / num_slices
     results: list[dict] = []
     for i in range(num_slices):
         s_lo = lo + int(i * width)
         s_hi = hi if i == num_slices - 1 else lo + int((i + 1) * width)
-        marker = os.path.join(state_dir, f"slice_{range_key}_{i:05d}")
-        if os.path.exists(marker):
+        marker = fs.join(state_dir, f"slice_{range_key}_{i:05d}")
+        if fs.exists(spark, marker):
             results.append({"slice": i, "lo": s_lo, "hi": s_hi, "skipped": True})
             continue
         delta = source.where(
@@ -180,6 +180,6 @@ def backfill(
         load(cleaned, i)
         if gated:
             cleaned.unpersist()
-        open(marker, "w").close()
+        fs.touch(spark, marker)
         results.append({"slice": i, "lo": s_lo, "hi": s_hi, "skipped": False})
     return results

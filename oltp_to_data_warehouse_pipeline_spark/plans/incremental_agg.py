@@ -28,11 +28,12 @@ without it, merging a replayed delta would double-count).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark import fs
 
 _BATCH_DIR = "_applied_batches"
 
@@ -86,53 +87,50 @@ class RollupSpec:
         return stacked.groupBy(*self.keys).agg(*aggs)
 
 
-def _applied(path: str, batch_id: str) -> bool:
-    return os.path.exists(os.path.join(path, _BATCH_DIR, batch_id))
+# Journal primitives resolve through the Hadoop FileSystem API (fs.py), not
+# driver-local os.path — on s3a://hdfs:// paths os.* would answer "absent"
+# for every marker and silently disable the exactly-once guard (round-2
+# advisor finding).
+
+
+def _applied(spark: SparkSession, path: str, batch_id: str) -> bool:
+    return fs.exists(spark, fs.join(path, _BATCH_DIR, batch_id))
 
 
 def _begin_path(path: str, batch_id: str) -> str:
-    return os.path.join(path, _BATCH_DIR, batch_id + ".begin")
+    return fs.join(path, _BATCH_DIR, batch_id + ".begin")
 
 
-def _data_inventory(path: str) -> str:
+def _data_inventory(spark: SparkSession, path: str) -> str:
     """Fingerprint of the rollup's committed data files (relative path +
     size, sorted) — cheap (directory metadata only) and enough to tell "the
     previous attempt committed nothing" from "data may have landed"."""
-    entries = []
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith("_")]
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            full = os.path.join(root, f)
-            entries.append(f"{os.path.relpath(full, path)}:{os.path.getsize(full)}")
-    return "\n".join(sorted(entries))
+    return fs.data_file_inventory(spark, path)
 
 
-def _mark_begin(path: str, batch_id: str, phase: str) -> None:
-    d = os.path.join(path, _BATCH_DIR)
-    os.makedirs(d, exist_ok=True)
-    with open(_begin_path(path, batch_id), "w") as f:
-        f.write(phase + "\n" + _data_inventory(path))
+def _mark_begin(spark: SparkSession, path: str, batch_id: str, phase: str) -> None:
+    fs.mkdirs(spark, fs.join(path, _BATCH_DIR))
+    fs.write_text(
+        spark, _begin_path(path, batch_id), phase + "\n" + _data_inventory(spark, path)
+    )
 
 
-def _read_begin(path: str, batch_id: str) -> tuple[str, str] | None:
+def _read_begin(spark: SparkSession, path: str, batch_id: str) -> tuple[str, str] | None:
     """(phase, inventory-at-begin) of an uncommitted attempt, else None."""
     p = _begin_path(path, batch_id)
-    if not os.path.exists(p) or _applied(path, batch_id):
+    if not fs.exists(spark, p) or _applied(spark, path, batch_id):
         return None
-    content = open(p).read()
+    content = fs.read_text(spark, p)
     phase, _, inv = content.partition("\n")
     return phase, inv
 
 
-def _mark_applied(path: str, batch_id: str) -> None:
-    d = os.path.join(path, _BATCH_DIR)
-    os.makedirs(d, exist_ok=True)
-    open(os.path.join(d, batch_id), "w").close()
+def _mark_applied(spark: SparkSession, path: str, batch_id: str) -> None:
+    fs.mkdirs(spark, fs.join(path, _BATCH_DIR))
+    fs.touch(spark, fs.join(path, _BATCH_DIR, batch_id))
     begin = _begin_path(path, batch_id)
-    if os.path.exists(begin):
-        os.remove(begin)
+    if fs.exists(spark, begin):
+        fs.delete(spark, begin, recursive=False)
 
 
 def refresh_rollup(
@@ -152,15 +150,13 @@ def refresh_rollup(
     """
     if partition_key is not None and partition_key not in spec.keys:
         raise ValueError(f"partition_key {partition_key!r} must be one of spec.keys")
-    if _applied(path, batch_id):
+    if _applied(spark, path, batch_id):
         return  # replayed batch: no-op (exactly-once effect)
 
-    begin = _read_begin(path, batch_id)
+    begin = _read_begin(spark, path, batch_id)
     partials = spec.partial(delta)
 
-    exists = os.path.exists(path) and any(
-        not e.startswith("_") for e in os.listdir(path)
-    )
+    exists = fs.has_data_files(spark, path)
     # An uncommitted previous attempt: decide whether replaying is safe.
     #  - init phase: the initial overwrite is idempotent — just redo it
     #    (without the phase record, a crash after the init write but before
@@ -174,7 +170,7 @@ def refresh_rollup(
     #    operator restores the rollup, removes the .begin marker, replays.
     if begin is not None:
         phase, inv_at_begin = begin
-        if phase == "merge" and _data_inventory(path) != inv_at_begin:
+        if phase == "merge" and _data_inventory(spark, path) != inv_at_begin:
             raise RuntimeError(
                 f"rollup at {path!r}: batch {batch_id!r} was interrupted between "
                 "merge and commit AND the data files changed since the attempt "
@@ -185,17 +181,17 @@ def refresh_rollup(
             exists = False  # redo the idempotent initial overwrite
 
     if not exists:
-        _mark_begin(path, batch_id, "init")
+        _mark_begin(spark, path, batch_id, "init")
         w = partials.write.mode("overwrite")
         if partition_key:
             w = w.partitionBy(partition_key)
         w.parquet(path)
-        _mark_applied(path, batch_id)
+        _mark_applied(spark, path, batch_id)
         return
 
     # merging is NOT idempotent — journal the attempt (phase + current file
     # inventory) so replays can tell clean-abort from possibly-landed
-    _mark_begin(path, batch_id, "merge")
+    _mark_begin(spark, path, batch_id, "merge")
     stored = spark.read.parquet(path)
     if partition_key:
         touched = [
@@ -208,7 +204,7 @@ def refresh_rollup(
     if partition_key:
         w = w.partitionBy(partition_key).option("partitionOverwriteMode", "dynamic")
     w.parquet(path)
-    _mark_applied(path, batch_id)
+    _mark_applied(spark, path, batch_id)
 
 
 def read_rollup(

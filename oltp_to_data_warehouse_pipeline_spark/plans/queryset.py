@@ -1234,7 +1234,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens
       FROM documents
     )
-    SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM scored GROUP BY lang_pred
     """,
 )
@@ -1314,10 +1315,10 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, n_tokens, cum_tokens FROM (
       SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM (SELECT doc_id, lang,
                    CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
             FROM documents) t) w
@@ -1702,7 +1703,7 @@ def cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_components",
     """
     SELECT vec_id, CAST(i AS BIGINT) AS pos,
-           round(CAST(embedding[i] AS DOUBLE), 4) AS val
+           round(CAST(embedding[i] AS DOUBLE), 4) + 0.0 AS val
     FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
     WHERE vec_id < 100
     """,
@@ -1717,7 +1718,7 @@ def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.posexplode("embedding").alias("p", "v")).select(
         "vec_id",
         (F.col("p") + 1).cast("bigint").alias("pos"),
-        F.round(F.col("v").cast("double"), 4).alias("val"),
+        (F.round(F.col("v").cast("double"), 4) + F.lit(0.0)).alias("val"),
     )
 
 
@@ -3058,10 +3059,10 @@ def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linestatus_priority_split",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY l_linestatus
@@ -4325,7 +4326,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard_id,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_tokens) AS shard_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
     FROM c GROUP BY lang, shard_id
     """,
 )
@@ -4776,8 +4777,8 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2),
     ue AS (
-      SELECT user_id, sum(c) AS n,
-             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS type_entropy,
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0.0 AS type_entropy,
              CAST(count(*) AS BIGINT) AS n_types
       FROM tc GROUP BY user_id)
     SELECT user_id, n, n_types, type_entropy FROM ue
@@ -4796,9 +4797,13 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tc.groupBy("user_id")
         .agg(
-            F.sum("c").alias("n"),
-            F.round(
-                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+            F.sum("c").cast("bigint").alias("n"),
+            (
+                F.round(
+                    F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("type_entropy"),
             F.count(F.lit(1)).cast("bigint").alias("n_types"),
         )
@@ -5239,8 +5244,8 @@ def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(*) FILTER (WHERE f.doc_id = k.keep_id) AS BIGINT) AS n_kept,
-           sum(f.n_tokens) AS tokens_in,
-           sum(f.n_tokens) FILTER (WHERE f.doc_id = k.keep_id) AS tokens_kept
+           CAST(sum(f.n_tokens) AS BIGINT) AS tokens_in,
+           CAST(sum(f.n_tokens) FILTER (WHERE f.doc_id = k.keep_id) AS BIGINT) AS tokens_kept
     FROM fp f JOIN keep k ON k.fp = f.fp
     GROUP BY f.lang
     """,
@@ -5457,7 +5462,7 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_tokens) AS sampled_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
     FROM c CROSS JOIN budget
     WHERE cum <= budget.b
     GROUP BY source

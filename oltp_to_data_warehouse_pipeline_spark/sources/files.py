@@ -157,6 +157,12 @@ def zorder_key(cols: list, mins: list[float], maxs: list[float], bits: int = 16)
     key.  All terms occupy disjoint bit positions, so a plain SUM equals the
     bitwise OR and the whole key is one codegen'd integer expression —
     ncols*bits shift/mask terms, no UDF.
+
+    NULL cluster-column values quantize to bucket 0 EXPLICITLY: they sort
+    together at the low end of that dimension instead of riding the
+    NULL-skipping behavior of least/greatest into the TOP bucket, where
+    they would co-locate with max-value rows and inflate every file's
+    min/max span on the other dimensions (round-2 advisor finding).
     """
     n = len(cols)
     if not (1 <= n * bits <= 62):
@@ -169,7 +175,10 @@ def zorder_key(cols: list, mins: list[float], maxs: list[float], bits: int = 16)
             quantized.append(F.lit(0).cast("long"))
             continue
         q = F.floor((col.cast("double") - float(lo)) / span * ((1 << bits) - 1))
-        quantized.append(F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1))).cast("long"))
+        clamped = F.greatest(F.lit(0), F.least(q, F.lit((1 << bits) - 1)))
+        quantized.append(
+            F.when(col.isNull(), F.lit(0)).otherwise(clamped).cast("long")
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, q in enumerate(quantized):

@@ -19,11 +19,10 @@ deterministic ordering.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oltp_to_data_warehouse_pipeline_spark import fs
 from oltp_to_data_warehouse_pipeline_spark.operators.dedup import lww_dedup
 
 BUCKET_COL = "__bucket"
@@ -64,7 +63,10 @@ def upsert_parquet(
 
     incoming = _bucketed(lww_dedup(batch, [key], order_for(batch)), key, num_buckets)
 
-    if not os.path.exists(path):
+    # Hadoop-FS existence (not os.path): the table may live on s3a://hdfs://,
+    # where a driver-local check would wrongly take the fresh-table branch
+    # and overwrite the store.
+    if not fs.has_data_files(spark, path):
         (
             incoming.repartition(BUCKET_COL)
             .write.mode("overwrite")
@@ -122,7 +124,7 @@ def scd2_upsert_parquet(
     content = F.xxhash64(*[F.col(c) for c in sorted(batch.columns)])
     latest = lww_dedup(batch, [key], [F.col(eff_col).desc(), content.desc()])
 
-    if not os.path.exists(path):
+    if not fs.has_data_files(spark, path):
         # first batch: every row is an insert, open from its own event date
         attrs = [c for c in latest.columns if c != eff_col]
         empty_dim = scd2_init(latest.select(*attrs).limit(0))

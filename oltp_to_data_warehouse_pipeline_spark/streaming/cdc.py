@@ -14,11 +14,10 @@ source is config wiring, ST1/ST2/ST6).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oltp_to_data_warehouse_pipeline_spark import fs
 from oltp_to_data_warehouse_pipeline_spark.sources.upsert import upsert_parquet
 from oltp_to_data_warehouse_pipeline_spark.streaming import normalizer as norm
 
@@ -96,7 +95,7 @@ def process_microbatch(
         msgs = batch.where(F.col("topic") == topic)
         sample = [r["value"] for r in msgs.select("value").limit(SAMPLE_SIZE).collect()]
         schema = norm.infer_schema(sample)
-        prior = _load_schema(warehouse_dir, topic)
+        prior = _load_schema(spark, warehouse_dir, topic)
         if prior is not None:
             schema = prior.merge(schema)  # additive evolution across batches (B9 fixed)
         if not schema.fields:
@@ -106,7 +105,7 @@ def process_microbatch(
         # limit(1).count() emptiness probe would re-evaluate the same
         # pk-extraction scan a second time just to decide whether to write
         norm.rejected(msgs, schema).write.mode("append").parquet(
-            os.path.join(warehouse_dir, "_dead_letter", table)
+            fs.join(warehouse_dir, "_dead_letter", table)
         )
         normalized = norm.normalize(msgs, schema)
         order_cols = ["updated_at"]
@@ -115,12 +114,12 @@ def process_microbatch(
         upsert_parquet(
             spark,
             normalized,
-            os.path.join(warehouse_dir, table),
+            fs.join(warehouse_dir, table),
             key="kafka_primary_key",
             order_cols=order_cols,
             num_buckets=num_buckets,
         )
-        _save_schema(warehouse_dir, topic, schema)
+        _save_schema(spark, warehouse_dir, topic, schema)
         written.append(table)
     return written
 
@@ -211,13 +210,15 @@ def install_signal_shutdown(query, signals=None) -> None:
 
 
 def _schema_path(warehouse_dir: str, topic: str) -> str:
-    return os.path.join(warehouse_dir, f"_schema_{norm.topic_to_table(topic)}.json")
+    return fs.join(warehouse_dir, f"_schema_{norm.topic_to_table(topic)}.json")
 
 
-def _save_schema(warehouse_dir: str, topic: str, schema: norm.InferredSchema) -> None:
+def _save_schema(
+    spark: SparkSession, warehouse_dir: str, topic: str, schema: norm.InferredSchema
+) -> None:
     import json
 
-    os.makedirs(warehouse_dir, exist_ok=True)
+    fs.mkdirs(spark, warehouse_dir)
     payload = {
         name: {
             "sql_type": f.sql_type,
@@ -229,18 +230,18 @@ def _save_schema(warehouse_dir: str, topic: str, schema: norm.InferredSchema) ->
         }
         for name, f in schema.fields.items()
     }
-    with open(_schema_path(warehouse_dir, topic), "w") as fh:
-        json.dump(payload, fh)
+    fs.write_text(spark, _schema_path(warehouse_dir, topic), json.dumps(payload))
 
 
-def _load_schema(warehouse_dir: str, topic: str) -> norm.InferredSchema | None:
+def _load_schema(
+    spark: SparkSession, warehouse_dir: str, topic: str
+) -> norm.InferredSchema | None:
     import json
 
     p = _schema_path(warehouse_dir, topic)
-    if not os.path.exists(p):
+    if not fs.exists(spark, p):
         return None
-    with open(p) as fh:
-        payload = json.load(fh)
+    payload = json.loads(fs.read_text(spark, p))
     return norm.InferredSchema(
         {
             name: norm.InferredField(

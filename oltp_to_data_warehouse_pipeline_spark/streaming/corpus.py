@@ -21,12 +21,11 @@ against co-located buckets instead of re-shuffling the store.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from oltp_to_data_warehouse_pipeline_spark import fs
 from oltp_to_data_warehouse_pipeline_spark.functions import text as text_fns
 
 
@@ -44,9 +43,10 @@ def dedup_batch_against_corpus(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    if os.path.exists(corpus_path) and any(
-        not e.startswith("_") for e in os.listdir(corpus_path)
-    ):
+    # Existence resolved through the Hadoop FileSystem API, not os.path —
+    # on s3a://hdfs:// corpora a driver-local check would answer "absent",
+    # skip the anti-join, and silently break the dedup contract.
+    if fs.has_data_files(spark, corpus_path):
         seen = spark.read.parquet(corpus_path).select("fp").distinct()
         firsts = firsts.join(seen, "fp", "left_anti")
     return firsts

@@ -29,13 +29,34 @@ maintainable at minute-level freshness.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from oltp_to_data_warehouse_pipeline_spark import fs
 from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
     RollupSpec,
     refresh_rollup,
 )
+
+
+def _stream_identity(spark, checkpoint: str) -> str:
+    """A random id minted once per checkpoint directory and stored inside
+    it.  Batch-ids become ``{query_name}-{stream_id}-{epoch_id}``, which
+    ties the rollup's ``_applied_batches`` namespace to the checkpoint's
+    LIFETIME: delete/replace the checkpoint (epoch ids restart at 0) and
+    the fresh checkpoint mints a fresh id, so new epochs can never collide
+    with stale markers and be silently no-opped (round-2 advisor finding).
+    Recovery replays from the SAME checkpoint keep the same id, so the
+    exactly-once no-op behavior is preserved."""
+    sid_path = fs.join(checkpoint, "_matview_stream_id")
+    if fs.exists(spark, sid_path):
+        return fs.read_text(spark, sid_path).strip()
+    stream_id = uuid.uuid4().hex[:12]
+    fs.mkdirs(spark, checkpoint)
+    fs.write_text(spark, sid_path, stream_id)
+    return stream_id
 
 
 def maintain_rollup(
@@ -53,9 +74,13 @@ def maintain_rollup(
     through to ``DataStreamWriter.trigger`` — default is drain-and-stop
     (``{"availableNow": True}``); pass e.g. ``{"processingTime": "1
     minute"}`` for a continuously-running view.  ``epoch_id`` is Spark's
-    replay-stable micro-batch id — reusing it as the merge batch_id is what
-    makes checkpoint-recovery replays no-ops.
+    replay-stable micro-batch id; combined with the checkpoint-scoped
+    stream identity it forms the merge batch_id, so checkpoint-recovery
+    replays are no-ops while a RESET checkpoint (or a second view over the
+    same rollup path) gets its own marker namespace instead of colliding
+    with old ``_applied_batches`` entries.
     """
+    stream_id = _stream_identity(stream.sparkSession, checkpoint)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         refresh_rollup(
@@ -63,7 +88,7 @@ def maintain_rollup(
             batch,
             path,
             spec,
-            batch_id=f"{query_name}-{epoch_id}",
+            batch_id=f"{query_name}-{stream_id}-{epoch_id}",
             partition_key=partition_key,
         )
 

@@ -219,3 +219,18 @@ def test_zorder_key_bijective_on_grid(spark):
     ).first()
     assert stats["n"] == side * side
     assert stats["lo"] == 0 and stats["hi"] == side * side - 1
+
+
+def test_zorder_key_nulls_quantize_to_bucket_zero(spark):
+    """NULL cluster values must land in bucket 0 explicitly — not ride
+    least/greatest NULL-skipping into the TOP bucket next to max-value rows
+    (round-2 advisor finding: that placement silently inflates the last
+    file's min/max span on every other dimension)."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.files import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 0), (0, 0), (3, 0)], "x int, y int"
+    ).withColumn("z", zorder_key(["x", "y"], mins=[0, 0], maxs=[3, 3], bits=2))
+    by_x = {r["x"]: r["z"] for r in df.collect()}
+    assert by_x[None] == by_x[0]          # NULL co-locates with the LOW end
+    assert by_x[None] != by_x[3]          # ... not with the max bucket

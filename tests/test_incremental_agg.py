@@ -148,7 +148,7 @@ def test_interrupted_merge_detected_not_double_applied(spark, tmp_path):
     # clean abort: begin marker exists but file inventory is unchanged
     # (the failed job committed nothing) -> replay retries and succeeds
     delta = o.limit(5)
-    _mark_begin(path, "b1", "merge")
+    _mark_begin(spark, path, "b1", "merge")
     refresh_rollup(spark, delta, path, SPEC, batch_id="b1", partition_key="order_month")
     after_b1 = _snapshot(read_rollup(spark, path))
     assert after_b1 != baseline  # merge landed exactly once
@@ -179,7 +179,7 @@ def test_uncommitted_initial_write_replays_as_overwrite(spark, tmp_path):
     once = _snapshot(read_rollup(spark, path))
     # simulate the crash: commit marker gone, init-phase begin marker present
     os.remove(os.path.join(path, "_applied_batches", "b0"))
-    _mark_begin(path, "b0", "init")
+    _mark_begin(spark, path, "b0", "init")
     refresh_rollup(spark, o, path, SPEC, batch_id="b0", partition_key="order_month")
     assert _snapshot(read_rollup(spark, path)) == once  # not doubled
 

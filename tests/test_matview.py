@@ -95,3 +95,35 @@ def test_matview_matches_recompute_and_increments(spark, tmp_path):
         ).collect()
     }
     assert avg["2024-01-01"] == 7.5
+
+
+def test_checkpoint_reset_does_not_collide_with_old_markers(spark, tmp_path):
+    """Round-2 advisor finding: with batch_id = f"{query_name}-{epoch_id}",
+    deleting/replacing the checkpoint restarts epoch ids at 0 and new
+    batches collide with stale _applied markers — silently no-opped, rows
+    dropped.  The checkpoint-scoped stream identity must give the fresh
+    checkpoint its own marker namespace so the new data lands."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rollup, ckpt = str(tmp_path / "mv"), str(tmp_path / "ckpt")
+
+    _write_batch(src, "b1.json", [{"day": "2024-01-01", "amount": 10.0}])
+    _run_stream(spark, src, rollup, ckpt)
+    got = {str(r["day"]): r["revenue"] for r in read_rollup(spark, rollup).collect()}
+    assert got == {"2024-01-01": 10.0}
+
+    # operator resets the checkpoint (new pipeline deploy, corrupted state…)
+    shutil.rmtree(ckpt)
+    # the replaced stream re-reads the source from scratch: epoch 0 again
+    _write_batch(src, "b2.json", [{"day": "2024-01-02", "amount": 5.0}])
+    _run_stream(spark, src, rollup, ckpt)
+
+    got = {str(r["day"]): r["revenue"] for r in read_rollup(spark, rollup).collect()}
+    # Without the stream identity, epoch 0 of the new checkpoint would be
+    # silently no-opped against the old "matview-0" marker and day 2 lost.
+    # (day 1 re-merges too because the reset stream replays b1 — double
+    # counting on RESET is the operator's documented responsibility; what
+    # must never happen is a silent DROP.)
+    assert "2024-01-02" in got and got["2024-01-02"] == 5.0
