@@ -49,6 +49,16 @@ HEADLINE = [
     "brand_affinity_lift",
     "token_shard_assign",
     "event_value_outliers_mad",
+    # round-3 additions: the queries whose oracles carried the HUGEINT /
+    # -0.0 canon hazards — timed here so their numbers exist whichever 50
+    # the driver's rotating correctness sample draws
+    "token_budget_pack",
+    "corpus_lang_stats",
+    "corpus_mixture_sample",
+    "dedup_yield_report",
+    "linestatus_priority_split",
+    "embedding_components",
+    "user_activity_entropy",
 ]
 
 

@@ -1,0 +1,175 @@
+"""Minimal REAL media codecs (pure stdlib) for the multimodal seam.
+
+`multimodal.extract_features` takes any ``bytes -> list[float]`` codec; tests
+previously exercised only the deterministic fake.  These decoders parse two
+real container formats with nothing beyond the standard library, proving the
+production plug-in seam end-to-end on genuine media bytes:
+
+- PNG: full spec subset — 8-bit greyscale/RGB/RGBA (+ greyscale-alpha),
+  non-interlaced, all five scanline filters (None/Sub/Up/Average/Paeth),
+  zlib-inflated IDAT stream.  This is the same unfilter algorithm Pillow
+  runs; what Pillow adds is breadth (palettes, 16-bit, interlace, other
+  containers), not a different seam.
+- WAV: RIFF/PCM via the stdlib ``wave`` module (16-bit and 8-bit PCM).
+
+Feature heads (`png_feature`, `wav_feature`) reduce decoded pixels/samples
+to a fixed-dim float vector — per-channel moments for images, windowed RMS
+for audio — the deterministic, library-free stand-in for an embedding model.
+They satisfy the exact codec signature `extract_features` expects, so
+swapping in a real embedder is a one-argument change.
+
+These run INSIDE the Arrow batch iterator on executors: pure functions of
+the payload bytes, no shared state, no driver round-trips.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+import wave
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a PNG byte-string -> (width, height, channels, raw pixel bytes).
+
+    Supports bit depth 8, color types 0/2/4/6, no interlace.  Raises
+    ``ValueError`` on anything else — loud refusal beats wrong pixels.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, channels = 8, None, None, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
+                )
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel payload has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        f = raw[row_start]
+        row = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out.extend(row)
+        prev = row
+    return width, height, channels, bytes(out)
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
+    """Parse a RIFF/WAV byte-string -> (framerate, channels, samples in
+    [-1, 1]).  16-bit and 8-bit PCM (what stdlib ``wave`` reads)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        ints = struct.unpack(f"<{len(frames) // 2}h", frames)
+        return rate, nch, [s / 32768.0 for s in ints]
+    if width == 1:  # 8-bit WAV is unsigned
+        return rate, nch, [(b - 128) / 128.0 for b in frames]
+    raise ValueError(f"unsupported WAV sample width {width}")
+
+
+def png_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Real-image feature head: per-channel mean and variance of decoded
+    pixels (normalized to [0,1]), tiled/truncated to ``dim``.  Matches the
+    ``bytes -> list[float]`` codec signature of `extract_features`."""
+    _w, _h, channels, px = decode_png(data)
+    n = len(px) // channels
+    feats: list[float] = []
+    for c in range(channels):
+        vals = px[c::channels]
+        mean = sum(vals) / (255.0 * n)
+        var = sum((v / 255.0 - mean) ** 2 for v in vals) / n
+        feats.extend((mean, var))
+    while len(feats) < dim:
+        feats.append(feats[len(feats) % (2 * channels)])
+    return feats[:dim]
+
+
+def wav_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Real-audio feature head: RMS energy over ``dim`` equal time windows
+    of the decoded waveform (mono-mixed)."""
+    _rate, nch, samples = decode_wav(data)
+    if nch > 1:  # interleaved -> mono mix
+        samples = [
+            sum(samples[i : i + nch]) / nch for i in range(0, len(samples) - nch + 1, nch)
+        ]
+    if not samples:
+        return [0.0] * dim
+    win = max(1, len(samples) // dim)
+    feats = []
+    for k in range(dim):
+        seg = samples[k * win : (k + 1) * win] or [0.0]
+        feats.append((sum(s * s for s in seg) / len(seg)) ** 0.5)
+    return feats
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Tiny PNG writer (filter 0 rows) — fixture generator for tests; the
+    decoder above must round-trip anything this emits."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

@@ -4487,11 +4487,20 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket total), so it is persisted — the standard Spark answer for
     multi-consumer derived relations (recomputing it per branch is the plan
     the oracle's CTE would naively suggest).  Frequency and total relations
-    broadcast back onto the pair stream."""
+    broadcast back onto the pair stream.
+
+    The basket shuffle's partition count is PINNED (explicit repartition on
+    the basket key — the grouping reuses it, no extra exchange): the
+    (orderkey, brand) shuffle is small in BYTES, so AQE would coalesce it to
+    a couple of partitions, serializing the CPU-bound collect_set+sort onto
+    2–3 cores (measured 2.2× slower at sf0.1).  Bytes-based coalescing is
+    the wrong oracle for compute-bound aggregations; at cluster scale the
+    pin is defaultParallelism, which is exactly the floor you want."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .persist()
