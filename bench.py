@@ -59,6 +59,11 @@ HEADLINE = [
     "linestatus_priority_split",
     "embedding_components",
     "user_activity_entropy",
+    # round-3 new operators
+    "bm25_search_topk",
+    "chunk_dedup_reassemble",
+    "contamination_spans",
+    "corpus_epoch_shuffle",
 ]
 
 

@@ -365,3 +365,49 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_term_filter_reaches_scan_and_broadcasts_stats(spark):
+    """The literal query vocabulary must prune the posting build inside the
+    scan stage (pushed IN-filter), and every stats relation (query terms,
+    df, corpus stats) must broadcast — only matching (doc, term) counts may
+    shuffle."""
+    q, _ = registry()
+    plan = _plan(q["bm25_search_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # query terms, df, and corpus stats all broadcast; only the doc-keyed
+    # tf⋈dl join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "spark" in plan and "customer" in plan  # literal terms in the filter
+
+
+def test_contamination_spans_probe_is_broadcast(spark):
+    q, _ = registry()
+    plan = _plan(q["contamination_spans"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_is_stratum_windows_no_global_sort(spark):
+    """Positions are per-source strata: the plan must contain window sorts
+    partitioned by source, never a single-partition global Sort."""
+    q, _ = registry()
+    plan = _plan(q["corpus_epoch_shuffle"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "epoch shuffle must not serialize to one partition"
+
+
+def test_tokenizer_fertility_zero_joins_one_exchange(spark):
+    q, _ = registry()
+    plan = _plan(q["tokenizer_fertility"](spark, SF_DIR))
+    assert "Join" not in plan
+    # partial agg then one shuffle on lang
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_chunk_dedup_no_cartesian_two_keyed_exchanges(spark):
+    """Chunking is a narrow generator; the only exchanges allowed are the
+    chunk-hash window and the doc_id reassembly aggregate."""
+    q, _ = registry()
+    plan = _plan(q["chunk_dedup_reassemble"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "Join" not in plan
