@@ -3607,8 +3607,12 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate it twice (sf0.1: 2.7 s recomputed → 1.65 s).  Shuffles: one
     postings aggregate on 8-byte xxhash64 keys (counts are hash-invariant;
     the oracle groups on the string) + one doc-keyed count over singleton
-    shingles only — measured 3.4 s → 1.65 s at sf0.1 end to end."""
-    d = load_table(spark, sf_dir, "documents")
+    shingles only — measured 3.4 s → 1.65 s at sf0.1 end to end.  The
+    min-parallelism gate spreads the CPU-bound shingle build across cores
+    when the fixture is a single input split (no-op at real scale)."""
+    from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     shingles = dedup.word_shingles("text", 3)
     sh = (
         d.select("doc_id", F.explode(shingles).alias("s"))

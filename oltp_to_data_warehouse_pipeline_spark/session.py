@@ -23,6 +23,13 @@ _ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces by BYTES; with the default 1 MiB floor a small-byte but
+    # CPU-heavy shuffle (full-row dedup hash-agg, collect_set basket build)
+    # collapses to 2-3 partitions and serializes onto 2-3 cores.  A 64 KiB
+    # floor keeps such stages wide on the test harness; at cluster scale
+    # shuffle partitions are far above either floor, so this is a no-op
+    # there (parallelismFirst remains default-true either way).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Dimension tables in the star schema are small; let Catalyst broadcast
     # them instead of shuffling the fact table.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
