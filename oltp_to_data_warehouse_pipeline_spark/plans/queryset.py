@@ -6070,6 +6070,70 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def event_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through the VARIANT type (Spark 4):
+    ``parse_json`` once per row, ``try_variant_get`` path extraction — the
+    open-schema path for event property bags that beats re-parsing JSON
+    strings per field and never throws on malformed rows (try_ semantics →
+    NULL, counted in n_missing).  At 100 TB the parse is a scan-stage
+    expression; only (type, k) pairs reach the aggregate exchange."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.count_if(F.col("k").isNull()).cast("bigint").alias("n_missing"),
+        )
+    )
+
+
+@query(
+    "order_value_rank_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (percent_rank / cume_dist / ntile)
+    within each priority class — the analytic trio behind percentile
+    badges and decile reports.  The o_orderkey tiebreak makes every rank
+    engine-deterministic (ties in o_totalprice would otherwise make
+    cume_dist/ntile nondeterministic across engines).  One shuffle+sort on
+    the priority key serves all three functions (single window spec)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+@query(
     "repeat_customers_intersect",
     """
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
@@ -6134,6 +6198,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embedding_pool_by_label",
     "repeat_customers_intersect",
     "churned_customers_except",
+    "event_props_variant_stats",
+    "order_value_rank_distribution",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",

@@ -1,0 +1,186 @@
+"""WARC (Web ARChive) data source — crawl ingestion for the corpus pipeline.
+
+Common Crawl and most web-scale corpus dumps ship as WARC (ISO 28500):
+concatenated records, each a ``WARC/1.x`` header block + payload.  Spark has
+no native WARC reader, so crawls usually detour through a preprocessing job;
+this module closes that gap with a Spark 4 **Python Data Source** — the
+sanctioned extension point for formats the JVM can't read — so a crawl dump
+is directly queryable:
+
+    from oltp_to_data_warehouse_pipeline_spark.sources.warc import WarcDataSource
+    spark.dataSource.register(WarcDataSource)
+    docs = spark.read.format("warc").load("/crawl/segments/")
+
+Scale shape: one input partition PER FILE (WARC members are not
+splittable mid-stream without an index; Common Crawl segments are ~1 GB
+gzipped, a healthy task size), records streamed — memory is bounded by one
+record's payload, never a whole file.  ``.warc.gz`` works through Python's
+multi-member gzip support (per-record gzip members, the Common Crawl
+layout).  The reader is executor-side pure Python over Arrow batches —
+the slow path by design, but parse-once: land the output as parquet and
+every downstream query is columnar.
+
+Record parsing follows WARC/1.0-1.1 (header block terminated by CRLF CRLF,
+``Content-Length`` octets of payload, two CRLFs between records).  Records
+with a malformed header block stop the file with a clear error rather than
+silently resynchronizing (crawl integrity beats recall — a corrupt segment
+should be re-fetched, not half-read).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("source_file", T.StringType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
+    """Yield parsed records from a raw WARC byte stream.
+
+    Pure function of the stream — used by the Spark reader and directly
+    unit-testable without a SparkSession.
+    """
+    while True:
+        # skip inter-record blank lines
+        line = stream.readline()
+        while line in (_CRLF, b"\n"):
+            line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line, got {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if h in (_CRLF, b"\n", b""):
+                break
+            k, _, v = h.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"WARC record missing/invalid Content-Length: {headers}") from e
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError(
+                f"truncated WARC payload: expected {length} bytes, got {len(payload)}"
+            )
+        yield {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "payload": payload,
+        }
+
+
+def _open(path: str) -> io.BufferedIOBase:
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")  # multi-member streams read seamlessly
+    return open(path, "rb")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path: .load('/dir/or/file')")
+
+    def partitions(self):
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        else:
+            files = [p]
+        if not files:
+            raise ValueError(f"no .warc/.warc.gz files under {p!r}")
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        with _open(partition.path) as stream:
+            for rec in iter_warc_records(stream):
+                yield (
+                    rec["warc_type"],
+                    rec["record_id"],
+                    rec["target_uri"],
+                    rec["warc_date"],
+                    rec["content_type"],
+                    rec["content_length"],
+                    rec["payload"],
+                    partition.path,
+                )
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` — register with
+    ``spark.dataSource.register(WarcDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema) -> WarcReader:
+        return WarcReader(self.options)
+
+
+def write_warc(records: list[dict], path: str, compress: bool = False) -> None:
+    """Tiny WARC writer (fixture generator / round-trip testing): each record
+    needs warc_type, record_id, payload; other headers optional."""
+    out: io.BufferedIOBase
+    raw = io.BytesIO()
+    for r in records:
+        payload = r["payload"]
+        head = [
+            b"WARC/1.0",
+            f"WARC-Type: {r['warc_type']}".encode(),
+            f"WARC-Record-ID: {r['record_id']}".encode(),
+            f"Content-Length: {len(payload)}".encode(),
+        ]
+        for opt, key in (
+            ("target_uri", "WARC-Target-URI"),
+            ("warc_date", "WARC-Date"),
+            ("content_type", "Content-Type"),
+        ):
+            if r.get(opt):
+                head.append(f"{key}: {r[opt]}".encode())
+        raw.write(_CRLF.join(head) + _CRLF + _CRLF + payload + _CRLF + _CRLF)
+    data = raw.getvalue()
+    if compress:
+        with gzip.open(path, "wb") as out:
+            out.write(data)
+    else:
+        with open(path, "wb") as out:
+            out.write(data)

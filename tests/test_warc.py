@@ -1,0 +1,111 @@
+"""WARC data source: crawl files queryable through spark.read.format('warc').
+
+Covers the pure parser (record framing, gzip multi-member, truncation
+refusal), the Spark DataSource integration (per-file partitions, schema),
+and the corpus-pipeline composition: WARC → documents-shaped relation →
+exact dedup — the ingest path a Common Crawl segment takes into this
+engine.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.sources.warc import (
+    WarcDataSource,
+    iter_warc_records,
+    write_warc,
+)
+
+RECORDS = [
+    {
+        "warc_type": "response",
+        "record_id": "<urn:uuid:r1>",
+        "target_uri": "http://example.com/a",
+        "warc_date": "2026-01-01T00:00:00Z",
+        "content_type": "text/html",
+        "payload": b"<html>alpha beta gamma</html>",
+    },
+    {
+        "warc_type": "response",
+        "record_id": "<urn:uuid:r2>",
+        "target_uri": "http://example.com/b",
+        "warc_date": "2026-01-01T00:00:01Z",
+        "content_type": "text/html",
+        "payload": b"<html>alpha beta gamma</html>",  # exact dup of r1
+    },
+    {
+        "warc_type": "warcinfo",
+        "record_id": "<urn:uuid:meta>",
+        "payload": b"software: test\r\n",
+    },
+]
+
+
+def test_parser_roundtrip_plain_and_gzip(tmp_path):
+    for compress, name in ((False, "a.warc"), (True, "a.warc.gz")):
+        p = str(tmp_path / name)
+        write_warc(RECORDS, p, compress=compress)
+        import gzip
+
+        stream = gzip.open(p, "rb") if compress else open(p, "rb")
+        with stream:
+            got = list(iter_warc_records(stream))
+        assert [g["record_id"] for g in got] == ["<urn:uuid:r1>", "<urn:uuid:r2>", "<urn:uuid:meta>"]
+        assert got[0]["payload"] == RECORDS[0]["payload"]
+        assert got[0]["target_uri"] == "http://example.com/a"
+        assert got[2]["warc_type"] == "warcinfo"
+
+
+def test_parser_refuses_truncation_and_garbage():
+    # a record whose payload is cut short must fail loudly, not resync
+    raw = io.BytesIO(
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <x>\r\n"
+        b"Content-Length: 100\r\n\r\nshort"
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(raw))
+    junk = io.BytesIO(b"NOT-A-WARC\r\n")
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(junk))
+
+
+def test_spark_reads_warc_with_per_file_partitions(spark, tmp_path):
+    write_warc(RECORDS, str(tmp_path / "seg1.warc"), compress=False)
+    write_warc(RECORDS[:1], str(tmp_path / "seg2.warc.gz"), compress=True)
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 4
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+    assert {r["source_file"].rsplit("/", 1)[-1] for r in rows} == {"seg1.warc", "seg2.warc.gz"}
+    r1 = [r for r in rows if r["record_id"] == "<urn:uuid:r1>"]
+    assert r1 and bytes(r1[0]["payload"]) == RECORDS[0]["payload"]
+    assert r1[0]["content_length"] == len(RECORDS[0]["payload"])
+
+
+def test_warc_to_corpus_dedup_composition(spark, tmp_path):
+    """The ingest pipeline: crawl responses → documents-shaped relation →
+    normalized-fingerprint exact dedup (r2's duplicate page collapses)."""
+    from oltp_to_data_warehouse_pipeline_spark.functions import text as text_fns
+
+    write_warc(RECORDS, str(tmp_path / "seg.warc"), compress=False)
+    spark.dataSource.register(WarcDataSource)
+    docs = (
+        spark.read.format("warc")
+        .load(str(tmp_path / "seg.warc"))
+        .where(F.col("warc_type") == "response")
+        .select(
+            F.col("record_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("payload").cast("string").alias("text"),
+        )
+        .withColumn("fp", text_fns.normalized_fingerprint("text"))
+    )
+    kept = docs.dropDuplicates(["fp"])
+    assert docs.count() == 2 and kept.count() == 1
