@@ -6070,6 +6070,205 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_duplication",
+    f"""
+    WITH tok AS (SELECT source, {_TOK} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> md5(array_to_string(t[i:i+2], ' ')))) AS sh
+      FROM tok),
+    vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_shingles
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, s.shared_shingles,
+           round(s.shared_shingles /
+                 CAST(least(va.n_sh, vb.n_sh) AS DOUBLE), 4) AS overlap_coef
+    FROM shared s
+    JOIN vocab va ON va.source = s.source_a
+    JOIN vocab vb ON vb.source = s.source_b
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance overlap matrix: distinct 3-gram shingles shared by each
+    PAIR of sources, plus the overlap coefficient (shared / min vocab) —
+    the diagnostic that catches overlapping crawl snapshots / mirrored
+    dumps before they skew mixture weights (two sources that are mostly
+    the same corpus should not get two full mixture shares).
+
+    Scale: text collapses to per-source DISTINCT 32-byte shingle hashes at
+    the scan (array_distinct in the array domain before explode), so the
+    equi-join carries each (source, shingle) once and the matrix aggregate
+    is over shared shingles only — never doc².  Source cardinality is
+    small, so the pair matrix is tiny regardless of corpus size."""
+    from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "source", F.explode(F.array_distinct(text.shingle_hashes("text", 3))).alias("sh")
+    ).distinct()
+    vocab = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+    va = vocab.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles") / F.least("na", "nb").cast("double"), 4
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+@query(
+    "minhash_jaccard_calibration",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    ab AS (
+      SELECT doc,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(sh), i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) % 2147483647 AS a,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(sh), 16 + i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) % 2147483647 AS b
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc,
+             min((a + 0 * b) % 2147483647) AS sig_0, min((a + 1 * b) % 2147483647) AS sig_1,
+             min((a + 2 * b) % 2147483647) AS sig_2, min((a + 3 * b) % 2147483647) AS sig_3,
+             min((a + 4 * b) % 2147483647) AS sig_4, min((a + 5 * b) % 2147483647) AS sig_5,
+             min((a + 6 * b) % 2147483647) AS sig_6, min((a + 7 * b) % 2147483647) AS sig_7
+      FROM ab GROUP BY doc
+    ),
+    banded AS (
+      SELECT doc, 0 AS band, md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS key FROM sigs
+      UNION ALL SELECT doc, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs
+      UNION ALL SELECT doc, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs
+      UNION ALL SELECT doc, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+    ),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.doc_a
+      JOIN sh sb ON sb.doc = c.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             (CAST(sa.sig_0 = sb.sig_0 AS INT) + CAST(sa.sig_1 = sb.sig_1 AS INT)
+            + CAST(sa.sig_2 = sb.sig_2 AS INT) + CAST(sa.sig_3 = sb.sig_3 AS INT)
+            + CAST(sa.sig_4 = sb.sig_4 AS INT) + CAST(sa.sig_5 = sb.sig_5 AS INT)
+            + CAST(sa.sig_6 = sb.sig_6 AS INT) + CAST(sa.sig_7 = sb.sig_7 AS INT)) AS n_eq
+      FROM cand c JOIN sigs sa ON sa.doc = c.doc_a JOIN sigs sb ON sb.doc = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.n_eq / 8.0, 4) AS est_jaccard,
+           round(coalesce(i.n_inter, 0) /
+                 CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE), 4) AS exact_jaccard,
+           round(abs(e.n_eq / 8.0 - coalesce(i.n_inter, 0) /
+                 CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE)), 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes na ON na.doc = e.doc_a
+    JOIN sizes nb ON nb.doc = e.doc_b
+    """,
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of equal signature components) against
+    the EXACT shingle-set Jaccard, with absolute error.  This is the
+    calibration report that justifies (or refutes) a chosen (k, bands)
+    operating point before a corpus-wide dedup run — an 8-hash sketch has
+    σ ≈ 0.17, and the report makes that error observable instead of
+    assumed.
+
+    Scale: signatures are the zero-shuffle narrow map; candidates come
+    from the banded equi-join; the exact side touches ONLY candidate
+    pairs (shingle join restricted via broadcast of the candidate list),
+    so the expensive exact computation is proportional to candidates,
+    never corpus²."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)]
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    est = (
+        cand.join(F.broadcast(sig_a), "doc_a")
+        .join(F.broadcast(sig_b), "doc_b")
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(dedup.word_shingles("text", 3))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        sh.join(F.broadcast(cand), sh["doc"] == cand["doc_a"])
+        .select("doc_a", "doc_b", "sh")
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), F.col("sh")),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        F.coalesce(F.col("n_inter"), F.lit(0))
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))).cast(
+            "double"
+        )
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_eq") / 8.0, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("n_eq") / 8.0 - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+@query(
     "event_props_variant_stats",
     """
     SELECT event_type,
@@ -6200,6 +6399,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "churned_customers_except",
     "event_props_variant_stats",
     "order_value_rank_distribution",
+    "minhash_jaccard_calibration",
+    "cross_source_duplication",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",

@@ -185,3 +185,78 @@ def test_pillow_cross_check_if_available():
     img = PIL_Image.open(io.BytesIO(data))
     assert img.size == (6, 4)
     assert img.tobytes() == codecs.decode_png(data)[3]
+
+
+# --- property-based roundtrips (hypothesis) ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, data):
+    """encode_png(filter-0) -> decode_png is the identity for every size,
+    channel count, and pixel content."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    assert codecs.decode_png(codecs.encode_png(w, h, ch, px)) == (w, h, ch, px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=2, max_value=8),
+    h=st.integers(min_value=2, max_value=8),
+    filters=st.data(),
+)
+def test_png_unfilter_property_all_filter_mixes(w, h, filters):
+    """Any per-row mix of the five scanline filters decodes back to the
+    original pixels (the encoder in the test applies the filters forward;
+    the decoder must invert them row by row)."""
+    ch = 3
+    stride = w * ch
+    px = bytes((x * 37 + y * 101 + c * 7) % 256 for y in range(h) for x in range(w) for c in range(ch))
+    fseq = filters.draw(st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=h, max_size=h))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, f in zip(range(h), fseq):
+        row = px[y * stride : (y + 1) * stride]
+        raw.append(f)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1, 4: paeth(left, up, ul)}[f]
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png(blob) == (w, h, ch, px)
