@@ -35,7 +35,12 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 WARC_SCHEMA = T.StructType(
     [
@@ -141,9 +146,75 @@ class WarcReader(DataSourceReader):
                 )
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming tail of a crawl-segment directory: each micro-batch picks
+    up WARC files that appeared since the last committed offset.
+
+    Offset model: the lexicographically sorted file listing, offset =
+    ``{"files": <count of files already processed>}``.  Crawl pipelines
+    append segments with monotonically increasing names (Common Crawl's
+    layout), so a sorted-prefix offset is replay-stable: restarting from a
+    checkpoint re-reads exactly the not-yet-committed suffix.  One input
+    partition per new file — same unsplittable-member economics as the
+    batch reader.  Files must be fully written before they appear under
+    the path (write-then-rename, the standard landing pattern); a file
+    added with a name that sorts BEFORE an already-processed one is
+    refused loudly rather than silently skipped.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path: .load('/dir')")
+
+    def _listing(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        return [self.path] if os.path.exists(self.path) else []
+
+    def initialOffset(self) -> dict:
+        return {"files": 0, "last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._listing()
+        return {"files": len(files), "last": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._listing()
+        lo, hi = start["files"], min(end["files"], len(files))
+        if start.get("last") and files[:lo] and files[lo - 1] != start["last"]:
+            raise ValueError(
+                f"WARC listing changed under committed offset {start}: expected "
+                f"{start['last']!r} at position {lo - 1}, found {files[lo - 1]!r} — "
+                "segments must be appended with sort-increasing names"
+            )
+        return [_FilePartition(f) for f in files[lo:hi]]
+
+    def read(self, partition: _FilePartition):
+        with _open(partition.path) as stream:
+            for rec in iter_warc_records(stream):
+                yield (
+                    rec["warc_type"],
+                    rec["record_id"],
+                    rec["target_uri"],
+                    rec["warc_date"],
+                    rec["content_type"],
+                    rec["content_length"],
+                    rec["payload"],
+                    partition.path,
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by Spark's own offset log
+
+
 class WarcDataSource(DataSource):
-    """``spark.read.format("warc")`` — register with
-    ``spark.dataSource.register(WarcDataSource)``."""
+    """``spark.read.format("warc")`` / ``spark.readStream.format("warc")``
+    — register with ``spark.dataSource.register(WarcDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -154,6 +225,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def write_warc(records: list[dict], path: str, compress: bool = False) -> None:

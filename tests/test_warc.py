@@ -109,3 +109,41 @@ def test_warc_to_corpus_dedup_composition(spark, tmp_path):
     )
     kept = docs.dropDuplicates(["fp"])
     assert docs.count() == 2 and kept.count() == 1
+
+
+def test_streaming_warc_tail_picks_up_new_segments(spark, tmp_path):
+    """readStream over a crawl directory: batch 1 sees the initial segment,
+    a new segment landing between triggers arrives in the next batch, and a
+    checkpoint restart does not re-deliver committed files."""
+    src = tmp_path / "segments"
+    src.mkdir()
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    write_warc(RECORDS[:1], str(src / "seg-000.warc"), compress=False)
+    spark.dataSource.register(WarcDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1
+
+    # second segment lands; only IT is delivered on the next run
+    write_warc(RECORDS[1:], str(src / "seg-001.warc.gz"), compress=True)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # 1 + 2, no re-delivery of seg-000
+    assert got.select("record_id").distinct().count() == 3
+
+    # replay with no new data: nothing is re-delivered
+    drain()
+    assert spark.read.parquet(out).count() == 3
