@@ -221,6 +221,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| in both
+    directions per pair — catches "document A is quoted/embedded inside
+    document B", which symmetric Jaccard misses (a 50-token doc fully
+    contained in a 5000-token doc has Jaccard ≈ 0.01 but containment 1.0).
+    Pairs pass when EITHER direction reaches ``threshold``.
+
+    Same inverted-index economics as :func:`ngram_jaccard_pairs` (one
+    posting shuffle on 8-byte shingle hashes, expression-level a<b pair
+    expansion, Σdf² bound, ``max_df`` boilerplate cap — with the cap the
+    scores are lower bounds).  Output: doc_a, doc_b, containment_a_in_b,
+    containment_b_in_a (rounded 4).
+    """
+    shingles = word_shingles(text_col, shingle_n)
+    sh = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("doc"), F.size(shingles).alias("n_sh"), F.col(text_col))
+        .select("doc", "n_sh", F.explode(shingles).alias("__s"))
+        .select("doc", "n_sh", F.xxhash64("__s").alias("sh"))
+    )
+    lists = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("ps")
+    )
+    lists = lists.where(F.size("ps") > 1)
+    if max_df is not None:
+        lists = lists.where(F.size("ps") <= max_df)
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "b -> struct(a.doc as doc_a, a.n_sh as n_a, b.doc as doc_b, b.n_sh as n_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    c_ab = F.col("inter") / F.col("n_a")
+    c_ba = F.col("inter") / F.col("n_b")
+    return (
+        agg.where(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("containment_a_in_b"),
+            F.round(c_ba, 4).alias("containment_b_in_a"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word tokens (default 16 bits).
 

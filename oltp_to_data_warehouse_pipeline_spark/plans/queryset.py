@@ -6070,6 +6070,50 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    capped AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 20
+    ),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN capped c ON a.sh = c.sh
+      JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / CAST(sa.n_sh AS DOUBLE), 4) AS containment_a_in_b,
+           round(inter / CAST(sb.n_sh AS DOUBLE), 4) AS containment_b_in_a
+    FROM pairs
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE greatest(inter / CAST(sa.n_sh AS DOUBLE),
+                   inter / CAST(sb.n_sh AS DOUBLE)) >= 0.5
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B|/|A| per direction —
+    the quote/embedding detector symmetric Jaccard misses (a short doc
+    fully pasted inside a long one has Jaccard ≈ |A|/|B| but containment
+    1.0).  Pairs pass when either direction reaches 0.5; with the
+    boilerplate cap the scores are lower bounds, same caveat as the
+    capped Jaccard twin.  Same inverted-index economics: one posting
+    shuffle on 8-byte hashes, expression-level pair expansion, Σdf²
+    bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=20
+    )
+
+
+@query(
     "cross_source_duplication",
     f"""
     WITH tok AS (SELECT source, {_TOK} AS t FROM documents),
@@ -6401,6 +6445,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "order_value_rank_distribution",
     "minhash_jaccard_calibration",
     "cross_source_duplication",
+    "doc_containment_pairs",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",

@@ -143,3 +143,27 @@ def test_connected_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
         got = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
         assert got == expected, f"trial {trial}: {sorted(edges)}"
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc pasted inside a long one: containment 1.0, Jaccard tiny —
+    the asymmetric operator must flag it while the symmetric one (at any
+    reasonable threshold) does not."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    long_doc = filler + " " + short + " " + " ".join(f"v{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    got = dedup.containment_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.9, max_df=None
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_a_in_b"] == 1.0       # every shingle of the quote is in the host
+    assert r["containment_b_in_a"] < 0.02       # host is NOT contained in the quote
+    jac = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.2
+    ).collect()
+    assert jac == []  # symmetric Jaccard never surfaces the pair
