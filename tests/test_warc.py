@@ -147,3 +147,62 @@ def test_streaming_warc_tail_picks_up_new_segments(spark, tmp_path):
     # replay with no new data: nothing is re-delivered
     drain()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_crawl_to_corpus_streaming_pipeline(spark, tmp_path):
+    """The flagship ingest composition, end to end and ALL streaming: WARC
+    segments land in a directory → readStream('warc') → normalize to the
+    documents shape → `corpus.ingest_documents` dedup-appends into the
+    stored corpus.  Duplicates are dropped both within a batch and against
+    the corpus across separate stream runs."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming.corpus import ingest_documents
+
+    src = tmp_path / "segments"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(WarcDataSource)
+
+    def run_ingest():
+        stream = (
+            spark.readStream.format("warc")
+            .load(str(src))
+            .where(F.col("warc_type") == "response")
+            .select(
+                F.col("record_id").alias("doc_id"),
+                F.col("payload").cast("string").alias("text"),
+            )
+        )
+        q = ingest_documents(stream, corpus, ckpt)
+        q.awaitTermination(120)
+
+    # batch 1: r1 + its exact duplicate r2 -> one row lands
+    write_warc(RECORDS, str(src / "seg-000.warc"), compress=False)
+    run_ingest()
+    assert spark.read.parquet(corpus).count() == 1
+
+    # batch 2: a NEW page + ANOTHER copy of the old one -> only the new lands
+    write_warc(
+        [
+            {
+                "warc_type": "response",
+                "record_id": "<urn:uuid:r3>",
+                "target_uri": "http://example.com/c",
+                "payload": b"<html>completely new page</html>",
+            },
+            {
+                "warc_type": "response",
+                "record_id": "<urn:uuid:r4>",
+                "target_uri": "http://example.com/a-mirror",
+                "payload": RECORDS[0]["payload"],  # corpus already has this text
+            },
+        ],
+        str(src / "seg-001.warc"),
+        compress=False,
+    )
+    run_ingest()
+    got = spark.read.parquet(corpus)
+    assert got.count() == 2
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == [
+        "<urn:uuid:r1>", "<urn:uuid:r3>",
+    ]
