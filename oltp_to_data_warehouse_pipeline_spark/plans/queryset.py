@@ -6280,13 +6280,17 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(dedup.word_shingles("text", 3))).alias("sh"),
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # BOTH sides of the intersection join are pre-restricted to candidate
+    # docs via broadcast (left side by equi-join with cand, right side by a
+    # broadcast semi-join on doc_b) — the (doc_b, sh)-keyed shuffle then
+    # carries candidate docs' shingles only, not the whole corpus.
+    sh_b = sh.select(F.col("doc").alias("doc_b"), "sh").join(
+        F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi"
+    )
     inter = (
         sh.join(F.broadcast(cand), sh["doc"] == cand["doc_a"])
         .select("doc_a", "doc_b", "sh")
-        .join(
-            sh.select(F.col("doc").alias("doc_b"), F.col("sh")),
-            ["doc_b", "sh"],
-        )
+        .join(sh_b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
