@@ -35,6 +35,9 @@ _ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for any pandas_udf / toPandas exchange (vectorized, not per-row).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (the WARC reader drops filtered
+    # records before they cross the Arrow boundary).  Spark default is off.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Partition-overwrite used by the idempotent upsert sink (sources.upsert).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # ANSI off: the reference's cleaning semantics are permissive casts

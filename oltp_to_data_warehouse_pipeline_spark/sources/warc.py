@@ -116,6 +116,7 @@ class WarcReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source requires a path: .load('/dir/or/file')")
+        self.type_filter: str | None = None
 
     def partitions(self):
         p = self.path
@@ -134,6 +135,8 @@ class WarcReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         with _open(partition.path) as stream:
             for rec in iter_warc_records(stream):
+                if self.type_filter is not None and rec["warc_type"] != self.type_filter:
+                    continue
                 yield (
                     rec["warc_type"],
                     rec["record_id"],
@@ -144,6 +147,33 @@ class WarcReader(DataSourceReader):
                     rec["payload"],
                     partition.path,
                 )
+
+
+class WarcReaderWithPushdown(WarcReader):
+    """`WarcReader` + filter pushdown.  Separate class because Spark REFUSES
+    any reader that defines ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (rather than
+    ignoring it), so the capability must be attached only when the session
+    has the conf on — `WarcDataSource.reader` picks the class at plan
+    time."""
+
+    def pushFilters(self, filters):
+        """Push ``warc_type = '<literal>'`` into the record parser: filtered
+        records are dropped before their payload crosses the Arrow boundary
+        (a crawl segment is mostly request/metadata records when you only
+        want responses).  Everything else stays with Spark.  The filter is
+        re-returned so Spark still applies it post-scan — pushdown here is
+        an optimization, never a correctness dependency."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("warc_type",)
+                and isinstance(f.value, str)
+            ):
+                self.type_filter = f.value
+        return filters
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -208,7 +238,7 @@ class WarcStreamReader(DataSourceStreamReader):
                     partition.path,
                 )
 
-    def commit(self, end: dict) -> None:
+    def commit(self, end: dict) -> None:  # type: ignore[override]
         pass  # progress is tracked by Spark's own offset log
 
 
@@ -224,7 +254,14 @@ class WarcDataSource(DataSource):
         return WARC_SCHEMA
 
     def reader(self, schema) -> WarcReader:
-        return WarcReader(self.options)
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        enabled = (
+            s is not None
+            and s.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"
+        )
+        return (WarcReaderWithPushdown if enabled else WarcReader)(self.options)
 
     def streamReader(self, schema) -> WarcStreamReader:
         return WarcStreamReader(self.options)

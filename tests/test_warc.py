@@ -206,3 +206,30 @@ def test_crawl_to_corpus_streaming_pipeline(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == [
         "<urn:uuid:r1>", "<urn:uuid:r3>",
     ]
+
+
+def test_warc_type_filter_pushdown(spark, tmp_path):
+    """`warc_type = 'response'` pushes into the parser: non-matching records
+    are dropped before their payload crosses the Arrow boundary.  Unit level
+    pins the reader contract; query level pins end-to-end correctness."""
+    from pyspark.sql.datasource import EqualTo
+
+    from oltp_to_data_warehouse_pipeline_spark.sources.warc import (
+        WarcReaderWithPushdown,
+        _FilePartition,
+    )
+
+    p = str(tmp_path / "seg.warc")
+    write_warc(RECORDS, p, compress=False)
+
+    reader = WarcReaderWithPushdown({"path": p})
+    remaining = reader.pushFilters([EqualTo(("warc_type",), "response")])
+    assert reader.type_filter == "response"
+    assert list(remaining)  # filter re-returned: Spark still applies it post-scan
+    rows = list(reader.read(_FilePartition(p)))
+    assert len(rows) == 2 and all(r[0] == "response" for r in rows)
+
+    # end to end through the planner
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(p).where(F.col("warc_type") == "response")
+    assert df.count() == 2
