@@ -11,7 +11,9 @@ nanosecond-footer sniff (pyarrow) and the existence checks here read the
 local filesystem by design, because this module fronts the driver-generated
 test fixtures.  Production tables go through sources/ and streaming/, whose
 path handling resolves via the Hadoop FileSystem API (fs.py) and works on
-any scheme.
+any scheme — EXCEPT the Python-executed WARC readers (sources/warc.py),
+which run without a JVM gateway and therefore require POSIX-visible paths;
+they fail fast on URI schemes.
 """
 
 from __future__ import annotations

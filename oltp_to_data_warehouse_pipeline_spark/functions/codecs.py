@@ -57,6 +57,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
                 )
+            if width == 0 or height == 0:
+                # invalid per the PNG spec; accepting it would hand
+                # zero-pixel images to feature heads (division by zero)
+                raise ValueError(f"invalid PNG dimensions {width}x{height}")
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(body)

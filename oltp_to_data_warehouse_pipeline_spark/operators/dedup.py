@@ -173,47 +173,7 @@ def ngram_jaccard_pairs(
     which both bounds the per-shingle posting list held in memory and the
     df² blow-up.  None = exact (the oracle-checked configuration).
     """
-    # Shingle arrays are already distinct per doc -> exploded rows are unique
-    # without any dedup shuffle.  The set size rides along with every posting
-    # (one extra int per row) so |A| and |B| arrive with the counted pairs
-    # and no extra join against a sizes relation is needed.  Postings group
-    # on xxhash64(shingle), not the string: the shuffle carries 8-byte longs
-    # instead of ~25-byte text (collision odds across distinct shingles
-    # ~ n²/2⁶⁵ — negligible vs any sampling error).
-    #
-    # Plan shape: n_sh is computed in a codegen Project (whole-stage), and
-    # the SAME shingle expression is re-stated inline inside explode() so it
-    # lives in the Generate node.  Never materialize the shingle array in a
-    # child projection and explode the column — Generate over a projected
-    # array column serializes every per-doc array to an UnsafeRow first,
-    # which measured 5x slower than re-evaluating the expression (sf0.1:
-    # 1.6s -> 0.3s).
-    shingles = word_shingles(text_col, shingle_n)
-    sh = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col).alias("doc"), F.size(shingles).alias("n_sh"), F.col(text_col))
-        .select("doc", "n_sh", F.explode(shingles).alias("__s"))
-        .select("doc", "n_sh", F.xxhash64("__s").alias("sh"))
-    )
-    lists = sh.groupBy("sh").agg(
-        F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("ps")
-    )
-    lists = lists.where(F.size("ps") > 1)
-    if max_df is not None:
-        lists = lists.where(F.size("ps") <= max_df)
-    pairs = lists.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), "
-                "b -> struct(a.doc as doc_a, a.n_sh as n_a, b.doc as doc_b, b.n_sh as n_b))))"
-            )
-        ).alias("p")
-    ).select("p.*")
-    agg = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("inter"),
-        F.first("n_a").alias("n_a"),
-        F.first("n_b").alias("n_b"),
-    )
+    agg = _posting_pair_counts(df, id_col, text_col, shingle_n, max_df)
     return (
         agg.withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
@@ -221,25 +181,34 @@ def ngram_jaccard_pairs(
     )
 
 
-def containment_pairs(
+def _posting_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_df: int | None = 20,
+    shingle_n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| in both
-    directions per pair — catches "document A is quoted/embedded inside
-    document B", which symmetric Jaccard misses (a 50-token doc fully
-    contained in a 5000-token doc has Jaccard ≈ 0.01 but containment 1.0).
-    Pairs pass when EITHER direction reaches ``threshold``.
+    """Shared inverted-index core of the pairwise set-overlap family:
+    (doc_a, doc_b, inter, n_a, n_b) for every pair sharing ≥1 (uncapped)
+    shingle.  Jaccard and containment are just different score projections
+    over this relation — single-sourced so a cap/expansion fix cannot
+    desynchronize them (round-3 review finding).
 
-    Same inverted-index economics as :func:`ngram_jaccard_pairs` (one
-    posting shuffle on 8-byte shingle hashes, expression-level a<b pair
-    expansion, Σdf² bound, ``max_df`` boilerplate cap — with the cap the
-    scores are lower bounds).  Output: doc_a, doc_b, containment_a_in_b,
-    containment_b_in_a (rounded 4).
+    Shingle arrays are already distinct per doc -> exploded rows are unique
+    without any dedup shuffle.  The set size rides along with every posting
+    (one extra int per row) so |A| and |B| arrive with the counted pairs
+    and no extra join against a sizes relation is needed.  Postings group
+    on xxhash64(shingle), not the string: the shuffle carries 8-byte longs
+    instead of ~25-byte text (collision odds across distinct shingles
+    ~ n²/2⁶⁵ — negligible vs any sampling error).
+
+    Plan shape: n_sh is computed in a codegen Project (whole-stage), and
+    the SAME shingle expression is re-stated inline inside explode() so it
+    lives in the Generate node.  Never materialize the shingle array in a
+    child projection and explode the column — Generate over a projected
+    array column serializes every per-doc array to an UnsafeRow first,
+    which measured 5x slower than re-evaluating the expression (sf0.1:
+    1.6s -> 0.3s).
     """
     shingles = word_shingles(text_col, shingle_n)
     sh = (
@@ -262,11 +231,36 @@ def containment_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    agg = pairs.groupBy("doc_a", "doc_b").agg(
+    return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("inter"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| in both
+    directions per pair — catches "document A is quoted/embedded inside
+    document B", which symmetric Jaccard misses (a 50-token doc fully
+    contained in a 5000-token doc has Jaccard ≈ 0.01 but containment 1.0).
+    Pairs pass when EITHER direction reaches ``threshold``.
+
+    Same inverted-index economics as :func:`ngram_jaccard_pairs` — both
+    are score projections over the shared :func:`_posting_pair_counts`
+    relation (one posting shuffle on 8-byte shingle hashes,
+    expression-level a<b pair expansion, Σdf² bound, ``max_df``
+    boilerplate cap — with the cap the scores are lower bounds).
+    Output: doc_a, doc_b, containment_a_in_b, containment_b_in_a
+    (rounded 4).
+    """
+    agg = _posting_pair_counts(df, id_col, text_col, shingle_n, max_df)
     c_ab = F.col("inter") / F.col("n_a")
     c_ba = F.col("inter") / F.col("n_b")
     return (

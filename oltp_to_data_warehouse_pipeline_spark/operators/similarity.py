@@ -462,6 +462,15 @@ def ivf_centroids(
 
 
 
+def _probe_cells(qvec, centroids: list[list[float]], nprobe: int):
+    """The query's ``nprobe`` nearest cells as a sorted struct array —
+    single-sourced because BOTH the scorer's cell explode and the persisted
+    index's static partition prune must compute EXACTLY the same cell set
+    (drift between two copies would prune cells the scorer still expects
+    and silently drop neighbors; round-3 review finding)."""
+    return F.slice(F.array_sort(F.array(*_cell_entries(qvec, centroids))), 1, nprobe)
+
+
 def _probe_cells_topk(
     cand: DataFrame,
     queries: DataFrame,
@@ -475,9 +484,7 @@ def _probe_cells_topk(
     equi-join candidates (``neighbor_id``, ``__cvec``, ``cell``) on cell,
     exact-cosine score, per-query top-k.  Both the inline and the persisted
     index paths end here, so their outputs are identical by construction."""
-    probe_cells = F.slice(
-        F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe
-    )
+    probe_cells = _probe_cells(F.col("__qvec"), centroids, nprobe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec"))
         .withColumn("cell", F.explode(F.transform(probe_cells, lambda e: e.getField("i"))))
@@ -740,9 +747,7 @@ def ivf_topk_indexed(
     inline path on identical vectors+centroids (assignment is a pure
     function of both)."""
     centroids = ivf_read_model(spark, path)
-    probe = F.slice(
-        F.array_sort(F.array(*_cell_entries(F.col("__qvec"), centroids))), 1, nprobe
-    )
+    probe = _probe_cells(F.col("__qvec"), centroids, nprobe)
     cells = [
         r["cell"]
         for r in (

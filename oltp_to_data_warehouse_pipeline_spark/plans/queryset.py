@@ -6337,7 +6337,10 @@ def event_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL, counted in n_missing).  At 100 TB the parse is a scan-stage
     expression; only (type, k) pairs reach the aggregate exchange."""
     e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    # try_parse_json, not parse_json: strict parse would fail the whole
+    # aggregation on ONE malformed props row; try_ folds it into n_missing,
+    # which is the documented contract (round-3 review finding).
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

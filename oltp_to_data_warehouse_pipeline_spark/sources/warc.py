@@ -111,42 +111,71 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _require_local(path: str) -> str:
+    """The WARC readers run PURE PYTHON on executors — no JVM gateway, so
+    the Hadoop FileSystem API (fs.py) is not reachable from the read path.
+    Paths must be driver+executor-visible POSIX paths (local disk, NFS, or
+    a FUSE mount of the object store).  Fail fast on URI schemes instead of
+    surfacing as FileNotFoundError inside executor tasks."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"warc source reads through local POSIX I/O; {path!r} has a URI "
+            "scheme — mount the store (FUSE/NFS) or land segments locally"
+        )
+    return path.removeprefix("file://")
+
+
+def _list_warc_files(path: str, missing_ok: bool = False) -> list[str]:
+    """Sorted .warc/.warc.gz listing under ``path`` (or the file itself).
+    Shared by the batch and streaming readers so the suffix rule cannot
+    diverge between them."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".warc", ".warc.gz"))
+        )
+    if os.path.exists(path):
+        return [path]
+    return [] if missing_ok else [path]
+
+
+def _read_partition(partition: _FilePartition, type_filter: str | None = None):
+    """Parse one WARC file into WARC_SCHEMA-ordered row tuples — the single
+    row-emission point for both readers (a schema change edits exactly
+    here)."""
+    with _open(partition.path) as stream:
+        for rec in iter_warc_records(stream):
+            if type_filter is not None and rec["warc_type"] != type_filter:
+                continue
+            yield (
+                rec["warc_type"],
+                rec["record_id"],
+                rec["target_uri"],
+                rec["warc_date"],
+                rec["content_type"],
+                rec["content_length"],
+                rec["payload"],
+                partition.path,
+            )
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source requires a path: .load('/dir/or/file')")
+        self.path = _require_local(self.path)
         self.type_filter: str | None = None
 
     def partitions(self):
-        p = self.path
-        if os.path.isdir(p):
-            files = sorted(
-                os.path.join(p, f)
-                for f in os.listdir(p)
-                if f.endswith((".warc", ".warc.gz"))
-            )
-        else:
-            files = [p]
+        files = _list_warc_files(self.path)
         if not files:
-            raise ValueError(f"no .warc/.warc.gz files under {p!r}")
+            raise ValueError(f"no .warc/.warc.gz files under {self.path!r}")
         return [_FilePartition(f) for f in files]
 
     def read(self, partition: _FilePartition):
-        with _open(partition.path) as stream:
-            for rec in iter_warc_records(stream):
-                if self.type_filter is not None and rec["warc_type"] != self.type_filter:
-                    continue
-                yield (
-                    rec["warc_type"],
-                    rec["record_id"],
-                    rec["target_uri"],
-                    rec["warc_date"],
-                    rec["content_type"],
-                    rec["content_length"],
-                    rec["payload"],
-                    partition.path,
-                )
+        yield from _read_partition(partition, self.type_filter)
 
 
 class WarcReaderWithPushdown(WarcReader):
@@ -180,31 +209,31 @@ class WarcStreamReader(DataSourceStreamReader):
     """Streaming tail of a crawl-segment directory: each micro-batch picks
     up WARC files that appeared since the last committed offset.
 
-    Offset model: the lexicographically sorted file listing, offset =
-    ``{"files": <count of files already processed>}``.  Crawl pipelines
-    append segments with monotonically increasing names (Common Crawl's
-    layout), so a sorted-prefix offset is replay-stable: restarting from a
-    checkpoint re-reads exactly the not-yet-committed suffix.  One input
-    partition per new file — same unsplittable-member economics as the
-    batch reader.  Files must be fully written before they appear under
-    the path (write-then-rename, the standard landing pattern); a file
-    added with a name that sorts BEFORE an already-processed one is
-    refused loudly rather than silently skipped.
+    Offset model: a NAME boundary — ``{"files": n, "last": <path>}`` means
+    "every file with path <= last is covered, and there were n of them".
+    ``partitions(start, end)`` selects by name (start.last < f <=
+    end.last), NOT by position, so a batch's coverage is exactly what its
+    committed offset says even if the listing shifts between
+    ``latestOffset()`` and ``partitions()`` (a positional model would read
+    a late-landing out-of-order file in place of a listed one and commit
+    coverage of a file never ingested).  Crawl pipelines append segments
+    with monotonically increasing names (Common Crawl's layout); a file
+    that lands with a name INSIDE the committed boundary — out-of-order
+    landing or deletion of processed segments — changes the count below
+    the boundary and is refused loudly rather than silently skipped.
+    One input partition per new file — same unsplittable-member economics
+    as the batch reader.  Files must be fully written before they appear
+    under the path (write-then-rename, the standard landing pattern).
     """
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source requires a path: .load('/dir')")
+        self.path = _require_local(self.path)
 
     def _listing(self) -> list[str]:
-        if os.path.isdir(self.path):
-            return sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith((".warc", ".warc.gz"))
-            )
-        return [self.path] if os.path.exists(self.path) else []
+        return _list_warc_files(self.path, missing_ok=True)
 
     def initialOffset(self) -> dict:
         return {"files": 0, "last": ""}
@@ -215,28 +244,20 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         files = self._listing()
-        lo, hi = start["files"], min(end["files"], len(files))
-        if start.get("last") and files[:lo] and files[lo - 1] != start["last"]:
+        covered = [f for f in files if f <= start["last"]] if start["last"] else []
+        if len(covered) != start["files"]:
             raise ValueError(
-                f"WARC listing changed under committed offset {start}: expected "
-                f"{start['last']!r} at position {lo - 1}, found {files[lo - 1]!r} — "
-                "segments must be appended with sort-increasing names"
+                f"WARC listing changed INSIDE committed offset {start}: "
+                f"{len(covered)} files on disk at or below the boundary, "
+                f"{start['files']} committed — segments must land with "
+                "sort-increasing names and processed segments must not be "
+                "deleted while the stream runs"
             )
-        return [_FilePartition(f) for f in files[lo:hi]]
+        lo, hi = start["last"], end["last"]
+        return [_FilePartition(f) for f in files if (not lo or f > lo) and f <= hi]
 
     def read(self, partition: _FilePartition):
-        with _open(partition.path) as stream:
-            for rec in iter_warc_records(stream):
-                yield (
-                    rec["warc_type"],
-                    rec["record_id"],
-                    rec["target_uri"],
-                    rec["warc_date"],
-                    rec["content_type"],
-                    rec["content_length"],
-                    rec["payload"],
-                    partition.path,
-                )
+        yield from _read_partition(partition)
 
     def commit(self, end: dict) -> None:  # type: ignore[override]
         pass  # progress is tracked by Spark's own offset log

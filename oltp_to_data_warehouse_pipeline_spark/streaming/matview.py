@@ -41,7 +41,7 @@ from oltp_to_data_warehouse_pipeline_spark.plans.incremental_agg import (
 )
 
 
-def _stream_identity(spark, checkpoint: str) -> str:
+def _stream_identity(spark, checkpoint: str) -> str | None:
     """A random id minted once per checkpoint directory and stored inside
     it.  Batch-ids become ``{query_name}-{stream_id}-{epoch_id}``, which
     ties the rollup's ``_applied_batches`` namespace to the checkpoint's
@@ -49,10 +49,20 @@ def _stream_identity(spark, checkpoint: str) -> str:
     the fresh checkpoint mints a fresh id, so new epochs can never collide
     with stale markers and be silently no-opped (round-2 advisor finding).
     Recovery replays from the SAME checkpoint keep the same id, so the
-    exactly-once no-op behavior is preserved."""
+    exactly-once no-op behavior is preserved.
+
+    Migration guard: a checkpoint that PREDATES the stream-id scheme (has
+    Spark offset state but no id file) keeps the LEGACY
+    ``{query_name}-{epoch_id}`` namespace — returns None.  Minting an id
+    for such a checkpoint would rename the in-flight epoch's batch-id away
+    from its already-applied marker, and the recovery replay would
+    double-merge that delta (the exact failure the journal exists to
+    prevent).  The id is minted only for checkpoints this function creates."""
     sid_path = fs.join(checkpoint, "_matview_stream_id")
     if fs.exists(spark, sid_path):
         return fs.read_text(spark, sid_path).strip()
+    if fs.exists(spark, fs.join(checkpoint, "offsets")):
+        return None  # pre-scheme checkpoint: stay on the legacy namespace
     stream_id = uuid.uuid4().hex[:12]
     fs.mkdirs(spark, checkpoint)
     fs.write_text(spark, sid_path, stream_id)
@@ -81,6 +91,7 @@ def maintain_rollup(
     with old ``_applied_batches`` entries.
     """
     stream_id = _stream_identity(stream.sparkSession, checkpoint)
+    prefix = query_name if stream_id is None else f"{query_name}-{stream_id}"
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         refresh_rollup(
@@ -88,7 +99,7 @@ def maintain_rollup(
             batch,
             path,
             spec,
-            batch_id=f"{query_name}-{stream_id}-{epoch_id}",
+            batch_id=f"{prefix}-{epoch_id}",
             partition_key=partition_key,
         )
 

@@ -127,3 +127,25 @@ def test_checkpoint_reset_does_not_collide_with_old_markers(spark, tmp_path):
     # counting on RESET is the operator's documented responsibility; what
     # must never happen is a silent DROP.)
     assert "2024-01-02" in got and got["2024-01-02"] == 5.0
+
+
+def test_stream_identity_respects_legacy_checkpoints(spark, tmp_path):
+    """Contract of the checkpoint-scoped identity: minted once and stable
+    for checkpoints it creates; NOT minted for a checkpoint that predates
+    the scheme (Spark offset state present, no id file) — those stay on the
+    legacy batch-id namespace so a recovery replay still matches its
+    already-applied markers instead of double-merging."""
+    import os
+
+    from oltp_to_data_warehouse_pipeline_spark.streaming.matview import _stream_identity
+
+    fresh = str(tmp_path / "fresh_ckpt")
+    sid = _stream_identity(spark, fresh)
+    assert sid and _stream_identity(spark, fresh) == sid  # stable across calls
+
+    legacy = tmp_path / "legacy_ckpt"
+    (legacy / "offsets").mkdir(parents=True)  # looks like a pre-scheme checkpoint
+    (legacy / "offsets" / "0").write_text("{}")
+    assert _stream_identity(spark, str(legacy)) is None
+    # and it must NOT have retroactively minted an id
+    assert not os.path.exists(str(legacy / "_matview_stream_id"))
