@@ -401,3 +401,68 @@ def char_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
 
     return ensure_min_parallelism(df).select(id_col, text_col).mapInPandas(score, schema)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-ingest helpers: URL canonicalization + HTML text extraction.
+# Pure column expressions (regexp chains) so they run in the scan stage of a
+# WARC→documents pipeline — no Python in the hot path.
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(c: Column | str) -> Column:
+    """Canonical form of a URL for dedup keys: lowercase scheme+host, strip
+    fragment, strip common tracking query params (utm_*, fbclid, gclid,
+    ref), drop a now-empty query, collapse duplicate slashes in the path,
+    strip the trailing path slash (the bare root therefore canonicalizes
+    WITHOUT its slash, so both root spellings collapse to one key).
+
+    Deliberately NOT full RFC 3986 normalization (no IDN, no %-decoding, no
+    default-port logic) — this is the cheap scan-stage key that collapses
+    the overwhelmingly common crawl aliases; anything stricter belongs in a
+    fetch-time normalizer.  Deterministic, so the same URL always lands in
+    the same dedup bucket.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    u = F.trim(col)
+    # fragment first: everything after # never reaches the server
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase ONLY scheme://host (path/query are case-sensitive)
+    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    u = F.when(scheme_host == "", u).otherwise(F.concat(scheme_host, rest))
+    # tracking params (leading ? or & kept with the param, separator healed)
+    u = F.regexp_replace(u, r"([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"[?&]+&", "?")      # ?&x -> ?x ; &&x -> &x
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")        # now-empty query
+    # duplicate slashes in the path (not the scheme's //)
+    u = F.regexp_replace(u, r"(?<!:)//+", "/")
+    # trailing path slash — at end of string or just before the query
+    u = F.regexp_replace(u, r"(?<!:)/(\?|$)", "$1")
+    return u
+
+
+def html_to_text(c: Column | str) -> Column:
+    """Crude-but-standard first-pass HTML → text: drop script/style/head
+    blocks and comments, strip tags, decode the five predefined entities +
+    nbsp, collapse whitespace.
+
+    This is the scan-stage extraction every crawl pipeline runs before
+    quality/dedup; a DOM-accurate extractor (trafilatura-class) is a
+    mapInPandas plug-in on the same column, exactly like the media codec
+    seam.  Expression-only: case-insensitive regexp_replace chain, zero
+    Python, zero shuffle.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    t = F.regexp_replace(col, r"(?is)<(script|style|head)\b.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level closers/openers become separators so words don't fuse
+    t = F.regexp_replace(t, r"(?i)</?(p|div|br|li|tr|h[1-6]|td|th)\b[^>]*>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
