@@ -98,3 +98,25 @@ def test_warc_to_documents_with_extraction(spark, tmp_path):
     assert all(r["url"] == "https://example.com/story" for r in rows)
     assert all(r["text"] == "breaking & news" for r in rows)
     assert docs.dropDuplicates(["url", "text"]).count() == 1
+
+
+# --- property: canonicalization is idempotent over URL-ish inputs -----------
+
+from hypothesis import given, settings, strategies as st
+
+_url_strategy = st.builds(
+    lambda scheme, host, path, q, frag: f"{scheme}://{host}{path}{q}{frag}",
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,20}\.[a-z]{2,5}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,4}/?", fullmatch=True),
+    q=st.sampled_from(["", "?a=1", "?utm_source=x", "?utm_source=x&b=2", "?a=1&gclid=z"]),
+    frag=st.sampled_from(["", "#top", "#a/b?c=1"]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(url=_url_strategy)
+def test_canonical_url_idempotent_property(spark, url):
+    once = _one(spark, text_fns.canonical_url, url)
+    assert _one(spark, text_fns.canonical_url, once) == once
+    assert "#" not in once and "utm_" not in once and "gclid" not in once

@@ -233,3 +233,29 @@ def test_warc_type_filter_pushdown(spark, tmp_path):
     spark.dataSource.register(WarcDataSource)
     df = spark.read.format("warc").load(p).where(F.col("warc_type") == "response")
     assert df.count() == 2
+
+
+# --- property: writer -> parser roundtrip over arbitrary payloads -----------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=5),
+    compress=st.booleans(),
+)
+def test_warc_roundtrip_property(tmp_path_factory, payloads, compress):
+    import gzip
+
+    recs = [
+        {"warc_type": "response", "record_id": f"<urn:uuid:p{i}>", "payload": p}
+        for i, p in enumerate(payloads)
+    ]
+    p = str(tmp_path_factory.mktemp("warcprop") / ("x.warc.gz" if compress else "x.warc"))
+    write_warc(recs, p, compress=compress)
+    stream = gzip.open(p, "rb") if compress else open(p, "rb")
+    with stream:
+        got = list(iter_warc_records(stream))
+    assert [g["payload"] for g in got] == payloads
+    assert [g["record_id"] for g in got] == [r["record_id"] for r in recs]
