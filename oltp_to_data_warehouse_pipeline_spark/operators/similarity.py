@@ -96,7 +96,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
 
 
@@ -157,7 +157,7 @@ def ann_topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
 
 
@@ -192,7 +192,7 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round("sim", 4).alias("sim"),
+            (F.round("sim", 4) + F.lit(0.0)).alias("sim"),
         )
     )
 
@@ -292,7 +292,7 @@ def cosine_near_dup_lsh(
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+        .select("id_a", "id_b", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
 
 
@@ -379,7 +379,7 @@ def cosine_topk_pandas(
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
 
 
@@ -502,7 +502,7 @@ def _probe_cells_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
 
 
@@ -622,7 +622,7 @@ def cosine_topk_rerank(
     return (
         exact.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
 
 

@@ -1674,7 +1674,7 @@ _COS_ORACLE = """
              row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
       FROM scored
     )
-    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(sim_raw, 4) AS sim
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(sim_raw, 4) + 0.0 AS sim
     FROM ranked WHERE rn <= 5
 """
 
@@ -3509,7 +3509,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_dot_product(qv, cv) /
                (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim_raw
       FROM surv WHERE mr <= 50)
-    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(sim_raw, 4) AS sim
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, round(sim_raw, 4) + 0.0 AS sim
     FROM (SELECT query_id, neighbor_id, sim_raw,
                  row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
           FROM exact)
@@ -4251,7 +4251,7 @@ def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source,
            round(atl, 4) AS avg_token_len,
            round((atl - avg(atl) OVER (PARTITION BY source)) /
-                 stddev_samp(atl) OVER (PARTITION BY source), 3) AS z_score
+                 stddev_samp(atl) OVER (PARTITION BY source), 3) + 0.0 AS z_score
     FROM atl
     """,
 )
@@ -4271,8 +4271,12 @@ def doc_quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.round("atl", 4).alias("avg_token_len"),
-        F.round(
-            (F.col("atl") - F.avg("atl").over(w)) / F.stddev_samp("atl").over(w), 3
+        (
+            F.round(
+                (F.col("atl") - F.avg("atl").over(w)) / F.stddev_samp("atl").over(w),
+                3,
+            )
+            + F.lit(0.0)
         ).alias("z_score"),
     )
 
@@ -4983,7 +4987,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
       FROM q JOIN e c ON c.vec_id != q.vec_id),
     topk AS (
-      SELECT query_id, neighbor_id, round(s, 4) AS sim,
+      SELECT query_id, neighbor_id, round(s, 4) + 0.0 AS sim,
              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
       FROM scored)
     SELECT t.query_id, t.neighbor_id, CAST(t.rank AS BIGINT) AS rank, t.sim,
