@@ -6074,6 +6074,85 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_supplier_concentration",
+    """
+    WITH ps AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT sum(value) AS total FROM ps)
+    SELECT suppkey, partkey, value
+    FROM ps CROSS JOIN tot
+    WHERE value > total * 0.00007
+    ORDER BY value DESC, suppkey, partkey
+    """,
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock identification): (supplier, part)
+    positions whose revenue exceeds a FRACTION of the global total — the
+    threshold is a scalar subquery, not a constant, which is the part that
+    needs a plan decision: the global total is a 1-row broadcast relation
+    onto the grouped stream, so the fact table aggregates exactly once and
+    no second scan computes the threshold.  Deterministic total order for
+    the cutoff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "value"
+        )
+    )
+    tot = ps.agg(F.sum("value").alias("total"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > F.col("total") * 0.00007)
+        .select("suppkey", "partkey", "value")
+        .orderBy(F.col("value").desc(), "suppkey", "partkey")
+    )
+
+
+@query(
+    "part_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand NOT LIKE 'Brand#1%'
+      AND p.p_size BETWEEN 1 AND 25
+    GROUP BY 1, 2
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part class): distinct
+    suppliers per (brand, type) with a NOT-LIKE brand exclusion and a size
+    band — the sourcing-diversity report.  The part dim filters broadcast
+    onto the fact scan (both predicates pushed into the dim scan before
+    the build side ships); the distinct-count shuffles (brand, type,
+    suppkey) once with map-side partial dedup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(
+                    (~F.col("p_brand").like("Brand#1%"))
+                    & (F.col("p_size") >= 1)
+                    & (F.col("p_size") <= 25)
+                )
+            ),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "doc_containment_pairs",
     """
     WITH sh AS (
@@ -6457,6 +6536,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "minhash_jaccard_calibration",
     "cross_source_duplication",
     "doc_containment_pairs",
+    "part_supplier_concentration",
+    "part_supplier_variety",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
