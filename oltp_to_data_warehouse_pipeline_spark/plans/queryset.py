@@ -6074,6 +6074,223 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivorship_matrix",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, source, i AS chunk_idx,
+             md5(array_to_string(t[(i * 16 + 1):(i * 16 + 16)], ' ')) AS fp
+      FROM tok, unnest(range(0, CAST(ceil(len(t) / 16.0) AS INT))) AS u(i)),
+    keep AS (
+      SELECT fp, min(doc_id * 1000000 + chunk_idx) AS keep_key
+      FROM ch GROUP BY fp)
+    SELECT ks.source AS surviving_source, d.source AS dropped_source,
+           CAST(count(*) AS BIGINT) AS n_dropped
+    FROM ch d
+    JOIN keep k ON k.fp = d.fp AND d.doc_id * 1000000 + d.chunk_idx <> k.keep_key
+    JOIN ch ks ON ks.doc_id * 1000000 + ks.chunk_idx = k.keep_key
+    GROUP BY 1, 2
+    """,
+)
+def dedup_survivorship_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware dedup accounting at chunk grain: when passage-level
+    dedup (the `chunk_dedup_reassemble` policy — first occurrence by
+    (doc_id, chunk_idx) survives) drops a repeated chunk, WHICH source's
+    copy survived — the (surviving_source, dropped_source) matrix that
+    shows whether one crawl systematically swallows another's content
+    (important when sources carry different licenses or quality priors;
+    keep-first is only neutral if ingestion order is).  Complements
+    `dedup_yield_report` (how much survived) and
+    `cross_source_duplication` (how much overlap exists).
+
+    Scale: every join is keyed on 16-byte chunk fingerprints / composite
+    keys — text never shuffles past the chunk split; the matrix is
+    |sources|², tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", text.tokens("text").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(16.0)).cast("int")
+    ch = tok.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("chunk_idx") * 16 + 1, 16))).alias("fp"),
+    )
+    key = F.col("doc_id") * 1000000 + F.col("chunk_idx")
+    keep = ch.groupBy("fp").agg(F.min(key).alias("keep_key"))
+    dropped = (
+        ch.join(keep, "fp")
+        .where(key != F.col("keep_key"))
+        .select(F.col("source").alias("dropped_source"), "keep_key")
+    )
+    survivors = ch.select(
+        key.alias("keep_key"), F.col("source").alias("surviving_source")
+    )
+    return (
+        dropped.join(survivors, "keep_key")
+        .groupBy("surviving_source", "dropped_source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    )
+
+
+@query(
+    "corpus_vocab_growth",
+    f"""
+    WITH tok AS (
+      SELECT CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS VARCHAR) AS b2,
+             unnest({_TOK}) AS tok
+      FROM documents),
+    bucketed AS (
+      SELECT (strpos('0123456789abcdef', substring(b2, 1, 1)) - 1) // 2 AS bucket, tok
+      FROM tok),
+    first_seen AS (
+      SELECT tok, CAST(min(bucket) AS BIGINT) AS first_bucket FROM bucketed GROUP BY tok),
+    new_per AS (
+      SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY 1),
+    toks_per AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM bucketed GROUP BY 1)
+    SELECT t.bucket,
+           CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM toks_per t LEFT JOIN new_per n ON n.bucket = t.bucket
+    WINDOW w AS (ORDER BY t.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law curve: cumulative vocabulary size vs cumulative tokens as
+    the corpus grows in deterministic (hash-bucketed) ingestion order — the
+    diagnostic that tells you whether more data still buys new types or the
+    vocabulary has saturated (and thus how dedup/tokenizer budgets will
+    amortize).  The curve is computed in LINEAR work: a token's
+    first-appearance bucket is a min-aggregate, so "vocabulary after k
+    buckets" folds from per-bucket first-seen counts — no re-scanning
+    prefixes (the naive prefix-union form is quadratic).
+
+    Scale: two keyed aggregates (token → min bucket; bucket rollups) and a
+    window over 8 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.floor(
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                )
+                - 1
+            )
+            / 2
+        )
+    ).alias("bucket")
+    bucketed = d.select(bucket, F.explode(text.tokens("text")).alias("tok"))
+    first_seen = bucketed.groupBy("tok").agg(
+        F.min("bucket").cast("bigint").alias("first_bucket")
+    )
+    new_per = first_seen.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    toks_per = bucketed.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        toks_per.join(new_per, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+@query(
+    "user_activity_gini",
+    """
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS r,
+             count(*) OVER () AS k, sum(n) OVER () AS total
+      FROM uc)
+    SELECT CAST(max(k) AS BIGINT) AS n_users,
+           round(CAST(max(total) AS DOUBLE) / max(k), 4) AS mean_events,
+           round((2.0 * sum(r * n) / (max(k) * max(total))) -
+                 (CAST(max(k) AS DOUBLE) + 1) / max(k), 4) AS gini
+    FROM ranked
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement inequality: the Gini coefficient of events-per-user
+    (0 = perfectly even, →1 = a few power users generate everything) — the
+    one-number answer to "how concentrated is our activity?", computed by
+    the ranked-sum identity G = 2·Σ(rᵢ·nᵢ)/(k·Σn) − (k+1)/k.  One
+    aggregate per user, one rank window over the (small) per-user rollup,
+    one scalar fold."""
+    e = load_table(spark, sf_dir, "events")
+    uc = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = F.row_number().over(Window.orderBy("n", "user_id"))
+    k = F.count(F.lit(1)).over(Window.partitionBy())
+    total = F.sum("n").over(Window.partitionBy())
+    ranked = uc.select("n", r.alias("r"), k.alias("k"), total.alias("total"))
+    return ranked.agg(
+        F.max("k").cast("bigint").alias("n_users"),
+        F.round(F.max("total").cast("double") / F.max("k"), 4).alias("mean_events"),
+        F.round(
+            (2.0 * F.sum(F.col("r") * F.col("n")) / (F.max("k") * F.max("total")))
+            - (F.max("k").cast("double") + 1) / F.max("k"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "corpus_zipf_slope",
+    f"""
+    WITH cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM cnt)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(c), ln(r)), 4) + 0.0 AS zipf_slope,
+           round(regr_r2(ln(c), ln(r)), 4) AS r2
+    FROM ranked WHERE r <= 1000
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the log-log rank-frequency slope over the top-1000
+    token types (natural text sits near −1; templated/generated corpora
+    deviate sharply — a cheap distribution-shift alarm for incoming data).
+    regr_slope/regr_r2 are single-pass aggregates in both engines; the
+    rank comes from one window over the (vocabulary-sized) count rollup
+    with a deterministic tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = cnt.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok")).alias("r")
+    ).where(F.col("r") <= 1000)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.round(F.regr_slope(F.log("c"), F.log("r")), 4) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("r2"),
+    )
+
+
+@query(
     "part_supplier_concentration",
     """
     WITH ps AS (
@@ -6538,6 +6755,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_containment_pairs",
     "part_supplier_concentration",
     "part_supplier_variety",
+    "dedup_survivorship_matrix",
+    "corpus_vocab_growth",
+    "user_activity_gini",
+    "corpus_zipf_slope",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
