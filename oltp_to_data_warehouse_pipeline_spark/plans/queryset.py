@@ -6074,6 +6074,98 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_spend_trend",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+             o_totalprice AS price
+      FROM orders)
+    SELECT custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(regr_slope(price, day_num) * 365.0, 2) + 0.0 AS yearly_trend,
+           round(regr_r2(price, day_num), 4) AS r2
+    FROM o
+    GROUP BY custkey
+    HAVING count(*) >= 8 AND var_samp(day_num) > 0
+    """,
+)
+def customer_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity trend fitting: each customer's order-value slope over
+    time (scaled to currency/year) with its R² — the grouped linear
+    regression behind growth/churn-risk scoring, computed for EVERY entity
+    in one aggregation pass (regr_slope/regr_r2 are single-pass grouped
+    aggregates — no window, no per-entity loop, no ML library).  The
+    n≥8 / nonzero-variance gate keeps undefined fits out of the output
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_num"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        base.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.round(F.regr_slope("price", "day_num") * 365.0, 2) + F.lit(0.0)).alias(
+                "yearly_trend"
+            ),
+            F.round(F.regr_r2("price", "day_num"), 4).alias("r2"),
+            F.var_samp("day_num").alias("__var"),
+        )
+        .where((F.col("n_orders") >= 8) & (F.col("__var") > 0))
+        .drop("__var")
+    )
+
+
+@query(
+    "supplier_latency_profile",
+    """
+    WITH lag AS (
+      SELECT l.l_suppkey AS suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(lag_days, 0.5), 1) AS p50,
+           round(quantile_cont(lag_days, 0.9), 1) AS p90,
+           CAST(max(lag_days) AS BIGINT) AS worst
+    FROM lag
+    GROUP BY suppkey
+    HAVING count(*) >= 50
+    """,
+)
+def supplier_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment latency: p50/p90/max order-to-ship days per
+    supplier (volume-gated) — the SLA scorecard a procurement dashboard
+    ranks on; tail percentiles, not means, are what contracts specify.
+    One fact⋈fact equi-join with the lag computed join-side, then exact
+    grouped percentiles (per-group sort of ints; swap approx_percentile
+    at 100 TB if a bounded-memory sketch is preferred — same plan shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "lag_days"
+        ),
+    )
+    return (
+        lag.groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.percentile("lag_days", F.lit(0.5)), 1).alias("p50"),
+            F.round(F.percentile("lag_days", F.lit(0.9)), 1).alias("p90"),
+            F.max("lag_days").cast("bigint").alias("worst"),
+        )
+        .where(F.col("n_lines") >= 50)
+    )
+
+
+@query(
     "dedup_survivorship_matrix",
     f"""
     WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
@@ -6759,6 +6851,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_vocab_growth",
     "user_activity_gini",
     "corpus_zipf_slope",
+    "customer_spend_trend",
+    "supplier_latency_profile",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
