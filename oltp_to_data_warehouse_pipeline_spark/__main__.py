@@ -7,6 +7,8 @@
         [--sf-dir ...]  # DROP+CTAS star schema into the session catalog
     python -m oltp_to_data_warehouse_pipeline_spark sql "SELECT ... " \
         [--sf-dir ...]  # fixture tables pre-registered as views
+    python -m oltp_to_data_warehouse_pipeline_spark curate --out /path \
+        [--quality-min 1.0 --lang en --jaccard 0.2]  # corpus keep-list
 """
 
 from __future__ import annotations
@@ -38,6 +40,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("sql", help="run ad-hoc SQL over the fixture views", parents=[common])
     s.add_argument("statement")
     s.add_argument("--limit", type=int, default=20)
+
+    c = sub.add_parser(
+        "curate",
+        help="run the corpus-curation pipeline (quality→lang→dedup→near-dup) "
+        "over the documents table and write the keep-list",
+        parents=[common],
+    )
+    c.add_argument("--out", required=True, help="output parquet path for (doc_id, n_tokens)")
+    c.add_argument("--quality-min", type=float, default=1.0)
+    c.add_argument("--lang", default="en")
+    c.add_argument("--jaccard", type=float, default=0.2)
 
     args = parser.parse_args(argv)
 
@@ -79,6 +92,24 @@ def main(argv: list[str] | None = None) -> int:
 
         register_views(spark, args.sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "curate":
+        from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+        from oltp_to_data_warehouse_pipeline_spark.plans.curation import curate_corpus
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        kept = curate_corpus(
+            docs,
+            quality_min=args.quality_min,
+            lang=args.lang,
+            jaccard_threshold=args.jaccard,
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        n_docs = out.count()
+        n_tokens = out.agg({"n_tokens": "sum"}).first()[0]
+        print(f"kept {n_docs} docs / {n_tokens} tokens -> {args.out}")
         return 0
 
     return 2

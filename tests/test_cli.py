@@ -29,3 +29,15 @@ def test_adhoc_sql_over_views(spark, capsys):
     rc = main(["sql", "SELECT count(*) AS n FROM region", "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 0
     assert "5" in capsys.readouterr().out
+
+
+def test_cli_curate_writes_keep_list(tmp_path):
+    from oltp_to_data_warehouse_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out]) == 0
+    from oltp_to_data_warehouse_pipeline_spark.session import get_spark
+
+    df = get_spark("cli-test").read.parquet(out)
+    assert df.columns == ["doc_id", "n_tokens"]
+    assert df.count() > 0
