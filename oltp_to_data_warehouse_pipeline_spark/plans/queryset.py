@@ -6074,6 +6074,62 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_train_split",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             (strpos('0123456789abcdef', substring(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(md5('split-' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS h
+      FROM documents),
+    assigned AS (
+      SELECT lang, n_tokens,
+             CASE WHEN h < 204 THEN 'train'
+                  WHEN h < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM t)
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10 by the first two
+    md5 hex digits of a salted doc key) with the per-language stratification
+    audit — the split every training run depends on being REPRODUCIBLE:
+    hash-based assignment survives reshuffles, re-ingestion, and engine
+    changes, unlike rand() splits, and the salt makes new independent
+    splits a config change.  The audit rollup is what you check before
+    training: per-language fractions should match the global ratios (a
+    skew here means the split leaked correlation with language).
+
+    Scale: pure expression per row + one tiny keyed aggregate — the
+    assignment column costs nothing to also WRITE as a partition key."""
+    d = load_table(spark, sf_dir, "documents")
+    hexpos = lambda i: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))), i, 1),
+        )
+        - 1
+    )
+    h = hexpos(1) * 16 + hexpos(2)
+    split = (
+        F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", text.token_count("text").cast("bigint").alias("n_tokens"), split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
     "customer_spend_trend",
     """
     WITH o AS (
@@ -6853,6 +6909,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_zipf_slope",
     "customer_spend_trend",
     "supplier_latency_profile",
+    "corpus_train_split",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
