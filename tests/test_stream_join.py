@@ -105,3 +105,56 @@ def test_static_enrich_streaming_left_join(spark, tmp_path):
         (4, "silver"), (5, "silver"),
         (6, None), (7, None), (8, None),
     }
+
+
+def test_static_side_refresh_visible_without_restart(spark, tmp_path):
+    """The docstring's claim, pinned: the static side is re-planned per
+    micro-batch, so a dimension REWRITTEN on disk between triggers is
+    visible to the next batch with no stream restart and no checkpoint
+    surgery — the slowly-changing-dimension contract of stream-static
+    joins."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming.joins import static_enrich
+
+    src = tmp_path / "sr_src"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "sr_out")
+    ckpt = str(tmp_path / "sr_ckpt")
+
+    spark.createDataFrame([(1, "gold")], ["user_id", "tier"]).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    def drain():
+        sdf = spark.readStream.schema(SCHEMA).json(str(src))
+        enriched = static_enrich(
+            sdf.select("event_id", "user_id"), spark.read.parquet(dim_path), on="user_id"
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(json.dumps({"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00"}))
+    drain()
+    # dimension updated ON DISK: user 1 demoted, user 2 appears
+    spark.createDataFrame(
+        [(1, "bronze"), (2, "silver")], ["user_id", "tier"]
+    ).write.mode("overwrite").parquet(dim_path)
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in (
+                {"event_id": 2, "user_id": 1, "ts": "2024-01-01 00:01:00"},
+                {"event_id": 3, "user_id": 2, "ts": "2024-01-01 00:02:00"},
+            )
+        )
+    )
+    drain()
+    got = {(r["event_id"], r["tier"]) for r in spark.read.parquet(out).collect()}
+    # batch 1 saw the old dim; batch 2 the refreshed one — no restart needed
+    assert got == {(1, "gold"), (2, "bronze"), (3, "silver")}
