@@ -6074,6 +6074,92 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_top2_orders_lateral",
+    """
+    SELECT c.c_custkey, t.o_orderkey,
+           round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def customer_top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two largest orders via
+    a per-row dependent subquery with ORDER BY + LIMIT — the SQL surface
+    for "top-N per group" that arrives verbatim from ANSI-SQL users
+    (Catalyst decorrelates it into the same ranked-window plan the
+    DataFrame form builds, so accepting the syntax costs nothing at
+    scale).  Deterministic inner order; round(price) for canon parity."""
+    from oltp_to_data_warehouse_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@query(
+    "customer_order_milestones",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
+             nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS second_value,
+             first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS first_value
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey))
+    SELECT custkey, n_orders,
+           round(first_value, 2) AS first_order_value,
+           round(second_value, 2) AS second_order_value,
+           round(second_value - first_value, 2) + 0.0 AS second_vs_first
+    FROM o WHERE rn = 1 AND n_orders >= 2
+    """,
+)
+def customer_order_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milestone extraction via nth_value/first_value over full-partition
+    frames: each customer's FIRST and SECOND order values in purchase
+    order, and their delta — the "did the second purchase grow?" onboarding
+    metric.  One window spec serves all three functions (single
+    sort+exchange); the rn=1 cut emits one row per qualifying customer
+    without a second aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), F.col("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).cast("bigint").alias("n_orders"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_value"),
+        F.first("o_totalprice").over(wfull).alias("first_value"),
+    )
+    return (
+        base.where((F.col("rn") == 1) & (F.col("n_orders") >= 2))
+        .select(
+            "custkey",
+            "n_orders",
+            F.round("first_value", 2).alias("first_order_value"),
+            F.round("second_value", 2).alias("second_order_value"),
+            (F.round(F.col("second_value") - F.col("first_value"), 2) + F.lit(0.0)).alias(
+                "second_vs_first"
+            ),
+        )
+    )
+
+
+@query(
     "corpus_train_split",
     f"""
     WITH t AS (
@@ -6910,6 +6996,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_spend_trend",
     "supplier_latency_profile",
     "corpus_train_split",
+    "customer_top2_orders_lateral",
+    "customer_order_milestones",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
