@@ -1,0 +1,72 @@
+"""Versioned parquet snapshots: publish / read / rollback / vacuum / diff."""
+
+from __future__ import annotations
+
+import pytest
+
+from oltp_to_data_warehouse_pipeline_spark.sources import snapshots as snap
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_publish_read_and_pointer_flip(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert snap.latest_version(spark, t) is None
+    with pytest.raises(ValueError, match="no published versions"):
+        snap.read_snapshot(spark, t)
+
+    assert snap.publish_snapshot(_df(spark, [(1, "a"), (2, "b")]), t) == 1
+    assert snap.publish_snapshot(_df(spark, [(1, "a"), (2, "B"), (3, "c")]), t) == 2
+    assert snap.latest_version(spark, t) == 2
+    assert snap.list_versions(spark, t) == [1, 2]
+
+    # default read follows the pointer; historical versions stay queryable
+    assert snap.read_snapshot(spark, t).count() == 3
+    assert snap.read_snapshot(spark, t, version=1).count() == 2
+    with pytest.raises(ValueError, match="no version 9"):
+        snap.read_snapshot(spark, t, version=9)
+
+
+def test_diff_latest_reports_changes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, [(1, "a"), (2, "b"), (4, "gone")]), t)
+    snap.publish_snapshot(_df(spark, [(1, "a"), (2, "B"), (3, "new")]), t)
+    d = {r["k"]: r["change"] for r in snap.diff_latest(spark, t, keys=["k"]).collect()}
+    assert d == {2: "changed", 3: "added", 4: "removed"}
+
+
+def test_rollback_and_vacuum_protect_live_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(1, 5):
+        snap.publish_snapshot(_df(spark, [(i, f"v{i}")]), t)
+    assert snap.list_versions(spark, t) == [1, 2, 3, 4]
+
+    snap.rollback(spark, t, 2)
+    assert snap.latest_version(spark, t) == 2
+    assert snap.read_snapshot(spark, t).first()["v"] == "v2"
+    with pytest.raises(ValueError, match="missing version"):
+        snap.rollback(spark, t, 99)
+
+    # vacuum keeps the newest keep_last AND the live (rolled-back) version
+    removed = snap.vacuum(spark, t, keep_last=1)
+    assert removed == [1, 3]
+    assert snap.list_versions(spark, t) == [2, 4]
+    assert snap.read_snapshot(spark, t).first()["v"] == "v2"  # live survives
+
+
+def test_interrupted_publish_leaves_previous_version_live(spark, tmp_path):
+    """Crash between data write and pointer flip: the orphaned v=N+1 dir is
+    invisible to readers (pointer still names N) and the next publish
+    overwrites it."""
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, [(1, "ok")]), t)
+    # simulate the crash: data for v=2 lands, pointer never flips
+    _df(spark, [(9, "orphan")]).write.mode("overwrite").parquet(t + "/v=2")
+    assert snap.latest_version(spark, t) == 1
+    assert snap.read_snapshot(spark, t).first()["v"] == "ok"
+    # next publish claims version 2 cleanly
+    v = snap.publish_snapshot(_df(spark, [(2, "fresh")]), t)
+    assert v == 2
+    assert snap.read_snapshot(spark, t).first()["v"] == "fresh"
