@@ -109,6 +109,26 @@ def vacuum(spark: SparkSession, table: str, keep_last: int = 2) -> list[int]:
     return removable
 
 
+def schema_drift(
+    spark: SparkSession, table: str, old: int, new: int
+) -> list[tuple[str, str, str | None, str | None]]:
+    """Column-level schema changes between two versions: a list of
+    (column, kind, old_type, new_type) with kind ∈ {added, removed,
+    type_changed} — the check a publisher runs before flipping the pointer
+    when downstream consumers pin schemas.  Footer-only (no data read)."""
+    a = {f.name: f.dataType.simpleString() for f in read_snapshot(spark, table, old).schema}
+    b = {f.name: f.dataType.simpleString() for f in read_snapshot(spark, table, new).schema}
+    out: list[tuple[str, str, str | None, str | None]] = []
+    for c in sorted(b.keys() - a.keys()):
+        out.append((c, "added", None, b[c]))
+    for c in sorted(a.keys() - b.keys()):
+        out.append((c, "removed", a[c], None))
+    for c in sorted(a.keys() & b.keys()):
+        if a[c] != b[c]:
+            out.append((c, "type_changed", a[c], b[c]))
+    return out
+
+
 def diff_latest(
     spark: SparkSession, table: str, keys: list[str], against: int | None = None
 ) -> DataFrame:

@@ -70,3 +70,45 @@ def test_interrupted_publish_leaves_previous_version_live(spark, tmp_path):
     v = snap.publish_snapshot(_df(spark, [(2, "fresh")]), t)
     assert v == 2
     assert snap.read_snapshot(spark, t).first()["v"] == "fresh"
+
+
+def test_schema_drift_between_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+    snap.publish_snapshot(
+        spark.createDataFrame([(1.0, 2.0, True)], "k double, w double, flag boolean"), t
+    )
+    drift = snap.schema_drift(spark, t, 1, 2)
+    assert drift == [
+        ("flag", "added", None, "boolean"),
+        ("w", "added", None, "double"),
+        ("v", "removed", "string", None),
+        ("k", "type_changed", "bigint", "double"),
+    ]
+    assert snap.schema_drift(spark, t, 2, 2) == []
+
+
+def test_warehouse_fact_publishes_versioned_and_diffs(spark, tmp_path):
+    """Composition: the star-schema fact build publishes through snapshots;
+    a second build over drifted source data yields a new version whose
+    row-level delta is exactly the source drift."""
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+
+    t = str(tmp_path / "fact")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    snap.publish_snapshot(orders, t)
+    drifted = orders.withColumn(
+        "price", F.when(F.col("okey") % 500 == 0, F.round(F.col("price") + 1, 2)).otherwise(F.col("price"))
+    ).where(F.col("okey") % 777 != 0)
+    snap.publish_snapshot(drifted, t)
+
+    d = snap.diff_latest(spark, t, keys=["okey"])
+    by_change = {r["change"] for r in d.collect()}
+    assert by_change == {"changed", "removed"}
+    n_removed = d.where("change = 'removed'").count()
+    assert n_removed == orders.where(F.col("okey") % 777 == 0).count()
