@@ -43,6 +43,32 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Revenue terms in DECIMAL: prices are exact cents (2dp) and discounts exact
+# 4dp, so the casts are lossless and decimal summation is ORDER-INDEPENDENT —
+# a double sum whose true value lands on a half-cent boundary rounds
+# differently per engine depending on summation order (caught by the
+# cross-scale sf0.001 sweep: returned_item_losses, part_supplier_
+# concentration).  Sums of plain 2dp columns don't need this (their true
+# sums are whole cents, far from boundaries); only PRODUCT sums do.
+def _rev_dec():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+
+
+def _disc_dec():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,4)")
+
+
+def _rev_dec_sql(p: str = "") -> str:
+    return (
+        f"CAST({p}l_extendedprice AS DECIMAL(18,2))"
+        f" * (1 - CAST({p}l_discount AS DECIMAL(8,4)))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference surface: aggregations (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -716,7 +742,9 @@ def customer_highvalue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     """
     SELECT l.l_orderkey AS order_id,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
            o.o_orderpriority AS priority
     FROM customer c
@@ -726,7 +754,8 @@ def customer_highvalue_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1998-01-01'
       AND l.l_shipdate  > TIMESTAMP '1998-01-01'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) DESC, l.l_orderkey
     LIMIT 10
     """,
 )
@@ -747,12 +776,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+        .agg(F.sum(_rev_dec()).alias("__rev"))
         .orderBy(F.col("__rev").desc(), F.col("l_orderkey"))
         .limit(10)
         .select(
             F.col("l_orderkey").alias("order_id"),
-            F.round("__rev", 2).alias("revenue"),
+            F.round("__rev", 2).cast("double").alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.col("o_orderpriority").alias("priority"),
         )
@@ -763,7 +792,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -804,11 +835,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -1009,7 +1036,9 @@ def hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_brand_revenue",
     """
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -1030,7 +1059,7 @@ def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(li, part, on="l_partkey", salts=8)
     return joined.groupBy("p_brand").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -2263,7 +2292,9 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "disjunctive_part_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#3'  AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
@@ -2285,8 +2316,9 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#12") & q.between(10, 20) & s.between(1, 10))
         | ((b == "Brand#23") & q.between(20, 30) & s.between(1, 15))
     )
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return j.filter(cond).agg(F.round(F.sum(rev), 2).alias("revenue"))
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue")
+    )
 
 
 @query(
@@ -2352,7 +2384,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%ring%'
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2387,14 +2421,16 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("bigint").alias("o_year"),
-    ).agg(F.round(F.sum(rev), 2).alias("profit"))
+    ).agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("profit"))
 
 
 @query(
     "returned_item_losses",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS lost_revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -2408,19 +2444,27 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, attributed to the customer
     nation.  Scale: the returnflag predicate is pushed to the lineitem scan
     (dictionary/row-group pruning on a 3-value column), customer + nation
-    broadcast, and the one wide shuffle is lineitem⋈orders."""
+    broadcast, and the one wide shuffle is lineitem⋈orders.
+
+    The revenue sum runs in DECIMAL (prices are 2dp, discounts 4dp, so the
+    cast is exact): double summation order differs between engines and a
+    sum landing on a half-cent boundary rounds differently per order
+    (caught by the sf0.001 cross-scale sweep); decimal arithmetic is
+    order-independent, then one cast back to double for the output."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return j.groupBy(F.col("n_name").alias("nation")).agg(
-        F.round(F.sum(rev), 2).alias("lost_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("lost_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -2842,7 +2886,9 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
@@ -2878,7 +2924,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -2887,7 +2933,9 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT s_suppkey, s_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
+                  AS DOUBLE) AS total_revenue
       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -2910,7 +2958,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (
@@ -3026,7 +3074,9 @@ def order_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "discount_revenue_forecast",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS potential_revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -3051,9 +3101,7 @@ def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "potential_revenue"
-            ),
+            F.round(F.sum(_disc_dec()), 2).cast("double").alias("potential_revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -4763,7 +4811,9 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(l_discount), 2) AS band_lo,
            round(max(l_discount), 2) AS band_hi,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * l_discount), 2) AS discount_given
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS discount_given
     FROM lineitem
     GROUP BY 1
     """,
@@ -4784,9 +4834,7 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_discount"), 2).alias("band_lo"),
             F.round(F.max("l_discount"), 2).alias("band_hi"),
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "discount_given"
-            ),
+            F.round(F.sum(_disc_dec()), 2).cast("double").alias("discount_given"),
         )
     )
 
@@ -5412,7 +5460,8 @@ def corpus_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sr AS (
       SELECT n.n_name AS nation, l.l_suppkey AS supp,
-             CAST(round(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) * 100)
+             CAST(round(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) * 100)
                   AS BIGINT) AS cents
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -5443,10 +5492,7 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
         .agg(
-            F.round(
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                * 100
-            )
+            F.round(F.round(F.sum(_rev_dec()), 2) * 100)
             .cast("bigint")
             .alias("cents")
         )
@@ -6529,7 +6575,9 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ps AS (
       SELECT l_suppkey AS suppkey, l_partkey AS partkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
+                  AS DOUBLE) AS value
       FROM lineitem GROUP BY 1, 2),
     tot AS (SELECT sum(value) AS total FROM ps)
     SELECT suppkey, partkey, value
@@ -6547,13 +6595,14 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second scan computes the threshold.  Deterministic total order for
     the cutoff."""
     li = load_table(spark, sf_dir, "lineitem")
+    # decimal summation: order-independent, so half-cent boundaries round
+    # identically in both engines (see returned_item_losses)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
     ps = li.groupBy(
         F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "value"
-        )
-    )
+    ).agg(F.round(F.sum(rev), 2).cast("double").alias("value"))
     tot = ps.agg(F.sum("value").alias("total"))
     return (
         ps.crossJoin(F.broadcast(tot))
