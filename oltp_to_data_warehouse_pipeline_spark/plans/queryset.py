@@ -80,7 +80,8 @@ def _rev_dec_sql(p: str = "") -> str:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)      AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(avg(l_discount), 4)      AS avg_disc,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+                 / count(l_discount), 4) AS avg_disc,
            count(*)                       AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -96,7 +97,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double")
+            / F.count("l_discount"),
+            4,
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -159,7 +164,8 @@ def kpi_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment AS segment,
            count(*) AS num_customers,
            round(sum(c_acctbal), 2) AS total_balance,
-           round(avg(c_acctbal), 4) AS avg_balance
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(c_acctbal), 4) AS avg_balance
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -170,7 +176,11 @@ def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("num_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal"),
+            4,
+        ).alias("avg_balance"),
     )
 
 
@@ -2654,7 +2664,8 @@ def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
            regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
            count(*) AS n_parts,
-           round(avg(p_retailprice), 2) AS avg_price
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(p_retailprice), 2) AS avg_price
     FROM part
     GROUP BY adjective, noun
     """,
@@ -2670,7 +2681,11 @@ def part_name_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", pat, 2).alias("noun"),
     ).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count("p_retailprice"),
+            2,
+        ).alias("avg_price"),
     )
 
 
@@ -5137,9 +5152,11 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1)
     SELECT o.o_orderstatus AS status,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(o.o_totalprice), 2) AS mean_raw,
-           round(avg(least(greatest(o.o_totalprice, b.p05), b.p95)), 2)
-             AS mean_winsorized,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS mean_raw,
+           round(CAST(sum(CAST(least(greatest(o.o_totalprice, b.p05), b.p95)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 2) AS mean_winsorized,
            CAST(count(*) FILTER (WHERE o.o_totalprice < b.p05
                                     OR o.o_totalprice > b.p95) AS BIGINT)
              AS n_clipped
@@ -5165,8 +5182,15 @@ def order_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
-            F.round(F.avg(clipped), 2).alias("mean_winsorized"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                2,
+            ).alias("mean_winsorized"),
             F.count_if(
                 (F.col("o_totalprice") < F.col("p05"))
                 | (F.col("o_totalprice") > F.col("p95"))
