@@ -6144,6 +6144,80 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ordered_funnel_conversion",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_view_click_purchase,
+           round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+                 / (SELECT count(*) FROM t1), 4) AS conversion
+    """,
+)
+def ordered_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel: view → click → purchase must occur in temporal
+    sequence per user (each step's earliest occurrence AFTER the previous
+    step's), not merely as set membership — the difference between "did
+    all three ever" (`event_funnel`) and "actually walked the funnel",
+    which is what conversion analysis means.  The earliest-after chain
+    (min-ts per step, filtered past the prior step's min) is provably the
+    correct existence test for an ordered subsequence: greedily taking the
+    earliest valid occurrence at every step dominates any other choice.
+
+    Scale: three tiny per-user aggregates, each joined to the previous
+    step's (user, ts) relation — shuffles carry one row per user per
+    step, never raw events past the first filter; no window over the
+    event stream and no per-user event arrays."""
+    e = load_table(spark, sf_dir, "events")
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    n1 = t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n2 = t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+    n3 = t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click_purchase"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click_purchase").cast("double") / F.col("n_view"), 4
+            ).alias("conversion"),
+        )
+    )
+
+
+@query(
     "customer_top2_orders_lateral",
     """
     SELECT c.c_custkey, t.o_orderkey,
@@ -7071,6 +7145,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "corpus_train_split",
     "customer_top2_orders_lateral",
     "customer_order_milestones",
+    "ordered_funnel_conversion",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
