@@ -65,6 +65,14 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> None:
     fs.delete(p, recursive)
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename src -> dst (the filesystem's atomic primitive on HDFS/local).
+    Returns False when the filesystem refuses (e.g. dst exists on HDFS)."""
+    fs, s = _fs_path(spark, src)
+    _, d = _fs_path(spark, dst)
+    return bool(fs.rename(s, d))
+
+
 def touch(spark: SparkSession, path: str) -> None:
     """Create an empty marker file (overwrite-safe, parents auto-created)."""
     fs, p = _fs_path(spark, path)

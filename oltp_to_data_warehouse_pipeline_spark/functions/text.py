@@ -431,11 +431,15 @@ def canonical_url(c: Column | str) -> Column:
     scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1))
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     u = F.when(scheme_host == "", u).otherwise(F.concat(scheme_host, rest))
-    # tracking params (leading ? or & kept with the param, separator healed)
+    # tracking params (leading ? or & kept with the param), then heal the
+    # separators the removal leaves behind — ORDER MATTERS and '&&' must
+    # collapse to '&', never '?' (a stripped param BETWEEN two kept ones
+    # leaves '&&'; turning that into '?' forged a second query start,
+    # round-3 review finding)
     u = F.regexp_replace(u, r"([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*", "$1")
-    u = F.regexp_replace(u, r"[?&]+&", "?")      # ?&x -> ?x ; &&x -> &x
-    u = F.regexp_replace(u, r"\?&", "?")
-    u = F.regexp_replace(u, r"[?&]+$", "")        # now-empty query
+    u = F.regexp_replace(u, r"&{2,}", "&")        # x&&y   -> x&y
+    u = F.regexp_replace(u, r"\?&+", "?")         # ?&x    -> ?x
+    u = F.regexp_replace(u, r"[?&]+$", "")        # now-empty query / trailing &
     # duplicate slashes in the path (not the scheme's //)
     u = F.regexp_replace(u, r"(?<!:)//+", "/")
     # trailing path slash — at end of string or just before the query
@@ -460,9 +464,12 @@ def html_to_text(c: Column | str) -> Column:
     # block-level closers/openers become separators so words don't fuse
     t = F.regexp_replace(t, r"(?i)</?(p|div|br|li|tr|h[1-6]|td|th)\b[^>]*>", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", "")
+    # '&amp;' decodes LAST: decoding it first would mint new '&lt;'/'&gt;'
+    # from double-escaped text ('&amp;lt;' means the literal string '&lt;',
+    # not '<' — round-3 review finding)
     for ent, ch in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -62,11 +62,6 @@ def _disc_dec():
     ).cast("decimal(8,4)")
 
 
-def _rev_dec_sql(p: str = "") -> str:
-    return (
-        f"CAST({p}l_extendedprice AS DECIMAL(18,2))"
-        f" * (1 - CAST({p}l_discount AS DECIMAL(8,4)))"
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -2465,16 +2460,13 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
-    )
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return j.groupBy(F.col("n_name").alias("nation")).agg(
-        F.round(F.sum(rev), 2).cast("double").alias("lost_revenue"),
+        F.round(F.sum(_rev_dec()), 2).cast("double").alias("lost_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -6673,15 +6665,15 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ps AS (
       SELECT l_suppkey AS suppkey, l_partkey AS partkey,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2)
-                  AS DOUBLE) AS value
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS vdec
       FROM lineitem GROUP BY 1, 2),
-    tot AS (SELECT sum(value) AS total FROM ps)
-    SELECT suppkey, partkey, value
+    tot AS (SELECT CAST(sum(vdec) AS DOUBLE) AS total FROM ps)
+    SELECT suppkey, partkey,
+           CAST(round(vdec, 2) AS DOUBLE) AS value
     FROM ps CROSS JOIN tot
-    WHERE value > total * 0.00007
-    ORDER BY value DESC, suppkey, partkey
+    WHERE CAST(vdec AS DOUBLE) > total * 0.00007
+    ORDER BY vdec DESC, suppkey, partkey
     """,
 )
 def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6693,20 +6685,25 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second scan computes the threshold.  Deterministic total order for
     the cutoff."""
     li = load_table(spark, sf_dir, "lineitem")
-    # decimal summation: order-independent, so half-cent boundaries round
-    # identically in both engines (see returned_item_losses)
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
-    )
+    # decimal summation end-to-end THROUGH the threshold: the per-group sums
+    # and the global total are exact, so the threshold comparison sees
+    # bit-identical doubles in both engines (a double total would be
+    # summation-order-dependent; round-3 review finding)
     ps = li.groupBy(
         F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
-    ).agg(F.round(F.sum(rev), 2).cast("double").alias("value"))
-    tot = ps.agg(F.sum("value").alias("total"))
+    ).agg(F.sum(_rev_dec()).alias("vdec"))
+    tot = ps.agg(F.sum("vdec").cast("double").alias("total"))
     return (
         ps.crossJoin(F.broadcast(tot))
-        .where(F.col("value") > F.col("total") * 0.00007)
-        .select("suppkey", "partkey", "value")
-        .orderBy(F.col("value").desc(), "suppkey", "partkey")
+        .where(F.col("vdec").cast("double") > F.col("total") * 0.00007)
+        .select(
+            "suppkey",
+            "partkey",
+            F.round("vdec", 2).cast("double").alias("value"),
+            F.col("vdec"),
+        )
+        .orderBy(F.col("vdec").desc(), "suppkey", "partkey")
+        .drop("vdec")
     )
 
 

@@ -38,12 +38,42 @@ def _vdir(table: str, version: int) -> str:
     return fs.join(table, f"v={version}")
 
 
+def _write_pointer(spark: SparkSession, table: str, version: int) -> None:
+    """Pointer swap via the filesystem's atomic primitive: write a temp
+    file, then RENAME over the pointer (plain create(overwrite) is
+    truncate-then-write — a reader in that window would see an empty file,
+    round-3 review finding).  On filesystems where rename refuses to
+    replace an existing destination (HDFS), the old pointer is deleted
+    first; the brief pointer-missing window that leaves is covered by
+    ``latest_version``'s version-scan fallback."""
+    tmp = fs.join(table, _POINTER + ".tmp")
+    dst = fs.join(table, _POINTER)
+    fs.write_text(spark, tmp, str(version))
+    if not fs.rename(spark, tmp, dst):
+        fs.delete(spark, dst, recursive=False)
+        if not fs.rename(spark, tmp, dst):
+            raise IOError(f"could not move snapshot pointer for {table!r}")
+
+
 def latest_version(spark: SparkSession, table: str) -> int | None:
-    """The published version the pointer names, or None for an empty table."""
+    """The published version the pointer names, or None for an empty table.
+
+    Fallback: a missing/unreadable pointer (mid-swap window on
+    rename-cannot-replace filesystems, or a crashed first publish) resolves
+    to the highest existing version directory — versions are monotonic, so
+    that is the most recently PUBLISHED one except during an in-flight
+    rollback's swap window."""
     p = fs.join(table, _POINTER)
-    if not fs.exists(spark, p):
-        return None
-    return int(fs.read_text(spark, p).strip())
+    if fs.exists(spark, p):
+        content = fs.read_text(spark, p).strip()
+        if content.isdigit():
+            return int(content)
+    committed = [
+        v
+        for v in list_versions(spark, table)
+        if fs.exists(spark, fs.join(_vdir(table, v), "_SUCCESS"))
+    ]
+    return committed[-1] if committed else None
 
 
 def publish_snapshot(df: DataFrame, table: str) -> int:
@@ -57,7 +87,7 @@ def publish_snapshot(df: DataFrame, table: str) -> int:
     cur = latest_version(spark, table)
     nxt = 1 if cur is None else cur + 1
     df.write.mode("overwrite").parquet(_vdir(table, nxt))
-    fs.write_text(spark, fs.join(table, _POINTER), str(nxt))
+    _write_pointer(spark, table, nxt)
     return nxt
 
 
@@ -79,7 +109,7 @@ def rollback(spark: SparkSession, table: str, version: int) -> None:
     roll forward again by re-pointing or publishing)."""
     if not fs.exists(spark, _vdir(table, version)):
         raise ValueError(f"cannot roll back to missing version {version}")
-    fs.write_text(spark, fs.join(table, _POINTER), str(version))
+    _write_pointer(spark, table, version)
 
 
 def list_versions(spark: SparkSession, table: str) -> list[int]:

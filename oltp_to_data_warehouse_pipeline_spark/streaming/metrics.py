@@ -58,9 +58,13 @@ class ProgressRecorder(StreamingQueryListener):
         p = event.progress
         state_rows = sum(s.numRowsTotal for s in (p.stateOperators or []))
         duration = (p.durationMs or {}).get("triggerExecution", 0)
-        self._rows[p.name or p.id.__str__()].append(
+        # the ring key doubles as the emitted query_name so UNNAMED queries
+        # stay attributable (name=None rows would merge every anonymous
+        # query into one NULL group in summary(); round-3 review finding)
+        key = p.name or str(p.id)
+        self._rows[key].append(
             (
-                p.name,
+                key,
                 p.batchId,
                 p.timestamp,
                 p.numInputRows,
@@ -96,5 +100,7 @@ class ProgressRecorder(StreamingQueryListener):
             F.sum("num_input_rows").alias("total_rows"),
             F.round(F.avg("process_rows_per_second"), 1).alias("avg_rows_per_sec"),
             F.max("batch_duration_ms").alias("max_batch_ms"),
-            F.last("state_rows").alias("state_rows"),
+            # newest batch's state size — F.last over an unordered groupBy
+            # is partition-order-nondeterministic (round-3 review finding)
+            F.max_by("state_rows", "batch_id").alias("state_rows"),
         )

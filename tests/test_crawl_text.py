@@ -120,3 +120,21 @@ def test_canonical_url_idempotent_property(spark, url):
     once = _one(spark, text_fns.canonical_url, url)
     assert _one(spark, text_fns.canonical_url, once) == once
     assert "#" not in once and "utm_" not in once and "gclid" not in once
+
+
+def test_canonical_url_mid_position_tracking_param(spark):
+    """Round-3 review finding: a stripped param BETWEEN two kept ones must
+    heal '&&' to '&', not forge a second '?'."""
+    got = _one(spark, text_fns.canonical_url, "https://example.com/a?x=1&utm_source=f&y=2")
+    assert got == "https://example.com/a?x=1&y=2"
+    got2 = _one(
+        spark, text_fns.canonical_url, "https://example.com/a?utm_a=1&gclid=2&x=1&ref=h&y=2"
+    )
+    assert got2 == "https://example.com/a?x=1&y=2"
+
+
+def test_html_double_escaped_entities_decode_once(spark):
+    """'&amp;lt;' is the literal text '&lt;', not '<' — amp decodes last."""
+    got = _one(spark, text_fns.html_to_text, "<p>a &amp;lt; b</p>")
+    assert got == "a &lt; b"
+    assert _one(spark, text_fns.html_to_text, "<p>x &amp; y</p>") == "x & y"

@@ -112,3 +112,29 @@ def test_warehouse_fact_publishes_versioned_and_diffs(spark, tmp_path):
     assert by_change == {"changed", "removed"}
     n_removed = d.where("change = 'removed'").count()
     assert n_removed == orders.where(F.col("okey") % 777 == 0).count()
+
+
+def test_pointer_corruption_falls_back_to_committed_versions(spark, tmp_path):
+    """Round-3 review finding: the pointer swap is rename-based, and a
+    missing/empty pointer (mid-swap window or crash) must resolve via the
+    committed-version scan instead of crashing every reader."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    snap.publish_snapshot(_df(spark, [(1, "a")]), t)
+    snap.publish_snapshot(_df(spark, [(2, "b")]), t)
+    # corrupt the pointer (crash window)
+    open(os.path.join(t, "_latest"), "w").close()
+    assert snap.latest_version(spark, t) == 2
+    assert snap.read_snapshot(spark, t).first()["v"] == "b"
+    # remove it entirely: same fallback
+    os.remove(os.path.join(t, "_latest"))
+    assert snap.latest_version(spark, t) == 2
+    # an uncommitted (no _SUCCESS) orphan must NOT be surfaced
+    os.makedirs(os.path.join(t, "v=3"))
+    with open(os.path.join(t, "v=3", "part-0.parquet"), "w") as f:
+        f.write("partial")
+    assert snap.latest_version(spark, t) == 2
+    # next publish heals the pointer and claims v=3 over the orphan
+    assert snap.publish_snapshot(_df(spark, [(3, "c")]), t) == 3
+    assert snap.read_snapshot(spark, t).first()["v"] == "c"
