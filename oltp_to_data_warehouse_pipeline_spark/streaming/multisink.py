@@ -32,6 +32,41 @@ from pyspark.sql.streaming import StreamingQuery
 Sink = Callable[[DataFrame, int], None]
 
 
+class ExpectationViolation(RuntimeError):
+    """A gated sink refused a micro-batch that failed its expectations."""
+
+
+def gated(sink: Sink, expectations: list) -> Sink:
+    """Wrap a sink with a per-batch data-quality gate: the batch's
+    expectation suite (``operators.expectations``) runs BEFORE the sink,
+    and any violation aborts the batch with :class:`ExpectationViolation` —
+    streaming inherits the batch path's QC-gates-load ordering (the
+    reference had no gate at all on its consumer; this engine refuses to
+    land bad data rather than quarantining it silently).
+
+    The abort integrates with Spark's retry: the batch replays (offsets
+    uncommitted), so a transient upstream glitch self-heals while a
+    persistent one stops the stream loudly — the operator decides, with
+    the violation report in the exception message.  Costs one extra
+    aggregation pass over the (persisted, when used under
+    :func:`fanout_sink`) batch."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.expectations import validate
+
+    def run(batch: DataFrame, epoch_id: int) -> None:
+        report = validate(batch, expectations)
+        bad = [r for r in report.collect() if not r["passed"]]
+        if bad:
+            detail = "; ".join(
+                f"{r['expectation']}: {r['violations']}/{r['total_rows']}" for r in bad
+            )
+            raise ExpectationViolation(
+                f"batch {epoch_id} failed expectations — {detail}"
+            )
+        sink(batch, epoch_id)
+
+    return run
+
+
 def fanout_sink(
     stream: DataFrame,
     sinks: list[Sink],

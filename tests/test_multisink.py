@@ -79,3 +79,37 @@ def test_failing_sink_aborts_batch_for_all_sinks(spark, tmp_path):
     q = fanout_sink(stream, [first_sink, healed_sink], str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert spark.read.parquet(first).select("k").distinct().count() == 1
+
+
+def test_gated_sink_blocks_bad_batches_and_passes_good_ones(spark, tmp_path):
+    """Streaming inherits the QC-gates-load ordering: a batch violating the
+    expectation suite never reaches the sink; a clean batch flows."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+    )
+    from oltp_to_data_warehouse_pipeline_spark.streaming.multisink import gated
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    suite = [expect_not_null("k"), expect_between("v", 0.0, 100.0)]
+
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(out)
+
+    stream = spark.readStream.schema("k string, v double").json(str(src))
+
+    _write(src, "good.json", [{"k": "a", "v": 1.0}, {"k": "b", "v": 2.0}])
+    q = fanout_sink(stream, [gated(sink, suite)], str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # a poisoned batch (null key + out-of-range value) must abort loudly
+    _write(src, "bad.json", [{"k": None, "v": 1.0}, {"k": "c", "v": 999.0}])
+    q = fanout_sink(stream, [gated(sink, suite)], str(tmp_path / "ck1"))
+    with pytest.raises(Exception, match="failed expectations"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 2  # nothing landed
