@@ -6136,6 +6136,63 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+        CASE WHEN greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) = 0 THEN 'und'
+             WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))) = greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'de'
+             WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})) = greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'en'
+             WHEN len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))) = greatest(
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('der','die','das','und','ist','ein'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN {_EN_STOPS})),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('el','la','los','y','es','un'))),
+               len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x IN ('le','la','les','et','est','un')))) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM documents)
+    SELECT lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS row_frac
+    FROM scored GROUP BY lang, lang_pred
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation INSIDE the engine: the language-ID confusion
+    matrix against the fixture's labels, with per-true-language row
+    fractions (the recall diagonal) — the audit that decides whether the
+    cheap stopword-vote detector is good enough before it gates a corpus
+    (`curate_corpus` trusts it; this query is the evidence).  One grouped
+    aggregate + a window over the tiny matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang", text.lang_guess_t(text.tokens("text")).alias("lang_pred")
+    )
+    cell = scored.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias("row_frac"),
+    )
+
+
+@query(
     "ordered_funnel_conversion",
     """
     WITH t1 AS (
@@ -7143,6 +7200,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_top2_orders_lateral",
     "customer_order_milestones",
     "ordered_funnel_conversion",
+    "lang_id_confusion",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
