@@ -6136,6 +6136,36 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_weekday_hour_heatmap",
+    """
+    SELECT CAST(dayofweek(ts) % 7 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday×hour activity heatmap (ops dashboards, load planning,
+    anomaly baselines): counts and distinct users per (day-of-week, hour)
+    cell.  PG convention Sunday=0 via the dates library's DOW parity.
+    168 output cells whatever the table size — one keyed aggregate with
+    map-side partial dedup for the distinct."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            dates.dow_pg("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@query(
     "lang_id_confusion",
     f"""
     WITH scored AS (
@@ -7201,6 +7231,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_order_milestones",
     "ordered_funnel_conversion",
     "lang_id_confusion",
+    "event_weekday_hour_heatmap",
     # registered in earlier rounds but never yet drawn by a driver sample —
     # rotate as many as fit into the remaining ~34 slots
     "brand_affinity_lift",
