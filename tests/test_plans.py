@@ -411,3 +411,27 @@ def test_chunk_dedup_no_cartesian_two_keyed_exchanges(spark):
     q, _ = registry()
     plan = _plan(q["chunk_dedup_reassemble"](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_ordered_funnel_keyed_joins_no_cartesian(spark):
+    """The three funnel stages must join on user_id (broadcast or shuffle
+    keyed) — the only BNLJ/cross allowed is the final 1-row×1-row count
+    assembly."""
+    q, _ = registry()
+    plan = _plan(q["ordered_funnel_conversion"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # step joins are equi-joins on user_id
+    assert plan.count("user_id") >= 3
+
+
+def test_heatmap_single_aggregate_pass(spark):
+    q, _ = registry()
+    plan = _plan(q["event_weekday_hour_heatmap"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_train_split_is_pure_expression_plus_one_exchange(spark):
+    q, _ = registry()
+    plan = _plan(q["corpus_train_split"](spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
