@@ -7019,13 +7019,24 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed.
 
     Scale: signatures are the zero-shuffle narrow map; candidates come
-    from the banded equi-join; the exact side touches ONLY candidate
-    pairs (shingle join restricted via broadcast of the candidate list),
-    so the expensive exact computation is proportional to candidates,
-    never corpus²."""
+    from the banded equi-join and are GATED by ``similarity.bounded`` —
+    a calibration report over more than ``max_pairs`` candidate pairs is
+    a sign the sketch is being audited on the full corpus instead of a
+    sample, and the guard refuses loudly rather than letting the exact
+    side grow unbounded.  No relation in this plan carries a forced
+    broadcast: signature lookups and the shingle-restriction semi-joins
+    are plain equi-joins, so AQE broadcasts them only when they are
+    actually small and degrades to a shuffle join otherwise (a forced
+    hint here would OOM the driver at corpus scale)."""
+    max_pairs = 1_000_000
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
-    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    cand = similarity.bounded(
+        dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4),
+        max_pairs,
+        "minhash_jaccard_calibration",
+        knob="max_pairs",
+    )
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)]
     )
@@ -7036,8 +7047,8 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
     )
     est = (
-        cand.join(F.broadcast(sig_a), "doc_a")
-        .join(F.broadcast(sig_b), "doc_b")
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
         .select("doc_a", "doc_b", n_eq.alias("n_eq"))
     )
     sh = d.select(
@@ -7046,14 +7057,15 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # BOTH sides of the intersection join are pre-restricted to candidate
-    # docs via broadcast (left side by equi-join with cand, right side by a
-    # broadcast semi-join on doc_b) — the (doc_b, sh)-keyed shuffle then
-    # carries candidate docs' shingles only, not the whole corpus.
+    # docs (left side by equi-join with cand, right side by a semi-join on
+    # doc_b) — the (doc_b, sh)-keyed shuffle then carries candidate docs'
+    # shingles only, not the whole corpus.  cand is bounded above, so AQE
+    # chooses broadcast for these restrictions whenever it fits.
     sh_b = sh.select(F.col("doc").alias("doc_b"), "sh").join(
-        F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi"
+        cand.select("doc_b").distinct(), "doc_b", "left_semi"
     )
     inter = (
-        sh.join(F.broadcast(cand), sh["doc"] == cand["doc_a"])
+        sh.join(cand, sh["doc"] == cand["doc_a"])
         .select("doc_a", "doc_b", "sh")
         .join(sh_b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
@@ -7069,8 +7081,8 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         est.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -7192,74 +7204,10 @@ def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # hash-FAIL in the round-2 driver record, root-caused as oracle
-    # canonicalization (HUGEINT / -0.0) and fixed this round — a fresh green
-    # driver verdict is the acceptance test, so these lead the sample window
-    "linestatus_priority_split",
-    "corpus_lang_stats",
-    "token_budget_pack",
-    "embedding_components",
-    # same latent HUGEINT hazard, pre-fixed this round — verify while hot
-    "token_shard_assign",
-    "user_activity_entropy",
-    "dedup_yield_report",
-    "corpus_mixture_sample",
-    # new this round — never seen by the driver gate
-    "bm25_search_topk",
-    "chunk_dedup_reassemble",
-    "contamination_spans",
-    "corpus_epoch_shuffle",
-    "tokenizer_fertility",
-    "embedding_pool_by_label",
-    "repeat_customers_intersect",
-    "churned_customers_except",
-    "event_props_variant_stats",
-    "order_value_rank_distribution",
-    "minhash_jaccard_calibration",
-    "cross_source_duplication",
-    "doc_containment_pairs",
-    "part_supplier_concentration",
-    "part_supplier_variety",
-    "dedup_survivorship_matrix",
-    "corpus_vocab_growth",
-    "user_activity_gini",
-    "corpus_zipf_slope",
-    "customer_spend_trend",
-    "supplier_latency_profile",
-    "corpus_train_split",
-    "customer_top2_orders_lateral",
-    "customer_order_milestones",
-    "ordered_funnel_conversion",
-    "lang_id_confusion",
-    "event_weekday_hour_heatmap",
-    # registered in earlier rounds but never yet drawn by a driver sample —
-    # rotate as many as fit into the remaining ~34 slots
-    "brand_affinity_lift",
-    "doc_search_topk",
-    "semantic_dedup_clusters",
-    "semantic_only_near_dups",
-    "daily_active_users",
-    "daily_revenue_ewma",
-    "revenue_pareto_customers",
-    "event_value_outliers_mad",
-    "order_priority_modal_month",
-    "weighted_sample_docs",
-    "doc_quality_zscore_by_source",
-    "customer_k_anonymity",
-    "events_pseudonymized_sample",
-    "corpus_boilerplate_shingles",
-    "nation_supplier_hhi",
-    "nation_share_of_region",
-    "discount_band_revenue",
-    "orders_snapshot_diff",
-    "orders_pit_segment_join",
-    "segment_priority_chi2",
-    "order_value_winsorized",
-    "monthly_seasonality_index",
-    "event_burst_minutes",
-    "daily_order_backlog",
-    "event_transition_matrix",
-    "order_shape_profile",
+    # ROUND 4 WINDOW.  The 32 names below are every registered query that has
+    # never appeared in a driver CORRECTNESS_r{N}.json sample (r1-r3 union =
+    # 144/176); rotating them in completes the 176/176 driver-verified union.
+    "embedding_norms",
     "customer_order_ranks",
     "order_value_distribution",
     "status_priority_grouping_sets",
@@ -7268,9 +7216,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_order_distribution",
     "large_order_customers",
     "disjunctive_part_revenue",
-    # --- ~50-name window boundary: names below overflow this round's sample
-    # and rotate into the window next round; their green strict
-    # CORRECTNESS_LOCAL row is the committed record meanwhile
     "nation_market_share",
     "product_profit_by_nation_year",
     "returned_item_losses",
@@ -7279,13 +7224,32 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "order_value_page",
     "status_price_median",
     "lineitem_price_stats",
-    "shipping_lag_by_month",
-    "doc_token_masking",
-    "embedding_norms",
     "customer_order_years",
     "part_name_catalog",
-    # core reference-surface queries (green in r01; keep them near the
-    # window for periodic re-draws)
+    "shipping_lag_by_month",
+    "doc_token_masking",
+    "nation_share_of_region",
+    "discount_band_revenue",
+    "orders_snapshot_diff",
+    "segment_priority_chi2",
+    "order_value_winsorized",
+    "orders_pit_segment_join",
+    "monthly_seasonality_index",
+    "event_burst_minutes",
+    "daily_order_backlog",
+    "event_transition_matrix",
+    "order_shape_profile",
+    # implementations changed in round 4 (plan/materialization rework) — a
+    # fresh driver verdict re-certifies them after the change
+    "minhash_jaccard_calibration",
+    "brand_affinity_lift",
+    "curate_corpus",
+    "latest_event_per_user",
+    "doc_pii_scrub",
+    "cosine_topk_rerank",
+    "part_supplier_concentration",
+    # --- round-4 additions are inserted here by registration below ---
+    # core reference-surface queries re-drawn with any remaining slots
     "star_join_revenue",
     "pricing_summary",
     "cleaning_pipeline",
@@ -7295,9 +7259,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "transaction_dim_build",
     "incremental_delta",
     "json_flatten_events",
-    "curate_corpus",
-    "latest_event_per_user",
     "kpi_cards",
+    "dedup_exact",
 )
 
 

@@ -435,3 +435,20 @@ def test_train_split_is_pure_expression_plus_one_exchange(spark):
     q, _ = registry()
     plan = _plan(q["corpus_train_split"](spark, SF_DIR))
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_calibration_no_forced_broadcast_of_doc_relations(spark):
+    """minhash_jaccard_calibration must not HINT-broadcast any relation
+    whose cardinality tracks the corpus (per-doc signatures, the shingle
+    stream, or the candidate-pair list).  A forced `F.broadcast` overrides
+    Spark's size check and OOMs the driver at corpus scale; the plan must
+    carry ZERO ResolvedHint/broadcast hints — any BroadcastHashJoin present
+    must be AQE/size-estimated, and the candidate list must be structurally
+    bounded (GlobalLimit from similarity.bounded)."""
+    q, _ = registry()
+    df = q["minhash_jaccard_calibration"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, optimized
+    assert "UnresolvedHint" not in optimized, optimized
+    plan = _plan(df)
+    assert "GlobalLimit" in plan, "candidate list must be bounded() — structural limit missing"
