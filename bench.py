@@ -114,17 +114,21 @@ def main() -> None:
         queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         drop_persisted()
 
-    # Three timed runs per query, keep the minimum: this host shares CPU
+    # Five timed runs per query, keep the minimum: this host shares CPU
     # with other tenants (load spikes up to ~6 with zero local JVMs), and a
     # single sample can inflate a 2s query to 5s — with two samples the
     # heavy text queries still drifted ~2x between whole-bench invocations.
     # The min of k samples is the standard interference-suppressing
-    # estimator for wall-clock microbenchmarks.
+    # estimator for wall-clock microbenchmarks.  k=5 after the round-3
+    # "regression cluster" on sub-second queries proved to be sampling
+    # noise: a controlled n=5 A/B of the AQE coalesce floor (64 KiB vs
+    # 1 MiB) showed <6% difference on every flagged query, while min-of-3
+    # round-over-round deltas had shown 30-80%.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

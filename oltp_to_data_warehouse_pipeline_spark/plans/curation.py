@@ -32,12 +32,33 @@ def curate_corpus(
     lang: str = "en",
     jaccard_threshold: float = 0.2,
     shingle_n: int = 3,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Curated corpus: (id, n_tokens) of documents that pass every gate.
 
     Near-dup policy: for each Jaccard pair over the threshold, the LOWER id
     survives (matches the exact-dedup keep-min-id convention).
+
+    ``materialize`` picks how the multi-consumer survivor relation is
+    pinned — a fault-tolerance vs latency trade the CALLER owns:
+
+    - ``"local_checkpoint"`` (default): eager executor-local blocks.
+      Fastest (no distributed-FS round-trip) and truncates lineage, but a
+      lost executor makes the blocks unrecoverable → job restart.  Right
+      for interactive/bench runs and short jobs.
+    - ``"persist"``: MEMORY_AND_DISK cache; a lost block RECOMPUTES from
+      lineage instead of failing the job.  Right for long multi-hour runs
+      on preemptible fleets where re-running the gate scan beats a restart.
+    - ``"checkpoint"``: reliable checkpoint to ``sc.setCheckpointDir``'s
+      (HDFS/S3) location — survives executor loss AND truncates lineage.
+      Right for 1000-executor 100 TB runs where neither a restart nor an
+      unbounded lineage replay is acceptable.  Requires a checkpoint dir.
     """
+    if materialize not in ("local_checkpoint", "persist", "checkpoint"):
+        raise ValueError(
+            f"materialize={materialize!r}: expected 'local_checkpoint', "
+            "'persist', or 'checkpoint'"
+        )
     toks = F.col("__toks")
     # n_tokens is computed HERE (token_count ≡ size(tokens), so emitting
     # size(__toks) is exactly the published semantics) so the output stage
@@ -61,12 +82,18 @@ def curate_corpus(
         kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     )
     # survivors feeds two consumers (the Jaccard posting pipeline and the
-    # final anti-join), so the filter+window chain is materialized ONCE with
-    # an eager local checkpoint (sf0.1: 4.2s recomputed -> 3.4s; the gap
-    # widens with corpus size since the whole quality/lang/fingerprint scan
-    # would otherwise run twice).  localCheckpoint also truncates lineage,
-    # keeping the downstream plan independent of the filter chain's depth.
-    survivors = survivors.localCheckpoint(eager=True)
+    # final anti-join), so the filter+window chain is materialized ONCE
+    # (sf0.1: 4.2s recomputed -> 3.4s; the gap widens with corpus size since
+    # the whole quality/lang/fingerprint scan would otherwise run twice).
+    # HOW it is materialized is the caller's durability choice (docstring).
+    if materialize == "local_checkpoint":
+        survivors = survivors.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        from pyspark import StorageLevel
+
+        survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        survivors = survivors.checkpoint(eager=True)
     near_pairs = dedup.ngram_jaccard_pairs(
         survivors, id_col, text_col, shingle_n=shingle_n, threshold=jaccard_threshold
     )

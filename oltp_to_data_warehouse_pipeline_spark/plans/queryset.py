@@ -4550,11 +4550,17 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is then a higher-order `transform×transform` over that array —
     no self-join, so the basket relation is never re-shuffled and pair cost
     is Σ(basket size²) with baskets a few items wide (never n² in orders).
-    The array relation feeds three branches (pairs, brand frequencies,
-    basket total), so it is persisted — the standard Spark answer for
-    multi-consumer derived relations (recomputing it per branch is the plan
-    the oracle's CTE would naively suggest).  Frequency and total relations
-    broadcast back onto the pair stream.
+
+    The pair counts, per-brand frequencies, and basket total are all folded
+    into ONE aggregation over a tagged union stream per basket (pair
+    structs + (brand, NULL) markers + one (NULL, NULL) total marker), so the
+    heavy upstream — scan, dim join, basket shuffle, pair explode — exists
+    exactly once in the plan.  The three consumers filter that aggregate's
+    output (|brands|² + |brands| + 1 rows), and Catalyst's ReuseExchange
+    dedups the shared shuffle, so nothing corpus-sized is persisted or
+    recomputed — the round-3 plan persisted the basket relation for the
+    session's lifetime, which at 100 TB is an executor-memory pin the size
+    of the order corpus.
 
     The basket shuffle's partition count is PINNED (explicit repartition on
     the basket key — the grouping reuses it, no extra exchange): the
@@ -4570,12 +4576,8 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-        .persist()
     )
-    n = baskets.select(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    bc = baskets.select(F.explode("bs").alias("b")).groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nb")
-    )
+    null_s = F.lit(None).cast("string")
     pair_arr = F.flatten(
         F.transform(
             "bs",
@@ -4585,14 +4587,24 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .where(F.col("n_ab") >= 10)
+    brand_arr = F.transform(
+        "bs", lambda b: F.struct(b.alias("brand_a"), null_s.alias("brand_b"))
     )
-    ba = bc.select(F.col("b").alias("brand_a"), F.col("nb").alias("na_"))
-    bb = bc.select(F.col("b").alias("brand_b"), F.col("nb").alias("nb_"))
+    total_arr = F.array(F.struct(null_s.alias("brand_a"), null_s.alias("brand_b")))
+    counts = (
+        baskets.select(F.explode(F.concat(pair_arr, brand_arr, total_arr)).alias("t"))
+        .groupBy(F.col("t.brand_a").alias("brand_a"), F.col("t.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    n = counts.where(F.col("brand_a").isNull() & F.col("brand_b").isNull()).select(
+        F.col("cnt").alias("n_orders")
+    )
+    bc = counts.where(F.col("brand_a").isNotNull() & F.col("brand_b").isNull())
+    pairs = counts.where(F.col("brand_b").isNotNull()).select(
+        "brand_a", "brand_b", F.col("cnt").alias("n_ab")
+    ).where(F.col("n_ab") >= 10)
+    ba = bc.select(F.col("brand_a"), F.col("cnt").alias("na_"))
+    bb = bc.select(F.col("brand_a").alias("brand_b"), F.col("cnt").alias("nb_"))
     return (
         pairs.crossJoin(F.broadcast(n))
         .join(F.broadcast(ba), "brand_a")

