@@ -41,20 +41,31 @@ def bounded(df: DataFrame, max_rows: int, what: str, knob: str = "max_rows") -> 
     The exact all-pairs / many-query paths exist as ground truth for the
     LSH/IVF scale paths; they must never run unbounded by accident.  The
     probe reads at most ``max_rows + 1`` rows (a plain ``count()`` would
-    full-scan the very 100 TB input the guard exists to refuse) and the
-    trailing ``limit`` makes the bound *structural* — visible in the
-    physical plan as a GlobalLimit feeding the broadcast side, so a plan
-    audit can prove the nested-loop join only ever sees a bounded build.
-    ``knob`` names the caller-facing parameter in the error message.
+    full-scan the very 100 TB input the guard exists to refuse), and it
+    MATERIALIZES them (eager localCheckpoint) so the guard's execution of
+    the upstream pipeline is the only one — the previous count-then-return
+    shape re-ran the whole upstream (an LSH candidate pipeline, say) once
+    for the probe and again per downstream consumer.  The materialized
+    relation is bounded (≤ max_rows + 1 rows) by construction, so unlike a
+    data-sized pin this is always executor-memory-safe; the trailing
+    ``limit`` keeps the bound *structural* — visible in the physical plan
+    as a GlobalLimit feeding the broadcast side, so a plan audit can prove
+    the nested-loop join only ever sees a bounded build.  ``knob`` names
+    the caller-facing parameter in the error message.  On refusal the
+    probe blocks are best-effort released before raising.
     """
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    probe = df.limit(max_rows + 1).localCheckpoint(eager=True)
+    if probe.count() > max_rows:
+        try:  # release the probe blocks — the caller is about to not use them
+            probe._jdf.rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 - cleanup must never mask the guard
+            pass
         raise ValueError(
             f"{what}: input has more than {knob}={max_rows} rows. "
             "This exact path is a small-N verification twin of the LSH/IVF "
             f"scale path; pass a sample or raise {knob} explicitly."
         )
-    return df.limit(max_rows)
+    return probe.limit(max_rows)
 
 
 def cosine_topk(

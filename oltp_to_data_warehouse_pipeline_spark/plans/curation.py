@@ -17,6 +17,8 @@ window, the posting join, and the final anti-join.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.2,
     shingle_n: int = 3,
     materialize: str = "local_checkpoint",
+    on_materialize: Callable[[DataFrame], None] | None = None,
 ) -> DataFrame:
     """Curated corpus: (id, n_tokens) of documents that pass every gate.
 
@@ -53,6 +56,14 @@ def curate_corpus(
       (HDFS/S3) location — survives executor loss AND truncates lineage.
       Right for 1000-executor 100 TB runs where neither a restart nor an
       unbounded lineage replay is acceptable.  Requires a checkpoint dir.
+
+    ``on_materialize`` (optional) receives the pinned survivor DataFrame
+    right after materialization — the RELEASE handle.  ``"persist"``
+    especially pins executor memory/disk for the session's lifetime, so a
+    caller that curates repeatedly must either collect these handles and
+    ``.unpersist()`` them when the returned result has been consumed, or
+    run ``spark.catalog.clearCache()`` between runs; without one of those,
+    repeated calls accumulate cached survivor relations.
     """
     if materialize not in ("local_checkpoint", "persist", "checkpoint"):
         raise ValueError(
@@ -94,6 +105,8 @@ def curate_corpus(
         survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         survivors = survivors.checkpoint(eager=True)
+    if on_materialize is not None:
+        on_materialize(survivors)
     near_pairs = dedup.ngram_jaccard_pairs(
         survivors, id_col, text_col, shingle_n=shingle_n, threshold=jaccard_threshold
     )

@@ -4553,14 +4553,19 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair counts, per-brand frequencies, and basket total are all folded
     into ONE aggregation over a tagged union stream per basket (pair
-    structs + (brand, NULL) markers + one (NULL, NULL) total marker), so the
-    heavy upstream — scan, dim join, basket shuffle, pair explode — exists
-    exactly once in the plan.  The three consumers filter that aggregate's
-    output (|brands|² + |brands| + 1 rows), and Catalyst's ReuseExchange
-    dedups the shared shuffle, so nothing corpus-sized is persisted or
-    recomputed — the round-3 plan persisted the basket relation for the
-    session's lifetime, which at 100 TB is an executor-memory pin the size
-    of the order corpus.
+    structs + (brand, NULL) markers + one (NULL, NULL) total marker), and
+    the aggregate's TINY output (|brands|² + |brands| + 1 rows — brand
+    vocabulary squared, independent of corpus size) is materialized with an
+    eager localCheckpoint before the three consumers filter it.  Without
+    that barrier Catalyst pushes the consumers' null-marker filters BELOW
+    the aggregate and the whole upstream — scan, dim join, basket shuffle,
+    collect_set, pair explode — replays once per consumer (round 4 shipped
+    exactly that plan while claiming otherwise; only the repartition
+    exchange was reused).  Materializing ~700 rows costs nothing and is the
+    opposite of the round-3 anti-pattern this query removed: what round 3
+    pinned for the session's lifetime was the CORPUS-sized basket relation;
+    what's pinned here is a brand-vocabulary-sized aggregate, released by
+    the caller's normal unpersist/clearCache hygiene.
 
     The basket shuffle's partition count is PINNED (explicit repartition on
     the basket key — the grouping reuses it, no extra exchange): the
@@ -4595,6 +4600,9 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode(F.concat(pair_arr, brand_arr, total_arr)).alias("t"))
         .groupBy(F.col("t.brand_a").alias("brand_a"), F.col("t.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # barrier: without it the three consumers' filters push below the
+        # aggregate and the corpus-sized upstream runs 3x (docstring)
+        .localCheckpoint(eager=True)
     )
     n = counts.where(F.col("brand_a").isNull() & F.col("brand_b").isNull()).select(
         F.col("cnt").alias("n_orders")
@@ -7021,7 +7029,9 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes nb ON nb.doc = e.doc_b
     """,
 )
-def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_jaccard_calibration(
+    spark: SparkSession, sf_dir: str, *, max_pairs: int = 1_000_000
+) -> DataFrame:
     """Sketch-quality audit: for every LSH candidate pair, the MinHash
     ESTIMATE of Jaccard (fraction of equal signature components) against
     the EXACT shingle-set Jaccard, with absolute error.  This is the
@@ -7032,15 +7042,20 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are the zero-shuffle narrow map; candidates come
     from the banded equi-join and are GATED by ``similarity.bounded`` —
-    a calibration report over more than ``max_pairs`` candidate pairs is
-    a sign the sketch is being audited on the full corpus instead of a
-    sample, and the guard refuses loudly rather than letting the exact
-    side grow unbounded.  No relation in this plan carries a forced
+    a calibration report over more than ``max_pairs`` candidate pairs
+    (keyword argument, default 1M — raise it explicitly for a bigger
+    audit, exactly as the guard's error message advertises) is a sign the
+    sketch is being audited on the full corpus instead of a sample, and
+    the guard refuses loudly rather than letting the exact side grow
+    unbounded.  The guard also MATERIALIZES the bounded candidate list
+    (see ``bounded``): ``cand`` feeds three downstream consumers (the
+    signature-compare join and both shingle restrictions), so without
+    that the LSH pipeline would replay per consumer.  No relation in
+    this plan carries a forced
     broadcast: signature lookups and the shingle-restriction semi-joins
     are plain equi-joins, so AQE broadcasts them only when they are
     actually small and degrades to a shuffle join otherwise (a forced
     hint here would OOM the driver at corpus scale)."""
-    max_pairs = 1_000_000
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
     cand = similarity.bounded(

@@ -37,12 +37,15 @@ def test_curate_corpus_near_dup_keeps_lower_id(spark):
     assert out == [2]
 
 
-def test_curate_corpus_materialize_modes_agree(spark):
+def test_curate_corpus_materialize_modes_agree(spark, tmp_path):
     """The durability knob changes HOW survivors are pinned, never WHAT the
     pipeline returns: persist (recompute-on-loss) and local_checkpoint
     (fast, restart-on-loss) must produce identical curated sets.  The
-    reliable-checkpoint mode needs a checkpoint dir, so it is exercised
-    via its precondition error path plus a real run under a temp dir."""
+    reliable-checkpoint mode is exercised both via its precondition error
+    path (no checkpoint dir set -> the checkpoint call raises) and via a
+    real run under ``tmp_path`` (which pytest keeps alive past the test, so
+    the shared session's checkpoint dir is never left dangling at a deleted
+    location for later tests)."""
     rows = [
         (1, GOOD),
         (2, GOOD),
@@ -54,12 +57,32 @@ def test_curate_corpus_materialize_modes_agree(spark):
     base = sorted(map(tuple, curate_corpus(df).collect()))
     persisted = sorted(map(tuple, curate_corpus(df, materialize="persist").collect()))
     assert persisted == base
-    import tempfile
 
-    with tempfile.TemporaryDirectory() as d:
-        spark.sparkContext.setCheckpointDir(d)
-        ckpt = sorted(map(tuple, curate_corpus(df, materialize="checkpoint").collect()))
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        # precondition error path: reliable checkpoint needs a directory
+        import pytest
+
+        with pytest.raises(Exception, match="[Cc]heckpoint"):
+            curate_corpus(df, materialize="checkpoint").collect()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    ckpt = sorted(map(tuple, curate_corpus(df, materialize="checkpoint").collect()))
     assert ckpt == base
+
+
+def test_curate_corpus_on_materialize_is_the_release_handle(spark):
+    """The persist mode pins executor memory for the session's lifetime;
+    ``on_materialize`` hands the caller the pinned relation so repeated
+    curation runs don't accumulate caches.  Unpersisting through the hook
+    must actually release the cached survivor relation."""
+    rows = [(1, GOOD), (2, GOOD)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pinned = []
+    out = curate_corpus(df, materialize="persist", on_materialize=pinned.append)
+    result = sorted(r["doc_id"] for r in out.collect())
+    assert result == [1]
+    assert len(pinned) == 1 and pinned[0].is_cached
+    pinned[0].unpersist(blocking=True)
+    assert not pinned[0].is_cached
 
 
 def test_curate_corpus_materialize_rejects_unknown_mode(spark):

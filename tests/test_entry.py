@@ -28,3 +28,33 @@ def test_each_query_has_distinct_column_names(spark):
     for name, fn in qs.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert len(df.columns) == len(set(df.columns)), name
+
+
+def test_driver_parity_every_query_sampled_or_in_next_window():
+    """Driver-parity guard (round-4 verdict ask #1): the per-round driver
+    samples only the FIRST 50 names of the registration order, so a query
+    registered outside both (a) the union of names already sampled in a
+    committed CORRECTNESS_r*.json and (b) the current first-50 window would
+    never receive a driver verdict — the exact process gap that left 32
+    queries driver-unverified for three rounds.  This test makes reopening
+    that gap a test failure: register new queries at the FRONT of
+    _VERIFY_FIRST (plans/queryset.py) until a committed round record has
+    sampled them."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    records = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert records, "no committed CORRECTNESS_r*.json found next to tests/"
+    sampled: set[str] = set()
+    for p in records:
+        sampled |= set(json.loads(p.read_text()))
+
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    orphans = [n for n in names if n not in sampled and n not in window]
+    assert orphans == [], (
+        "registered queries that neither appear in any committed driver "
+        "correctness record nor sit inside the driver's next 50-name sample "
+        f"window: {orphans} — move them to the front of _VERIFY_FIRST"
+    )
