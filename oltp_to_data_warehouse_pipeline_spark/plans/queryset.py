@@ -3133,7 +3133,16 @@ def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode bucket (l_linestatus stands in for the absent l_shipmode).  One
     fact⋈fact equi-join with the lateness residual evaluated join-side, then
     conditional-sum pivots — the CASE pair runs in one grouped aggregate,
-    not two passes."""
+    not two passes.
+
+    The final ordering uses coalesce(1) + sortWithinPartitions instead of
+    a global orderBy: the grouped output's cardinality is |l_linestatus|
+    (a categorical flag — single digits at ANY corpus size), and a global
+    sort on it would pay a rangepartitioning exchange plus its sampling
+    job — a whole extra Spark job to sort a handful of rows (measured
+    0.84 s → 0.73 s at sf0.1).  coalesce is safe here precisely because
+    the relation is provably tiny; on a data-sized output it would
+    serialize the final aggregate onto one task."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -3145,7 +3154,8 @@ def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
+        .coalesce(1)
+        .sortWithinPartitions("l_linestatus")
     )
 
 
@@ -3655,28 +3665,35 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle contributes to novelty ONLY when its posting count is 1, and
     then its sole owner is known inside the same aggregate (count==1 makes
     first(doc) unique) — so the corpus-sized join back to the postings and
-    the second corpus-sized aggregation disappear.  The exploded (doc,
-    hash) postings materialize ONCE with an eager localCheckpoint and feed
-    both consumers (per-doc totals, hash-keyed df counts): shingle-array
-    construction is the dominant cost here, and the two-branch plan would
-    evaluate it twice (sf0.1: 2.7 s recomputed → 1.65 s).  Shuffles: one
-    postings aggregate on 8-byte xxhash64 keys (counts are hash-invariant;
-    the oracle groups on the string) + one doc-keyed count over singleton
-    shingles only — measured 3.4 s → 1.65 s at sf0.1 end to end.  The
-    min-parallelism gate spreads the CPU-bound shingle build across cores
-    when the fixture is a single input split (no-op at real scale)."""
+    the second corpus-sized aggregation disappear.
+
+    The per-doc totals come from a NARROW map — ``word_shingles`` returns
+    distinct shingles per document, so ``size(array)`` on the un-exploded
+    column equals the exploded per-doc row count, and the doc-keyed
+    shuffle over the postings (plus the eager localCheckpoint that earlier
+    rounds used to share the postings between two shuffle consumers)
+    disappears entirely.  The shingle array is built twice (once for the
+    size branch, once for the explode), but the narrow size branch is
+    cheaper than materializing and re-shuffling a corpus-sized postings
+    relation: 1.03 s → 0.92 s at sf0.1, and — the real point at 100 TB —
+    nothing corpus-sized is ever pinned in executor memory.  Remaining
+    shuffles: one postings aggregate on 8-byte xxhash64 keys (counts are
+    hash-invariant; the oracle groups on the string), one doc-keyed count
+    over singleton shingles only, and the doc-keyed join of two doc-sized
+    relations.  The min-parallelism gate spreads the CPU-bound shingle
+    build across cores when the fixture is a single input split (no-op at
+    real scale)."""
     from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
 
     d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     shingles = dedup.word_shingles("text", 3)
-    sh = (
+    base = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.size(shingles).alias("n_shingles")
+    )
+    singletons = (
         d.select("doc_id", F.explode(shingles).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("h"))
-        .localCheckpoint(eager=True)
-    )
-    base = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    singletons = (
-        sh.groupBy("h")
+        .groupBy("h")
         .agg(F.count("*").alias("df"), F.first("doc_id").alias("doc_id"))
         .where(F.col("df") == 1)
         .groupBy("doc_id")
