@@ -17,6 +17,21 @@ Scale: the anti-join shuffles 32-byte fingerprints, never text; the corpus
 side prunes to the fingerprint column (parquet column projection).  At
 100 TB keep the corpus bucketed by fingerprint so each micro-batch joins
 against co-located buckets instead of re-shuffling the store.
+
+The anti-join's one unbounded cost is the journal itself: every micro-batch
+re-reads the corpus's full fingerprint column, which grows without bound as
+the corpus does.  ``ingest_documents_watermarked`` is the bounded-state
+alternative — ``dropDuplicatesWithinWatermark`` keeps fingerprints in the
+checkpointed state store only until the event-time watermark passes them,
+so per-batch work is O(batch + live-state) regardless of corpus size.  The
+trade is the dedup horizon: a duplicate arriving later than the watermark
+delay after its twin is NOT dropped.  Pick per stream: crawl feeds whose
+duplicates cluster in time (re-fetches, mirror bursts) take the watermarked
+path; archival re-ingests that may repeat years-old text need the
+anti-join.  Both preserve the reference's at-least-once contract (ST3,
+mongo_postgres_cdc.py's replayable consumer): the watermarked path's
+exactly-once comes from the file sink's commit log + checkpointed state,
+the anti-join's from the dedup predicate itself.
 """
 
 from __future__ import annotations
@@ -72,6 +87,46 @@ def ingest_documents(
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .queryName("corpus-ingest")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def ingest_documents_watermarked(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    event_time_col: str,
+    delay: str = "1 hour",
+    text_col: str = "text",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Bounded-state streaming dedup-ingest (module docstring, paragraph 4).
+
+    Fingerprints the text, then ``dropDuplicatesWithinWatermark`` on the
+    fingerprint under an event-time watermark of ``delay``: the state store
+    holds a fingerprint only until the watermark passes its event time plus
+    ``delay``, so state is bounded by the stream's rate × horizon — it does
+    NOT grow with the corpus, unlike the anti-join path's journal scan.
+    Duplicates separated by more than ``delay`` of event time both land;
+    that is the documented horizon trade.
+
+    The sink is the built-in parquet file sink (not foreachBatch): its
+    commit log makes re-delivered batches exactly-once per file, and the
+    dedup state lives in the same checkpoint, so kill/restart resumes both
+    consistently — the replay test pins this.
+    """
+    deduped = (
+        stream.withColumn("fp", text_fns.normalized_fingerprint(text_col))
+        .withWatermark(event_time_col, delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", corpus_path)
+        .option("checkpointLocation", checkpoint)
+        .queryName("corpus-ingest-watermarked")
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
