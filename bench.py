@@ -72,6 +72,8 @@ HEADLINE = [
     "chunk_dedup_reassemble",
     "contamination_spans",
     "corpus_epoch_shuffle",
+    # round-5 new operators
+    "session_funnel_depth",
 ]
 
 

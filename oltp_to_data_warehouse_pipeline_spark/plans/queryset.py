@@ -1140,6 +1140,69 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_funnel_depth",
+    """
+    WITH m AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(ts) AS s_start,
+             count(*) AS n_events,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(floor(epoch(s_start)) AS BIGINT) AS session_start_epoch,
+           n_events,
+           CAST(CASE WHEN t0 IS NULL THEN 0
+                     WHEN t1 IS NULL OR t1 < t0 THEN 1
+                     WHEN t2 IS NULL OR t2 < t1 THEN 2
+                     ELSE 3 END AS INTEGER) AS funnel_depth
+    FROM agg
+    """,
+)
+def session_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session STRICT-ORDER funnel depth (view → click → purchase) over
+    event-time session windows (30 m gap): stage *i* counts only if its
+    first occurrence in the session is at or after stage *i-1*'s first.
+    This is the per-SESSION refinement of `ordered_funnel_conversion`
+    (which walks the funnel per user over all time) and the batch oracle
+    twin of `streaming/windows.session_funnel`, whose append-mode streaming
+    form emits each closed session exactly once and is late-data-tested in
+    tests/test_session_funnel.py.
+
+    Scale: the per-stage minima ride the SAME session-window aggregate as
+    the event count — one keyed shuffle on user_id, no joins, no second
+    pass; the depth is a pure expression over three timestamps.  The oracle
+    is the gaps-and-islands SQL formulation (lag + running island sum), the
+    standard equivalent of Spark's session_window merge semantics."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.session_funnel(ev, gap="30 minutes", watermark=None)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("bigint").alias("session_start_epoch"),
+        "n_events",
+        "funnel_depth",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: text analysis (task brief; SURVEY §7.8)
 # ---------------------------------------------------------------------------
@@ -7248,6 +7311,14 @@ def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # ROUND 5 WINDOW: new registrations + implementations whose plan changed
+    # this round lead (the driver samples the first 50 names; the parity
+    # guard test in tests/test_entry.py enforces that every registered name
+    # is either already in a committed CORRECTNESS_r*.json or in this
+    # window).
+    "session_funnel_depth",
+    "doc_ngram_novelty",
+    "linestatus_priority_split",
     # ROUND 4 WINDOW.  The 32 names below are every registered query that has
     # never appeared in a driver CORRECTNESS_r{N}.json sample (r1-r3 union =
     # 144/176); rotating them in completes the 176/176 driver-verified union.

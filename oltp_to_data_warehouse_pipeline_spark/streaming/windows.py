@@ -84,6 +84,60 @@ def session_counts(
     )
 
 
+def session_funnel(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Event-time session-window funnel: per (user, session) the STRICT-ORDER
+    funnel depth — stage *i* counts only if its first occurrence inside the
+    session is at or after stage *i-1*'s first occurrence.
+
+    One aggregation pass: the per-stage minima ride the same session-window
+    aggregate as the event count (min(when(type==s, ts)) per stage), and the
+    depth is a pure expression over those minima — no joins, no window
+    functions, no per-stage re-scan.  Like the other builders here it works
+    on batch frames (no watermark; the registry twin ``session_funnel_depth``
+    oracles it against a gaps-and-islands SQL formulation) and on streams,
+    where append mode emits each session exactly once — when the watermark
+    proves no in-gap event can still extend it.  Late events inside the
+    watermark horizon merge into (or extend) their session before it is
+    emitted; events beyond the horizon are dropped by the state operator and
+    show up in ``progress_metrics``'s ``dropped_by_watermark`` counter.
+
+    Scale: state is one session-window row per ACTIVE (user, session) — the
+    store tracks concurrent sessions, not history; the shuffle is the one
+    keyed exchange on ``user_col`` that session_window aggregation needs."""
+    src = _with_watermark(df, ts_col, watermark)
+    stage_mins = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__t{i}")
+        for i, s in enumerate(stages)
+    ]
+    agg = src.groupBy(F.session_window(ts_col, gap), F.col(user_col)).agg(
+        F.count(F.lit(1)).alias("n_events"), *stage_mins
+    )
+    depth = F.lit(0)
+    reached = F.lit(True)
+    prev: F.Column | None = None
+    for i in range(len(stages)):
+        t = F.col(f"__t{i}")
+        step_ok = t.isNotNull() if prev is None else t.isNotNull() & (t >= prev)
+        reached = reached & step_ok
+        depth = depth + F.when(reached, 1).otherwise(0)
+        prev = t
+    return agg.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        user_col,
+        "n_events",
+        depth.cast("int").alias("funnel_depth"),
+    )
+
+
 def progress_metrics(query) -> dict:
     """Operational counters from a streaming query's recent progress:
     rows seen, state size, and — the one that guards correctness — rows
