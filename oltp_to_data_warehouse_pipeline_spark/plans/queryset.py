@@ -7319,6 +7319,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "session_funnel_depth",
     "doc_ngram_novelty",
     "linestatus_priority_split",
+    "embedding_near_dup_lsh",
+    "cosine_topk",
+    "cosine_topk_rerank",
     # ROUND 4 WINDOW.  The 32 names below are every registered query that has
     # never appeared in a driver CORRECTNESS_r{N}.json sample (r1-r3 union =
     # 144/176); rotating them in completes the 176/176 driver-verified union.
