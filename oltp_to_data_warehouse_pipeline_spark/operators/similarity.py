@@ -481,6 +481,80 @@ def ivf_centroids(
     return centroids
 
 
+def _nearest_entry(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """(distance², cluster_id) struct of the nearest labeled centroid.
+
+    ``array_min`` over (d, i) structs orders by distance then id, so ties
+    resolve to the smallest cluster id — the same tiebreak an oracle's
+    ``ORDER BY dist, cluster`` produces.  Centroids ride along as plan
+    literals (k×dim doubles), so assignment is a narrow zero-shuffle map.
+    """
+    entries = []
+    for cid, c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(F.struct(sq_dist(vec, lit).alias("d"), F.lit(int(cid)).alias("i")))
+    return F.array_min(F.array(*entries))
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    assign_passes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Seeded Lloyd k-means with an oracle-reproducible update rule.
+
+    Unlike :func:`ivf_centroids` (the ANN trainer — md5 seeding, raw double
+    means), every step here is spelled so a SQL engine can replay it
+    bit-for-bit: seeds are the ``k`` vectors with the smallest ids, and each
+    recomputed centroid component is ``round(avg(val), round_dp)`` — the
+    rounding is the cross-engine ulp barrier (partial-aggregation order
+    differs between engines AND between runs; at 6 dp the noise is ~1e-16
+    relative and cannot reach the rounding boundary except on exact-tie
+    inputs).  Clusters that lose all members drop out of the next pass
+    rather than keeping a stale centroid, mirroring a GROUP BY's semantics.
+
+    Returns one row per input vector: ``id_col``, any ``keep_cols`` carried
+    through the (narrow) assignment, ``cluster`` (int) and ``dist`` — the
+    L2 distance to the final centroid, rounded at 4 dp.
+
+    Scale: per pass, assignment is a zero-shuffle map over centroid plan
+    literals; the update shuffles n×dim (cluster, pos, val) partial sums
+    once with map-side combine; driver state is k×dim floats (bounded model
+    metadata, like any ANN index).  At 100 TB you train the centroids on a
+    sample (``emb.sample(...)``) and run only the final assignment pass over
+    the full corpus.
+    """
+    keep = [F.col(c) for c in keep_cols]
+    base = emb.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"), *keep
+    )
+    seeds = base.orderBy("id").limit(k).select("v").collect()
+    cents: list[tuple[int, list[float]]] = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    for _ in range(max(assign_passes - 1, 0)):
+        assigned = base.withColumn(
+            "cluster", _nearest_entry(F.col("v"), cents).getField("i")
+        ).select("cluster", F.posexplode("v"))
+        means = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), round_dp).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+            .collect()
+        )
+        cents = sorted((r["cluster"], [d["m"] for d in r["dims"]]) for r in means)
+    final = base.withColumn("__e", _nearest_entry(F.col("v"), cents))
+    return final.select(
+        F.col("id").alias(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col("__e").getField("i").cast("int").alias("cluster"),
+        (F.round(F.sqrt(F.col("__e").getField("d")), 4) + F.lit(0.0)).alias("dist"),
+    )
+
+
 
 
 def _probe_cells(qvec, centroids: list[list[float]], nprobe: int):

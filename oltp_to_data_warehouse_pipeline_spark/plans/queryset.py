@@ -6235,6 +6235,135 @@ def embedding_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_A1 = r"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, i AS pos, v[i] AS val
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+    seeds AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster,
+             v AS c
+      FROM seeds),
+    c0l AS (
+      SELECT cluster, i AS pos, c[i] AS m
+      FROM c0, unnest(generate_series(1, len(c))) AS t(i)),
+    d0 AS (
+      SELECT d.vec_id, c.cluster,
+             sum((d.val - c.m) * (d.val - c.m)) AS dist2
+      FROM dims d JOIN c0l c USING (pos) GROUP BY 1, 2),
+    a0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+        FROM d0) WHERE rn = 1),
+    c1 AS (
+      SELECT a0.cluster, d.pos, round(avg(d.val), 6) AS m
+      FROM a0 JOIN dims d USING (vec_id) GROUP BY 1, 2),
+    d1 AS (
+      SELECT d.vec_id, c.cluster,
+             sum((d.val - c.m) * (d.val - c.m)) AS dist2
+      FROM dims d JOIN c1 c USING (pos) GROUP BY 1, 2),
+    a1 AS (
+      SELECT vec_id, cluster, dist2 FROM (
+        SELECT vec_id, cluster, dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+        FROM d1) WHERE rn = 1)
+"""
+
+
+@query(
+    "kmeans_embedding_clusters",
+    _KMEANS_A1
+    + """
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           round(sqrt(dist2), 4) + 0.0 AS dist
+    FROM a1
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Lloyd k-means over the embedding corpus (k=8, two assignment
+    passes): the clustering step behind cluster-balanced corpus sampling and
+    semantic-diversity curation.  Deterministic by construction — seeds are
+    the k smallest vec_ids, centroid updates are round(avg, 6) so the SQL
+    twin replays the identical trajectory (see
+    operators.similarity.kmeans_clusters for the ulp-barrier rationale; the
+    ANN-oriented trainer ivf_centroids keeps raw means and md5 seeding).
+
+    Scale: each assignment is a zero-shuffle narrow map against k×dim plan
+    literals; the single update pass shuffles (cluster, pos) partial sums
+    with map-side combine; driver state is the k×dim model only.  At 100 TB
+    train on a sample, then one final assignment pass over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_clusters(emb, k=8, assign_passes=2)
+
+
+@query(
+    "kmeans_cluster_profile",
+    _KMEANS_A1
+    + """
+    , lab AS (
+      SELECT a1.cluster, e2.label, round(sqrt(a1.dist2), 4) AS dist
+      FROM a1 JOIN embeddings e2 USING (vec_id)),
+    bylab AS (
+      SELECT cluster, label, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(dist AS DECIMAL(18,4))) AS sd
+      FROM lab GROUP BY 1, 2),
+    tot AS (
+      SELECT cluster, label, n, sd,
+             CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+             sum(sd) OVER (PARTITION BY cluster) AS sum_dist,
+             row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+      FROM bylab)
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           n_vecs,
+           label AS top_label,
+           round(n / CAST(n_vecs AS DOUBLE), 4) + 0.0 AS purity,
+           round(CAST(sum_dist AS DOUBLE) / n_vecs, 4) + 0.0 AS avg_dist
+    FROM tot WHERE rn = 1
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster quality card for the k-means partition: size, dominant label
+    and its share (purity — how well unsupervised clusters recover the
+    labeled classes), and mean distance-to-centroid (tightness).  This is
+    the audit a curation pipeline runs before using clusters to stratify a
+    training mixture.
+
+    One grouped aggregate over the assignments at (cluster, label) grain,
+    then windows over that k×|labels| relation — nothing corpus-sized after
+    the aggregate, so the profile costs one shuffle beyond the clustering
+    itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_clusters(emb, k=8, assign_passes=2, keep_cols=("label",))
+    bylab = a.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # decimal partial sums: the 4dp-rounded dists are exact in
+        # DECIMAL(18,4), so the cluster total is order-independent (the
+        # double form flipped a half-ulp rounding boundary vs the oracle)
+        F.sum(F.col("dist").cast("decimal(18,4)")).alias("sd"),
+    )
+    wc = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    return (
+        bylab.withColumn("n_vecs", F.sum("n").over(wc).cast("bigint"))
+        .withColumn("sum_dist", F.sum("sd").over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_vecs",
+            F.col("label").alias("top_label"),
+            (F.round(F.col("n") / F.col("n_vecs").cast("double"), 4) + F.lit(0.0)).alias(
+                "purity"
+            ),
+            (
+                F.round(F.col("sum_dist").cast("double") / F.col("n_vecs"), 4) + F.lit(0.0)
+            ).alias("avg_dist"),
+        )
+    )
+
+
 @query(
     "event_weekday_hour_heatmap",
     """
@@ -7317,6 +7446,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # is either already in a committed CORRECTNESS_r*.json or in this
     # window).
     "session_funnel_depth",
+    "kmeans_embedding_clusters",
+    "kmeans_cluster_profile",
     "doc_ngram_novelty",
     "linestatus_priority_split",
     "embedding_near_dup_lsh",

@@ -190,3 +190,49 @@ def test_ivf_index_write_append_probe(spark, tmp_path):
     one_cell = spark.read.parquet(path).where("cell = 0")
     plan = one_cell._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cell" in plan, plan
+
+
+def test_kmeans_clusters_hand_case(spark):
+    # two tight groups on the x axis; seeds = ids 0 and 1 (one per group)
+    rows = [
+        (0, [0.0, 0.0], 10),
+        (1, [10.0, 0.0], 20),
+        (2, [0.5, 0.0], 10),
+        (3, [9.5, 0.0], 20),
+        (4, [0.25, 0.0], 10),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    out = similarity.kmeans_clusters(emb, k=2, assign_passes=2, keep_cols=("label",))
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert {i: got[i]["cluster"] for i in range(5)} == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    # pass-2 centroid of cluster 0 = mean([0, .5, .25]) = 0.25 -> dist(4) = 0
+    assert got[4]["dist"] == 0.0
+    assert got[0]["dist"] == 0.25
+    assert got[1]["label"] == 20  # keep_cols carried through
+
+
+def test_kmeans_duplicate_seeds_tiebreak_and_empty_cluster_drop(spark):
+    # both seeds identical -> every vector ties -> argmin takes cluster 0,
+    # cluster 1 empties after pass 1 and must drop out (GROUP BY semantics),
+    # leaving a single surviving cluster for the final assignment
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [5.0, 5.0])]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = similarity.kmeans_clusters(emb, k=2, assign_passes=2)
+    assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    rows = [(i, [float((i * 37) % 11), float((i * 53) % 7)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    a = sorted(map(tuple, similarity.kmeans_clusters(emb, k=4).collect()))
+    b = sorted(map(tuple, similarity.kmeans_clusters(emb, k=4).collect()))
+    assert a == b
+
+
+def test_kmeans_single_pass_assignment_has_no_exchange(spark):
+    # assign_passes=1 is the 100 TB full-corpus pass: must stay a narrow map
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = similarity.kmeans_clusters(emb, k=2, assign_passes=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
