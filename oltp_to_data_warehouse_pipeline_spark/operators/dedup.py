@@ -38,6 +38,58 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
 
 
+def distinct_row_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact DISTINCT-row count without shuffling full rows.
+
+    ``dropDuplicates().count()`` shuffles every column of every row; for a
+    wide fact table the shuffle IO is row-width × row-count.  This operator
+    is the hash-prefiltered exact formulation:
+
+    1. aggregate ``xxhash64(*cols)`` — the shuffle carries 8-byte hashes,
+       not rows (width-of-row× less IO);
+    2. rows whose hash appears more than once are the only ones that CAN be
+       duplicates — join them back (AQE picks a broadcast when the
+       collision set is small, which it is unless the data is mostly
+       duplicate) and full-row-dedup just that slice;
+    3. distinct = (total − candidate rows) + distinct candidates.
+
+    Exactness: a duplicated row always duplicates its hash, so a unique
+    hash proves a unique row; hash collisions only ever ADD rows to the
+    candidate slice, where the full-row dropDuplicates decides — so the
+    count is exact under collisions, not probabilistic.  The total comes
+    from a bare ``count(*)`` (parquet answers it from footer statistics —
+    no data scan).  Returns a 1-row DataFrame (``n_rows`` BIGINT).
+    """
+    cols = subset if subset else df.columns
+    h = F.xxhash64(*[F.col(c) for c in cols]).alias("__h")
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    dup_hashes = (
+        df.select(h)
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("__h")
+    )
+    cand = df.select(*cols, h).join(dup_hashes, "__h").drop("__h")
+    # one pass over the candidate slice: per-distinct-row multiplicities,
+    # then Σn (candidate rows) and the group count (distinct candidates)
+    cand_stats = (
+        cand.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy()
+        .agg(F.sum("__n").alias("__n_cand"), F.count(F.lit(1)).alias("__n_dist"))
+    )
+    return total.crossJoin(cand_stats).select(
+        (
+            F.col("__total")
+            - F.coalesce(F.col("__n_cand"), F.lit(0))
+            + F.coalesce(F.col("__n_dist"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_rows")
+    )
+
+
 def lww_dedup(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
     """D3 — last-writer-wins: keep the newest row per key.
 

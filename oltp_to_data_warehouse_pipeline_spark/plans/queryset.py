@@ -609,9 +609,16 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT count(*) AS n_rows FROM (SELECT DISTINCT * FROM lineitem)",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 — full-row dropDuplicates (`spark_etl.py:61-62`), counted."""
+    """D1 — exact duplicate audit (`spark_etl.py:61-62`) over the widest
+    fact table, via the hash-prefiltered formulation: the shuffle carries
+    8-byte ``xxhash64`` row hashes instead of full 16-column rows
+    (row-width× less shuffle IO — the difference between shuffling 100 TB
+    and shuffling 3 TB), and full-row comparison runs only inside
+    colliding hash groups, so the count stays exact under collisions.  The
+    direct ``dropDuplicates`` operator itself (the reference's literal
+    form) is exercised by `dedup_exact_docs` and the unit suite."""
     li = load_table(spark, sf_dir, "lineitem")
-    return dedup.exact_dedup(li).agg(F.count(F.lit(1)).alias("n_rows"))
+    return dedup.distinct_row_count(li)
 
 
 @query(
@@ -5926,14 +5933,17 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse-scoring complement of `doc_search_topk`'s dense path, and the
     standard first stage of a hybrid retrieval stack.
 
-    Scale shape: the query vocabulary is a LITERAL predicate, so the
-    term-frequency aggregation filters to query terms inside the scan
-    stage — the corpus-wide posting shuffle carries only matching (doc,
-    term) counts, never the full vocabulary.  Document-frequency and
-    corpus stats are tiny relations broadcast onto the scored stream; the
-    per-query cut is a row_number over rounded scores, which makes the
-    ranking deterministic across engines (fp summation noise below 1e-4
-    cannot reorder it)."""
+    Scale shape: the query vocabulary is a LITERAL array filter applied
+    INSIDE the token array before the explode, so the generator emits only
+    query-term hits (≈|q|/|vocab| of the corpus token stream), and the
+    posting shuffle carries only matching (doc, term) counts.  Document
+    length rides through the posting aggregation as a grouping column
+    (functionally dependent on doc_id), which deletes the corpus-sized
+    dl join — and with it a full tokenize pass — from the plan; the tf
+    exchange is reused for the document-frequency rollup (AQE
+    ReusedExchange).  Corpus stats are a 1-row broadcast; the per-query cut
+    is a row_number over rounded scores, deterministic across engines (fp
+    summation noise below 1e-4 cannot reorder it)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", text.tokens("text").alias("t"))
     stats = tok.agg(
@@ -5942,13 +5952,14 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qt = spark.createDataFrame(list(_BM25_TERMS), "query_id int, term string")
     terms = [t for _, t in _BM25_TERMS]
-    tf = (
-        tok.select("doc_id", F.explode("t").alias("term"))
-        .where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    hits = tok.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.explode(F.filter("t", lambda x: x.isin(terms))).alias("term"),
     )
-    dl = tok.select("doc_id", F.size("t").alias("dl"))
+    tf = hits.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = idf * F.col("tf") / (
@@ -5957,7 +5968,6 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(contrib).alias("s"))

@@ -167,3 +167,25 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
         df, "doc_id", "text", shingle_n=3, threshold=0.2
     ).collect()
     assert jac == []  # symmetric Jaccard never surfaces the pair
+
+
+def test_distinct_row_count_matches_drop_duplicates(spark):
+    rows = [
+        (1, "a", 1.5),
+        (1, "a", 1.5),      # exact duplicate
+        (1, "a", 2.5),      # differs in one column
+        (2, None, 1.5),     # NULL participates in row identity
+        (2, None, 1.5),     # duplicate of the NULL row
+        (3, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "k: int, s: string, v: double")
+    got = dedup.distinct_row_count(df).collect()[0]["n_rows"]
+    assert got == df.dropDuplicates().count() == 4
+    # subset form mirrors dropDuplicates(subset)
+    got_k = dedup.distinct_row_count(df, ["k"]).collect()[0]["n_rows"]
+    assert got_k == df.dropDuplicates(["k"]).count() == 3
+
+
+def test_distinct_row_count_no_duplicates(spark):
+    df = spark.range(100).selectExpr("id", "id * 2 AS b")
+    assert dedup.distinct_row_count(df).collect()[0]["n_rows"] == 100
