@@ -6375,6 +6375,43 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_balanced_sample",
+    _KMEANS_A1
+    + """
+    , keyed AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY md5('cbs1-' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM a1)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           CAST(rn AS BIGINT) AS pick_order
+    FROM keyed WHERE rn <= 25
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: an equal quota (25) from every
+    k-means cluster, members picked by seeded md5 order — the
+    semantic-diversity counterweight to frequency-proportional sampling
+    (head clusters stop dominating the mixture), composed from
+    `kmeans_embedding_clusters` the way `corpus_epoch_shuffle` seeds its
+    epochs.  Deterministic end to end: same seeds, same quota, same sample.
+
+    Scale: the window is per-CLUSTER (k strata), so there is no global
+    sort — one shuffle on the cluster key after the zero-exchange
+    assignment map; the md5 pick key is computed scan-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_clusters(emb, k=8, assign_passes=2)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat(F.lit("cbs1-"), F.col("vec_id").cast("string"))), F.col("vec_id")
+    )
+    return (
+        a.withColumn("pick_order", F.row_number().over(w).cast("bigint"))
+        .where(F.col("pick_order") <= 25)
+        .select("vec_id", "cluster", "pick_order")
+    )
+
+
+@query(
     "event_weekday_hour_heatmap",
     """
     SELECT CAST(dayofweek(ts) % 7 AS INT) AS dow,
@@ -7458,6 +7495,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "session_funnel_depth",
     "kmeans_embedding_clusters",
     "kmeans_cluster_profile",
+    "cluster_balanced_sample",
     "doc_ngram_novelty",
     "linestatus_priority_split",
     "embedding_near_dup_lsh",
