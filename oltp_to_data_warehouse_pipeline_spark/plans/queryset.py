@@ -1827,6 +1827,98 @@ def embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dense_retrieval_eval",
+    f"""
+    WITH topk AS ({_COS_ORACLE}),
+    labeled AS (
+      SELECT t.query_id, t.rank,
+             CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+      FROM topk t
+      JOIN embeddings ql ON ql.vec_id = t.query_id
+      JOIN embeddings nl ON nl.vec_id = t.neighbor_id),
+    per_q AS (
+      SELECT query_id,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             max(rel / CAST(rank AS DOUBLE)) AS mrr_raw,
+             CAST(sum(round(rel / log2(rank + 1.0), 8)::DECIMAL(18,8))
+                  AS DOUBLE) AS dcg
+      FROM labeled GROUP BY 1)
+    SELECT query_id, n_rel,
+           round(n_rel / 5.0, 4) + 0.0 AS precision5,
+           round(mrr_raw, 4) + 0.0 AS mrr,
+           round(CASE WHEN n_rel = 0 THEN 0.0 ELSE dcg / (
+             1.0/log2(2.0)
+             + (CASE WHEN n_rel >= 2 THEN 1.0/log2(3.0) ELSE 0.0 END)
+             + (CASE WHEN n_rel >= 3 THEN 1.0/log2(4.0) ELSE 0.0 END)
+             + (CASE WHEN n_rel >= 4 THEN 1.0/log2(5.0) ELSE 0.0 END)
+             + (CASE WHEN n_rel >= 5 THEN 1.0/log2(6.0) ELSE 0.0 END)) END,
+             4) + 0.0 AS ndcg5
+    FROM per_q
+    """,
+)
+def dense_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine retrieval-quality evaluation of the dense path: per query,
+    precision@5, MRR, and NDCG@5 over `cosine_topk`'s ranking with
+    label-match relevance (neighbor counts as relevant iff it shares the
+    query's class label) — the eval loop a retrieval stack runs before
+    trusting an index change, next to `lang_id_confusion` in the
+    quality-evaluation family.
+
+    Engine parity: ranks and labels are integers; the DCG summands are
+    rounded at 8 dp and summed in DECIMAL (order-independent), and the
+    ideal-DCG denominator is the SAME unrolled arithmetic expression in
+    both engines, so NDCG agrees bit-for-bit after the 4 dp output round.
+    Scale: the eval is a label join onto the (|queries|×k)-row ranking —
+    nothing corpus-sized beyond the ranking job itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    lab = emb.select("vec_id", "label")
+    labeled = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("ql") == F.col("nl"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    per_q = labeled.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.max(F.col("rel") / F.col("rank").cast("double")).alias("mrr_raw"),
+        F.sum(
+            F.round(F.col("rel") / F.log2(F.col("rank") + 1.0), 8).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    idcg = (
+        1.0 / F.log2(F.lit(2.0))
+        + F.when(F.col("n_rel") >= 2, 1.0 / F.log2(F.lit(3.0))).otherwise(0.0)
+        + F.when(F.col("n_rel") >= 3, 1.0 / F.log2(F.lit(4.0))).otherwise(0.0)
+        + F.when(F.col("n_rel") >= 4, 1.0 / F.log2(F.lit(5.0))).otherwise(0.0)
+        + F.when(F.col("n_rel") >= 5, 1.0 / F.log2(F.lit(6.0))).otherwise(0.0)
+    )
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        (F.round(F.col("n_rel") / 5.0, 4) + F.lit(0.0)).alias("precision5"),
+        (F.round("mrr_raw", 4) + F.lit(0.0)).alias("mrr"),
+        (
+            F.round(
+                F.when(F.col("n_rel") == 0, 0.0).otherwise(F.col("dcg") / idcg), 4
+            )
+            + F.lit(0.0)
+        ).alias("ndcg5"),
+    )
+
+
+@query(
     "embedding_norms",
     """
     SELECT vec_id,
@@ -4604,6 +4696,114 @@ def event_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
             "n_events",
         )
+    )
+
+
+@query(
+    "event_value_psi_drift",
+    """
+    WITH e AS (
+      SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS te
+      FROM events WHERE value IS NOT NULL),
+    stats AS (
+      SELECT min(value) AS vmin, max(value) AS vmax,
+             min(te) AS tmin, max(te) AS tmax
+      FROM e),
+    binned AS (
+      SELECT e.event_type,
+             CAST(CASE WHEN s.vmax > s.vmin
+                  THEN least(9, floor((e.value - s.vmin) * 10.0 / (s.vmax - s.vmin)))
+                  ELSE 0 END AS INTEGER) AS bin,
+             (2 * e.te < s.tmin + s.tmax) AS is_ref
+      FROM e CROSS JOIN stats s),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY 1, 2),
+    props AS (
+      SELECT event_type, bin, n_ref, n_cur,
+             (n_ref + 0.5) /
+               (CAST(sum(n_ref) OVER (PARTITION BY event_type) AS BIGINT) + 5.0) AS p_ref,
+             (n_cur + 0.5) /
+               (CAST(sum(n_cur) OVER (PARTITION BY event_type) AS BIGINT) + 5.0) AS p_cur
+      FROM counts)
+    SELECT event_type,
+           CAST(sum(n_ref) AS BIGINT) AS n_ref,
+           CAST(sum(n_cur) AS BIGINT) AS n_cur,
+           round(CAST(sum(round((p_cur - p_ref) * ln(p_cur / p_ref), 8)
+                          ::DECIMAL(18,8)) AS DOUBLE), 4) + 0.0 AS psi
+    FROM props GROUP BY 1
+    """,
+)
+def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the event
+    value distribution, first half of the time range (reference window) vs
+    second half (current window), per event type — the standard production
+    alarm for silent input drift (rule of thumb: psi < 0.1 stable, > 0.25
+    investigate).  Bins are 10 equal-width slices of the observed global
+    value range; proportions are Laplace-smoothed ((n+0.5)/(N+5)) so
+    one-sided-empty bins stay finite, and the metric is defined over
+    OBSERVED (type, bin) cells.
+
+    Engine parity: counts and totals are integers, each PSI summand is one
+    identical double expression rounded at 8 dp and summed in DECIMAL
+    (order-independent).  Scale: one pass bins the stream against a 1-row
+    broadcast stats aggregate; everything after the (type, bin) aggregate
+    is windows over ≤ |types|×10 rows."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").cast("bigint").alias("te"))
+    )
+    stats = e.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("te").alias("tmin"),
+        F.max("te").alias("tmax"),
+    )
+    binned = e.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("value") - F.col("vmin")) * 10.0 / (F.col("vmax") - F.col("vmin"))
+                ),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bin"),
+        (2 * F.col("te") < F.col("tmin") + F.col("tmax")).alias("is_ref"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("n_cur"),
+    )
+    w = Window.partitionBy("event_type")
+    props = counts.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("n_ref") + 0.5)
+            / (F.sum("n_ref").over(w).cast("bigint") + F.lit(5.0))
+        ).alias("p_ref"),
+        (
+            (F.col("n_cur") + 0.5)
+            / (F.sum("n_cur").over(w).cast("bigint") + F.lit(5.0))
+        ).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return props.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        (
+            F.round(F.sum(F.round(term, 8).cast("decimal(18,8)")).cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("psi"),
     )
 
 
@@ -7496,6 +7696,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "kmeans_embedding_clusters",
     "kmeans_cluster_profile",
     "cluster_balanced_sample",
+    "dense_retrieval_eval",
+    "event_value_psi_drift",
     "doc_ngram_novelty",
     "linestatus_priority_split",
     "embedding_near_dup_lsh",
