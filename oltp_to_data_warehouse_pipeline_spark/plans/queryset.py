@@ -3322,6 +3322,173 @@ def linestatus_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H analytic batch 5 (Q2 / Q20 shapes on the available columns — the
+# fixtures carry no partsupp, so "supply cost" is the minimum extended
+# price a supplier ever shipped the part at, and Q20's availqty-vs-half-of-
+# shipments test becomes a >20%-of-annual-part-volume dominance test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, p_brand, l_suppkey,
+             min(l_extendedprice) AS supply_cost
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT *, min(supply_cost) OVER (PARTITION BY l_partkey) AS best
+      FROM ps)
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_brand,
+           supply_cost
+    FROM m
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE supply_cost = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part in a type/size scope, the supplier(s)
+    offering the minimum supply cost (here: the lowest extended price the
+    supplier ever shipped that part at — the fixtures carry no partsupp).
+    The classic formulation is a correlated scalar subquery
+    (``cost = (SELECT min(cost) ... WHERE partkey = outer.partkey)``);
+    Spark-first that decorrelates into ONE shuffle: the scoped fact is
+    repartitioned on l_partkey, so BOTH the (partkey, suppkey) aggregate
+    and the per-part window minimum reuse that partitioning
+    (HashPartitioning on a subset of the keys satisfies the clustered
+    distribution of both operators — same rule as cosine_near_dup_lsh).
+    Deliberate trade: repartitioning raw scoped rows forgoes map-side
+    combine, but the scope filter (broadcast part dimension) already cut
+    the fact to a few percent, and avg rows per (part, supplier) pair is
+    small, so one exchange of filtered rows beats two exchanges of
+    barely-combined aggregates.  supply_cost is min() of an exact-cents
+    column — picks an actual value, no summation, bit-identical per
+    engine.  Ordering (acctbal DESC, nation, supplier, part) is a total
+    order over the unique (part, supplier) result rows, so the LIMIT 100
+    page is deterministic.  Ref: DB.sql analytic join family (SURVEY
+    §2.3); reference has no correlated-subquery query — this extends the
+    same star schema the Spark-idiomatic way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    scope = p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)).select(
+        "p_partkey", "p_brand"
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(scope), F.col("l_partkey") == F.col("p_partkey"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    best = F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    return (
+        ps.withColumn("best", best)
+        .where(F.col("supply_cost") == F.col("best"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS supp_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small %'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    shares AS (
+      SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      FROM q),
+    dom AS (
+      SELECT l_suppkey,
+             count(*) AS parts_dominated,
+             CAST(CAST(sum(supp_qty) AS DECIMAL(18,2)) AS DOUBLE)
+               AS dominated_qty
+      FROM shares WHERE 5 * supp_qty > part_qty GROUP BY 1)
+    SELECT s_suppkey, s_name, n_name,
+           CAST(parts_dominated AS BIGINT) AS parts_dominated, dominated_qty
+    FROM dom
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    ORDER BY s_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate the annual shipped volume of
+    some part in a name scope (>20% of the part's 1996 volume — the
+    fixtures carry no partsupp, so availqty-vs-half-of-shipments becomes a
+    volume-share dominance test).  The classic formulation is nested IN
+    subqueries with a correlated aggregate; Spark-first: the scoped,
+    date-pruned fact repartitions once on l_partkey, the (part, supplier)
+    quantity rollup and the per-part total window both reuse that
+    partitioning (subset rule, as part_min_cost_supplier), and the
+    dominance filter reduces to a supplier-keyed aggregate over the tiny
+    surviving pair set — the EXISTS collapses into that final groupBy
+    rather than a semi join back against the fact.  All quantity
+    comparisons run in DECIMAL (quantities are exact 2dp), so the 5·x > y
+    threshold cannot flip on double summation order.  Output is one row
+    per dominant supplier ordered by the unique s_name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    scope = p.where(F.col("p_name").like("small %")).select("p_partkey")
+    q = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(scope), F.col("l_partkey") == F.col("p_partkey"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("supp_qty")
+        )
+    )
+    part_qty = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    dom = (
+        q.withColumn("part_qty", part_qty)
+        .where(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("parts_dominated"),
+            F.sum("supp_qty").cast("decimal(18,2)").cast("double").alias("dominated_qty"),
+        )
+    )
+    return (
+        dom.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "parts_dominated", "dominated_qty")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline batch: PII scrubbing, context-window chunking, int8
 # embedding quantization
 # ---------------------------------------------------------------------------
@@ -7698,6 +7865,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "cluster_balanced_sample",
     "dense_retrieval_eval",
     "event_value_psi_drift",
+    "part_min_cost_supplier",
+    "dominant_part_suppliers",
     "doc_ngram_novelty",
     "linestatus_priority_split",
     "embedding_near_dup_lsh",

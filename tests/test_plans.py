@@ -454,6 +454,33 @@ def test_calibration_no_forced_broadcast_of_doc_relations(spark):
     assert "GlobalLimit" in plan, "candidate list must be bounded() — structural limit missing"
 
 
+def test_q2_shape_single_fact_shuffle(spark):
+    """part_min_cost_supplier decorrelates Q2's correlated-min subquery into
+    ONE fact shuffle: the (part, supplier) aggregate and the per-part window
+    minimum must both reuse the l_partkey repartition (HashPartitioning-
+    subset rule), every dimension join must broadcast, and the top-100 page
+    must plan as TakeOrdered — no rangepartitioning exchange."""
+    q, _ = registry()
+    plan = _plan(q["part_min_cost_supplier"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "dims must broadcast"
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    assert "rangepartitioning" not in plan, "LIMIT page must be TakeOrdered"
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q20_shape_one_fact_one_supplier_exchange(spark):
+    """dominant_part_suppliers collapses Q20's nested-IN correlated
+    aggregate into one l_partkey fact shuffle (aggregate + window share it)
+    plus one supplier-keyed exchange over the tiny dominant-pair survivors;
+    dimension joins broadcast.  The final s_name sort may range-partition —
+    its input is supplier-sized, never fact-sized."""
+    q, _ = registry()
+    plan = _plan(q["dominant_part_suppliers"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "dims must broadcast"
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    assert plan.count("hashpartitioning(l_suppkey") == 1, plan
+
+
 def test_plans_md_fingerprint_matches_working_tree():
     """PLANS.md freshness guard (round-4 verdict ask #2): the plan audit is
     a judge-graded surface, and round 4 shipped rows describing plans that
