@@ -4090,6 +4090,95 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_revenue_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    w AS (
+      SELECT *, min(m) OVER (PARTITION BY o_custkey) AS cm FROM o),
+    g AS (
+      SELECT strftime(cm, '%Y-%m') AS cohort_month,
+             CAST(date_diff('month', cm, m) AS INTEGER) AS age,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM w GROUP BY 1, 2),
+    c AS (
+      SELECT *,
+             max(CASE WHEN age = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_month) AS cohort_size,
+             CAST(sum(cents) OVER (PARTITION BY cohort_month ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents
+      FROM g)
+    SELECT cohort_month, age, n_active,
+           round(cents / 100.0, 2) + 0.0 AS revenue,
+           CAST((200 * cum_cents + cohort_size) // (2 * cohort_size)
+                AS BIGINT) / 10000.0 + 0.0 AS cum_ltv_per_customer
+    FROM c
+    """,
+)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month, then per
+    (cohort, months-since-first) the active-customer count, period revenue,
+    and CUMULATIVE revenue per cohort customer — the lifetime-value rollup
+    finance runs next to `user_retention_cohorts`'s retention triangle.
+
+    Engine parity: money is per-row integer cents (round(price*100) →
+    BIGINT) so every sum is exact and order-independent, and the 4 dp LTV
+    is rounded in INTEGER space — half-up(n/d) = (2n+d) DIV 2d on the
+    exact cents rational — because a float round of cum_cents/100/size
+    measurably flips on x.xxxx5 representational boundaries (Spark rounds
+    the shortest decimal repr, DuckDB the scaled double; caught by the
+    sf0.001 sweep).  The 200× product keeps ~2e16 headroom under BIGINT
+    at 100 TB cent totals.  Scale: one shuffle on
+    o_custkey serves the cohort-assignment window; the (cohort, age)
+    rollup partial-aggregates before its exchange, and everything after is
+    windows over the triangle itself (|months|²/2 rows — independent of
+    order volume)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = o.withColumn("cm", F.min("m").over(Window.partitionBy("o_custkey")))
+    g = (
+        w.groupBy(
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            F.months_between(F.col("m"), F.col("cm")).cast("int").alias("age"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    wc = Window.partitionBy("cohort_month")
+    cohort_size = F.max(F.when(F.col("age") == 0, F.col("n_active"))).over(wc)
+    cum_cents = F.sum("cents").over(
+        wc.orderBy("age").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.withColumn("cohort_size", cohort_size)
+        .withColumn("cum_cents", cum_cents)
+        .select(
+            "cohort_month",
+            "age",
+            "n_active",
+            (F.round(F.col("cents") / 100.0, 2) + F.lit(0.0)).alias("revenue"),
+            (
+                F.expr(
+                    "CAST((200 * cum_cents + cohort_size) DIV (2 * cohort_size)"
+                    " AS BIGINT)"
+                )
+                / 10000.0
+                + F.lit(0.0)
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+@query(
     "event_funnel",
     """
     WITH v AS (
@@ -4974,6 +5063,50 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brand_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the market-basket family: pair counts, per-brand
+    marginals, and the basket total folded into ONE aggregation over a
+    tagged union stream per basket (pair structs + (brand, NULL) markers +
+    one (NULL, NULL) total marker).  One shuffle by basket key builds the
+    per-order sorted distinct-brand array; the a<b pair expansion is a
+    higher-order transform×transform over that array — no self-join, pair
+    cost Σ(basket size²).  The aggregate's TINY output (|brands|² +
+    |brands| + 1 rows, independent of corpus size) is materialized with an
+    eager localCheckpoint so downstream consumers' null-marker filters
+    cannot push below the aggregate and replay the corpus-sized upstream
+    (see brand_affinity_lift's docstring for the round-4 history)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    null_s = F.lit(None).cast("string")
+    pair_arr = F.flatten(
+        F.transform(
+            "bs",
+            lambda x, i: F.transform(
+                F.slice("bs", i + 2, F.size("bs")),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
+    brand_arr = F.transform(
+        "bs", lambda b: F.struct(b.alias("brand_a"), null_s.alias("brand_b"))
+    )
+    total_arr = F.array(F.struct(null_s.alias("brand_a"), null_s.alias("brand_b")))
+    return (
+        baskets.select(F.explode(F.concat(pair_arr, brand_arr, total_arr)).alias("t"))
+        .groupBy(F.col("t.brand_a").alias("brand_a"), F.col("t.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # barrier: without it the consumers' filters push below the
+        # aggregate and the corpus-sized upstream runs once per consumer
+        .localCheckpoint(eager=True)
+    )
+
+
 @query(
     "brand_affinity_lift",
     """
@@ -5028,36 +5161,7 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     2–3 cores (measured 2.2× slower at sf0.1).  Bytes-based coalescing is
     the wrong oracle for compute-bound aggregations; at cluster scale the
     pin is defaultParallelism, which is exactly the floor you want."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
-        .groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
-    )
-    null_s = F.lit(None).cast("string")
-    pair_arr = F.flatten(
-        F.transform(
-            "bs",
-            lambda x, i: F.transform(
-                F.slice("bs", i + 2, F.size("bs")),
-                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
-            ),
-        )
-    )
-    brand_arr = F.transform(
-        "bs", lambda b: F.struct(b.alias("brand_a"), null_s.alias("brand_b"))
-    )
-    total_arr = F.array(F.struct(null_s.alias("brand_a"), null_s.alias("brand_b")))
-    counts = (
-        baskets.select(F.explode(F.concat(pair_arr, brand_arr, total_arr)).alias("t"))
-        .groupBy(F.col("t.brand_a").alias("brand_a"), F.col("t.brand_b").alias("brand_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        # barrier: without it the three consumers' filters push below the
-        # aggregate and the corpus-sized upstream runs 3x (docstring)
-        .localCheckpoint(eager=True)
-    )
+    counts = _brand_cooccurrence_counts(spark, sf_dir)
     n = counts.where(F.col("brand_a").isNull() & F.col("brand_b").isNull()).select(
         F.col("cnt").alias("n_orders")
     )
@@ -5082,6 +5186,125 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("lift"),
         )
+    )
+
+
+@query(
+    "brand_graph_triangles",
+    """
+    WITH ib AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ib),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ib GROUP BY b),
+    pr AS (
+      SELECT a.b AS ea, c.b AS eb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM ib a JOIN ib c ON a.ok = c.ok AND a.b < c.b
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT ea, eb FROM pr CROSS JOIN n
+      JOIN bc ba ON ba.b = ea
+      JOIN bc bb ON bb.b = eb
+      WHERE CAST(n_ab AS DECIMAL(38,0)) * n.n_orders
+            > CAST(ba.nb AS DECIMAL(38,0)) * bb.nb),
+    tri AS (
+      SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.ea = e1.eb
+      JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb),
+    deg AS (
+      SELECT v AS brand, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT ea AS v FROM edges UNION ALL SELECT eb FROM edges)
+      GROUP BY 1),
+    per AS (
+      SELECT v AS brand, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1)
+    SELECT d.brand, d.degree,
+           CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2
+                THEN (40000 * coalesce(p.n_triangles, 0)
+                      + d.degree * (d.degree - 1))
+                     // (2 * d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) / 10000.0 + 0.0 AS clustering_coeff
+    FROM deg d LEFT JOIN per p ON p.brand = d.brand
+    ORDER BY d.brand
+    """,
+)
+def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the brand-affinity graph: per-brand triangle
+    participation and local clustering coefficient.  Nodes are brands;
+    an edge exists iff the pair is POSITIVELY associated — observed
+    co-baskets above the independence expectation, tested in exact integer
+    space (n_ab·N > na·nb via DECIMAL(38,0) products, so the edge set is
+    scale-free and can never flip on a float division) — and triangles are
+    enumerated with the standard a<b<c node-iterator join (e1(a,b) ⋈
+    e2(b,c) ⋈ e3(a,c): each triangle counted exactly once).
+
+    Scale: the corpus-sized work is the basket pair expansion, computed
+    ONCE in the shared `_brand_cooccurrence_counts` barrier (the same
+    checkpointed |brands|²-row relation brand_affinity_lift consumes);
+    everything here — edge filter, triangle self-joins, degree/triangle
+    rollups — runs over vocabulary-sized relations.  At web scale the
+    node-iterator join is bounded by Σ deg² of a |brands|-node graph, not
+    by order volume; for graphs with heavy-tailed degrees you would orient
+    edges low-degree → high-degree first (documented, not needed for a
+    bounded brand vocabulary).  The clustering coefficient 2T/(d(d-1)) is
+    rounded half-up in integer space (trap #7: float round of an exact
+    rational flips on representational boundaries)."""
+    counts = _brand_cooccurrence_counts(spark, sf_dir)
+    n = counts.where(F.col("brand_a").isNull() & F.col("brand_b").isNull()).select(
+        F.col("cnt").alias("n_orders")
+    )
+    bc = counts.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("b"), F.col("cnt").alias("nb"))
+    pairs = counts.where(F.col("brand_b").isNotNull()).select(
+        F.col("brand_a").alias("ea"), F.col("brand_b").alias("eb"),
+        F.col("cnt").alias("n_ab"),
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(bc.withColumnsRenamed({"b": "ea", "nb": "na_"})), "ea")
+        .join(F.broadcast(bc.withColumnsRenamed({"b": "eb", "nb": "nb_"})), "eb")
+        .where(
+            F.col("n_ab").cast("decimal(38,0)") * F.col("n_orders")
+            > F.col("na_").cast("decimal(38,0)") * F.col("nb_")
+        )
+        .select("ea", "eb")
+    )
+    e1 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
+    e2 = edges.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
+    e3 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    deg = (
+        edges.select(F.col("ea").alias("brand"))
+        .unionAll(edges.select(F.col("eb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    per = (
+        tri.select(F.col("a").alias("brand"))
+        .unionAll(tri.select(F.col("b").alias("brand")))
+        .unionAll(tri.select(F.col("c").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    # NB: 10000.0 in Spark SQL is a DECIMAL literal (DuckDB: DOUBLE) — the
+    # D suffix keeps the division in double on both engines.
+    coeff = F.expr(
+        "CAST(CASE WHEN degree >= 2 THEN (40000 * n_triangles"
+        " + degree * (degree - 1)) DIV (2 * degree * (degree - 1))"
+        " ELSE 0 END AS BIGINT) / 10000.0D + 0.0D"
+    )
+    return (
+        deg.join(per, "brand", "left")
+        .withColumn(
+            "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+        )
+        .select("brand", "degree", "n_triangles", coeff.alias("clustering_coeff"))
+        .orderBy("brand")
     )
 
 
@@ -7867,6 +8090,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "event_value_psi_drift",
     "part_min_cost_supplier",
     "dominant_part_suppliers",
+    "cohort_revenue_ltv",
+    "brand_graph_triangles",
     "doc_ngram_novelty",
     "linestatus_priority_split",
     "embedding_near_dup_lsh",
