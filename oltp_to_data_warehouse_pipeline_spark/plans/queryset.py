@@ -5246,7 +5246,12 @@ def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE in the shared `_brand_cooccurrence_counts` barrier (the same
     checkpointed |brands|²-row relation brand_affinity_lift consumes);
     everything here — edge filter, triangle self-joins, degree/triangle
-    rollups — runs over vocabulary-sized relations.  At web scale the
+    rollups — runs over vocabulary-sized relations: the edge set gets its
+    own eager barrier (five consumers), the triangle joins broadcast their
+    bounded build sides (checkpoint-derived relations carry no size stats,
+    so Spark would otherwise SortMergeJoin rows it could hash in L1), and
+    the final brand ordering is coalesce(1)+sortWithinPartitions — a
+    global sort exchange on a |brands|-row output buys nothing.  At web scale the
     node-iterator join is bounded by Σ deg² of a |brands|-node graph, not
     by order volume; for graphs with heavy-tailed degrees you would orient
     edges low-degree → high-degree first (documented, not needed for a
@@ -5273,11 +5278,21 @@ def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("na_").cast("decimal(38,0)") * F.col("nb_")
         )
         .select("ea", "eb")
+        # second vocabulary-sized barrier: edges feeds FIVE consumers
+        # (three triangle-join copies + both endpoints of the degree
+        # rollup); without it each consumer re-derives the edge filter and
+        # the plan carries five copies of that subtree.  ≤|brands|²/2 rows.
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
     e2 = edges.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
     e3 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # checkpoint-derived relations have no size stats, so these vocabulary-
+    # bounded joins would default to SortMergeJoin; the explicit broadcasts
+    # are of provably bounded (≤|brands|²-row) relations — the legitimate
+    # forced-broadcast class (a 1-row/vocab-sized build side), not the
+    # data-sized anti-pattern round 4 removed.
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
     deg = (
         edges.select(F.col("ea").alias("brand"))
         .unionAll(edges.select(F.col("eb").alias("brand")))
@@ -5299,12 +5314,13 @@ def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 0 END AS BIGINT) / 10000.0D + 0.0D"
     )
     return (
-        deg.join(per, "brand", "left")
+        deg.join(F.broadcast(per), "brand", "left")
         .withColumn(
             "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
         )
         .select("brand", "degree", "n_triangles", coeff.alias("clustering_coeff"))
-        .orderBy("brand")
+        .coalesce(1)
+        .sortWithinPartitions("brand")
     )
 
 
