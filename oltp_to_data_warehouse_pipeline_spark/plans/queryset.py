@@ -5189,10 +5189,43 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "brand_graph_triangles",
-    """
-    WITH ib AS (
+def _brand_affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge set of the brand-affinity graph: an (ea < eb) brand pair is an
+    edge iff it is POSITIVELY associated — observed co-baskets above the
+    independence expectation, tested in exact integer space
+    (n_ab·N > na·nb via DECIMAL(38,0) products, so the edge set is
+    scale-free and can never flip on a float division).  Derived from the
+    checkpointed `_brand_cooccurrence_counts` relation and itself
+    barriered (eager localCheckpoint, ≤|brands|²/2 rows): the graph
+    queries fan it out to many consumers and each would otherwise
+    re-derive the edge-filter subtree into its plan."""
+    counts = _brand_cooccurrence_counts(spark, sf_dir)
+    n = counts.where(F.col("brand_a").isNull() & F.col("brand_b").isNull()).select(
+        F.col("cnt").alias("n_orders")
+    )
+    bc = counts.where(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("b"), F.col("cnt").alias("nb"))
+    pairs = counts.where(F.col("brand_b").isNotNull()).select(
+        F.col("brand_a").alias("ea"), F.col("brand_b").alias("eb"),
+        F.col("cnt").alias("n_ab"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(bc.withColumnsRenamed({"b": "ea", "nb": "na_"})), "ea")
+        .join(F.broadcast(bc.withColumnsRenamed({"b": "eb", "nb": "nb_"})), "eb")
+        .where(
+            F.col("n_ab").cast("decimal(38,0)") * F.col("n_orders")
+            > F.col("na_").cast("decimal(38,0)") * F.col("nb_")
+        )
+        .select("ea", "eb")
+        .localCheckpoint(eager=True)
+    )
+
+
+# Shared CTE prefix of the brand-graph family: the positively-associated
+# edge set (exact-integer independence test — see _brand_affinity_edges).
+_BRAND_EDGES_CTES = """ib AS (
       SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
     n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ib),
@@ -5206,7 +5239,13 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bc ba ON ba.b = ea
       JOIN bc bb ON bb.b = eb
       WHERE CAST(n_ab AS DECIMAL(38,0)) * n.n_orders
-            > CAST(ba.nb AS DECIMAL(38,0)) * bb.nb),
+            > CAST(ba.nb AS DECIMAL(38,0)) * bb.nb)"""
+
+
+@query(
+    "brand_graph_triangles",
+    f"""
+    WITH {_BRAND_EDGES_CTES},
     tri AS (
       SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
       FROM edges e1
@@ -5258,32 +5297,7 @@ def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded brand vocabulary).  The clustering coefficient 2T/(d(d-1)) is
     rounded half-up in integer space (trap #7: float round of an exact
     rational flips on representational boundaries)."""
-    counts = _brand_cooccurrence_counts(spark, sf_dir)
-    n = counts.where(F.col("brand_a").isNull() & F.col("brand_b").isNull()).select(
-        F.col("cnt").alias("n_orders")
-    )
-    bc = counts.where(
-        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
-    ).select(F.col("brand_a").alias("b"), F.col("cnt").alias("nb"))
-    pairs = counts.where(F.col("brand_b").isNotNull()).select(
-        F.col("brand_a").alias("ea"), F.col("brand_b").alias("eb"),
-        F.col("cnt").alias("n_ab"),
-    )
-    edges = (
-        pairs.crossJoin(F.broadcast(n))
-        .join(F.broadcast(bc.withColumnsRenamed({"b": "ea", "nb": "na_"})), "ea")
-        .join(F.broadcast(bc.withColumnsRenamed({"b": "eb", "nb": "nb_"})), "eb")
-        .where(
-            F.col("n_ab").cast("decimal(38,0)") * F.col("n_orders")
-            > F.col("na_").cast("decimal(38,0)") * F.col("nb_")
-        )
-        .select("ea", "eb")
-        # second vocabulary-sized barrier: edges feeds FIVE consumers
-        # (three triangle-join copies + both endpoints of the degree
-        # rollup); without it each consumer re-derives the edge filter and
-        # the plan carries five copies of that subtree.  ≤|brands|²/2 rows.
-        .localCheckpoint(eager=True)
-    )
+    edges = _brand_affinity_edges(spark, sf_dir)
     e1 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
     e2 = edges.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
     e3 = edges.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
@@ -5321,6 +5335,111 @@ def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand", "degree", "n_triangles", coeff.alias("clustering_coeff"))
         .coalesce(1)
         .sortWithinPartitions("brand")
+    )
+
+
+@query(
+    "brand_pagerank",
+    f"""
+    WITH {_BRAND_EDGES_CTES},
+    und AS (SELECT ea AS u, eb AS v FROM edges
+            UNION ALL SELECT eb, ea FROM edges),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+    r0 AS (SELECT u AS node, CAST((2000000000 + nv) // (2 * nv) AS BIGINT)
+                  AS r
+           FROM deg CROSS JOIN nn),
+    s1 AS (SELECT und.v AS node, CAST(sum(r0.r // deg.d) AS BIGINT) AS s
+           FROM und JOIN r0 ON r0.node = und.u JOIN deg ON deg.u = und.u
+           GROUP BY 1),
+    r1 AS (SELECT node, CAST((30000000000 + 100 * nv) // (200 * nv)
+                  + (170 * s + 100) // 200 AS BIGINT) AS r
+           FROM s1 CROSS JOIN nn),
+    s2 AS (SELECT und.v AS node, CAST(sum(r1.r // deg.d) AS BIGINT) AS s
+           FROM und JOIN r1 ON r1.node = und.u JOIN deg ON deg.u = und.u
+           GROUP BY 1),
+    r2 AS (SELECT node, CAST((30000000000 + 100 * nv) // (200 * nv)
+                  + (170 * s + 100) // 200 AS BIGINT) AS r
+           FROM s2 CROSS JOIN nn),
+    s3 AS (SELECT und.v AS node, CAST(sum(r2.r // deg.d) AS BIGINT) AS s
+           FROM und JOIN r2 ON r2.node = und.u JOIN deg ON deg.u = und.u
+           GROUP BY 1),
+    r3 AS (SELECT node, CAST((30000000000 + 100 * nv) // (200 * nv)
+                  + (170 * s + 100) // 200 AS BIGINT) AS r
+           FROM s3 CROSS JOIN nn)
+    SELECT r3.node AS brand, deg.d AS degree,
+           r3.r / 1000000000.0 + 0.0 AS pagerank
+    FROM r3 JOIN deg ON deg.u = r3.node
+    ORDER BY pagerank DESC, brand
+    """,
+)
+def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative weighted graph scoring: 3 PageRank iterations (damping
+    0.85) over the undirected brand-affinity graph — the influence ranking
+    next to `brand_graph_triangles`' clustering structure, and the second
+    iterative-algorithm family after k-means.
+
+    Engine parity by FIXED-POINT arithmetic: ranks live as integers in
+    1e-9 units ("nanoranks"), the per-edge contribution is integer floor
+    division rank DIV degree, and each update is
+    base + half-up(0.85·S) with half-up(n/d) = (2n+d) DIV 2d — ZERO float
+    operations anywhere in the trajectory, so both engines replay it
+    bit-identically by construction (stronger than the k-means
+    round(avg, 6) ulp-barrier, which still rounds doubles).  The floor
+    losses (≤1e-9 per edge per iteration) drain total mass negligibly and
+    identically in both engines; rank ordering is what the query serves.
+
+    Scale: the corpus-sized work is the shared co-occurrence barrier; each
+    iteration is one vocabulary-sized join + aggregate (at web-graph scale
+    each iteration is the classic one-shuffle-per-iteration contribution
+    join, keyed by destination).  Output ordering is deterministic
+    (integer ranks, brand tiebreak) over a |brands|-row relation —
+    coalesce(1)+sortWithinPartitions, no range exchange."""
+    edges = _brand_affinity_edges(spark, sf_dir)
+    # und and deg are vocabulary-sized and fan out to every iteration —
+    # barrier them once (same rationale as the edges checkpoint)
+    und = (
+        edges.select(F.col("ea").alias("u"), F.col("eb").alias("v"))
+        .unionAll(edges.select(F.col("eb").alias("u"), F.col("ea").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    # |V| is bounded driver metadata (brand vocabulary); folding it into
+    # plan literals removes a 1-row crossJoin + aggregate subtree from
+    # every iteration.  The arithmetic below is the same exact-integer
+    # recurrence the oracle's CTEs unroll.
+    nv = deg.count()
+    r = deg.select(
+        F.col("u").alias("node"),
+        F.lit((2_000_000_000 + nv) // (2 * nv)).cast("bigint").alias("r"),
+    )
+    base = (30_000_000_000 + 100 * nv) // (200 * nv)
+    for _ in range(3):
+        s = (
+            und.join(F.broadcast(r.withColumnRenamed("node", "u")), "u")
+            .join(F.broadcast(deg), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.expr("r DIV d")).cast("bigint").alias("s"))
+        )
+        r = s.select(
+            "node",
+            (F.lit(base) + F.expr("(170 * s + 100) DIV 200"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return (
+        r.join(F.broadcast(deg.withColumnRenamed("u", "node")), "node")
+        .select(
+            F.col("node").alias("brand"),
+            F.col("d").alias("degree"),
+            (F.col("r") / 1000000000.0 + F.lit(0.0)).alias("pagerank"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("pagerank"), "brand")
     )
 
 
@@ -8108,6 +8227,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dominant_part_suppliers",
     "cohort_revenue_ltv",
     "brand_graph_triangles",
+    "brand_pagerank",
     "doc_ngram_novelty",
     "linestatus_priority_split",
     "embedding_near_dup_lsh",

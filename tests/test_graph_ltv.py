@@ -97,6 +97,54 @@ def test_triangles_match_pure_python_bruteforce(spark):
             assert r["clustering_coeff"] == 0.0
 
 
+def test_pagerank_matches_pure_python_fixed_point(spark):
+    """brand_pagerank vs a dict-based replay of the same fixed-point
+    recurrence (nanorank integers, floor-division contributions) computed
+    without any SQL engine — catches a shared Spark/DuckDB formulation
+    blind spot and pins the trajectory bit-for-bit."""
+    con = duckdb.connect()
+    ib = con.execute(
+        f"""
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/part.parquet' p ON p.p_partkey = l.l_partkey
+        """
+    ).fetchall()
+    orders: dict[int, set[str]] = {}
+    for ok, b in ib:
+        orders.setdefault(ok, set()).add(b)
+    n_orders = len(orders)
+    marg: dict[str, int] = {}
+    pair_cnt: dict[tuple[str, str], int] = {}
+    for brands in orders.values():
+        for b in brands:
+            marg[b] = marg.get(b, 0) + 1
+        for a, b in combinations(sorted(brands), 2):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+    adj: dict[str, set[str]] = {}
+    for (a, b), n_ab in pair_cnt.items():
+        if n_ab * n_orders > marg[a] * marg[b]:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nv = len(adj)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    rank = {v: (2_000_000_000 + nv) // (2 * nv) for v in adj}
+    base = (30_000_000_000 + 100 * nv) // (200 * nv)
+    for _ in range(3):
+        s = {v: 0 for v in adj}
+        for u, ns in adj.items():
+            c = rank[u] // deg[u]
+            for v in ns:
+                s[v] += c
+        rank = {v: base + (170 * s[v] + 100) // 200 for v in adj}
+    q, _ = registry()
+    got = q["brand_pagerank"](spark, SF_DIR).collect()
+    assert len(got) == nv
+    for row in got:
+        assert row["degree"] == deg[row["brand"]], row
+        assert row["pagerank"] == pytest.approx(rank[row["brand"]] / 1e9), row
+
+
 def test_cohort_ltv_matches_pure_python(spark):
     """cohort_revenue_ltv vs a dict-fold re-derivation in exact integer
     cents (no SQL at all beyond the parquet read)."""
