@@ -51,21 +51,49 @@ def bounded(df: DataFrame, max_rows: int, what: str, knob: str = "max_rows") -> 
     ``limit`` keeps the bound *structural* — visible in the physical plan
     as a GlobalLimit feeding the broadcast side, so a plan audit can prove
     the nested-loop join only ever sees a bounded build.  ``knob`` names
-    the caller-facing parameter in the error message.  On refusal the
-    probe blocks are best-effort released before raising.
+    the caller-facing parameter in the error message.
+
+    Block lifecycle: ``localCheckpoint`` persists the probe's INTERNAL RDD
+    — ``probe._jdf.rdd()`` derives a fresh Row-RDD, so unpersisting that is
+    a no-op (advisor round-5 finding).  The real handle is recovered by
+    diffing the context's persistent-RDD registry around the checkpoint
+    call.  On refusal the blocks are released before raising; on success
+    the returned DataFrame carries a ``release_bounded()`` attribute that
+    frees them once the caller is done (``bench.py``'s ``drop_persisted``
+    and ``SparkSession.catalog.clearCache()`` also work — the blocks are
+    bounded either way, ≤ max_rows + 1 rows).
     """
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _persistent() -> dict:
+        out = {}
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            entry = it.next()
+            out[entry._1()] = entry._2()
+        return out
+
+    before = set(_persistent())
     probe = df.limit(max_rows + 1).localCheckpoint(eager=True)
+    fresh = {rid: rdd for rid, rdd in _persistent().items() if rid not in before}
+
+    def _release() -> None:
+        for rdd in fresh.values():
+            try:
+                rdd.unpersist(False)
+            except Exception:  # noqa: BLE001 - cleanup must never mask the caller
+                pass
+
     if probe.count() > max_rows:
-        try:  # release the probe blocks — the caller is about to not use them
-            probe._jdf.rdd().unpersist(False)
-        except Exception:  # noqa: BLE001 - cleanup must never mask the guard
-            pass
+        _release()  # the caller is about to not use them
         raise ValueError(
             f"{what}: input has more than {knob}={max_rows} rows. "
             "This exact path is a small-N verification twin of the LSH/IVF "
             f"scale path; pass a sample or raise {knob} explicitly."
         )
-    return probe.limit(max_rows)
+    out = probe.limit(max_rows)
+    out.release_bounded = _release
+    return out
 
 
 def cosine_topk(
@@ -417,6 +445,35 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def sq_dist_exact(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² with ORDER-INDEPENDENT summation: each squared term is
+    rounded at 8 dp and summed in DECIMAL, then the exact total is cast back
+    to double.  Spark folds the array sequentially while a SQL twin sums a
+    hash-aggregated unnest join in arbitrary order — with raw double terms
+    the two sums differ by ~1e-16 relative, enough to flip a near-tie argmin
+    or a 4 dp rounding of the distance on half-ulp boundaries (advisor
+    round-5 finding).  With exact decimal summands both engines compute the
+    identical value by construction.  The terms themselves are identical
+    doubles in both engines (same IEEE subtract/multiply on the same
+    inputs), so rounding them at 8 dp is deterministic and shared.
+
+    Used by the cross-engine-reproducible k-means path; the ANN paths
+    (:func:`nearest_cell` / IVF) keep the raw double :func:`sq_dist` —
+    they are approximate by contract and their oracles replay the same
+    fold, so the codegen-friendlier form wins there.
+    """
+    terms = F.zip_with(a, b, lambda x, y: F.round((x - y) * (x - y), 8).cast("decimal(26,8)"))
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(30,8)"),
+        # re-cast each partial back to (30,8): Spark widens decimal adds and
+        # at the 38-precision cap would otherwise SHED scale (38,8)+(26,8)
+        # → (38,7), losing the 8th digit; at (30,8) the add is exact and the
+        # cast can never overflow (values are ≤ dim × max_term ≪ 10^22)
+        lambda acc, v: (acc + v).cast("decimal(30,8)"),
+    ).cast("double")
+
+
 def _cell_entries(vec: Column, centroids: list[list[float]]) -> list[Column]:
     """(distance, cell_id) structs against each centroid literal — the
     centroid 'model' is embedded in the plan, so assignment is a narrow map
@@ -488,11 +545,14 @@ def _nearest_entry(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     resolve to the smallest cluster id — the same tiebreak an oracle's
     ``ORDER BY dist, cluster`` produces.  Centroids ride along as plan
     literals (k×dim doubles), so assignment is a narrow zero-shuffle map.
+    Distances use :func:`sq_dist_exact` so the argmin comparison and the
+    emitted distance are bit-identical to a SQL twin regardless of either
+    engine's summation order.
     """
     entries = []
     for cid, c in centroids:
         lit = F.array(*[F.lit(float(x)) for x in c])
-        entries.append(F.struct(sq_dist(vec, lit).alias("d"), F.lit(int(cid)).alias("i")))
+        entries.append(F.struct(sq_dist_exact(vec, lit).alias("d"), F.lit(int(cid)).alias("i")))
     return F.array_min(F.array(*entries))
 
 

@@ -6984,8 +6984,13 @@ _KMEANS_A1 = r"""
       SELECT cluster, i AS pos, c[i] AS m
       FROM c0, unnest(generate_series(1, len(c))) AS t(i)),
     d0 AS (
+      -- order-independent dist²: 8dp-rounded DECIMAL summands (the Spark
+      -- twin folds the vector sequentially, this hash-agg sums in arbitrary
+      -- order; with raw doubles the two totals differ by ~1e-16 — enough to
+      -- flip a near-tie argmin or the 4dp dist rounding)
       SELECT d.vec_id, c.cluster,
-             sum((d.val - c.m) * (d.val - c.m)) AS dist2
+             CAST(sum(CAST(round((d.val - c.m) * (d.val - c.m), 8)
+                           AS DECIMAL(26,8))) AS DOUBLE) AS dist2
       FROM dims d JOIN c0l c USING (pos) GROUP BY 1, 2),
     a0 AS (
       SELECT vec_id, cluster FROM (
@@ -6997,7 +7002,8 @@ _KMEANS_A1 = r"""
       FROM a0 JOIN dims d USING (vec_id) GROUP BY 1, 2),
     d1 AS (
       SELECT d.vec_id, c.cluster,
-             sum((d.val - c.m) * (d.val - c.m)) AS dist2
+             CAST(sum(CAST(round((d.val - c.m) * (d.val - c.m), 8)
+                           AS DECIMAL(26,8))) AS DOUBLE) AS dist2
       FROM dims d JOIN c1 c USING (pos) GROUP BY 1, 2),
     a1 AS (
       SELECT vec_id, cluster, dist2 FROM (

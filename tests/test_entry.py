@@ -41,10 +41,25 @@ def test_driver_parity_every_query_sampled_or_in_next_window():
     _VERIFY_FIRST (plans/queryset.py) until a committed round record has
     sampled them."""
     import json
+    import subprocess
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
-    records = sorted(repo.glob("CORRECTNESS_r*.json"))
+    # COMMITTED records only (advisor round-5 finding: a working-tree glob
+    # lets an uncommitted record satisfy the guard while the shipped tree
+    # still has never-sampled queries outside the 50-name window); fall
+    # back to the glob when git isn't available (e.g. an exported tree).
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+        records = sorted(repo / p for p in tracked)
+    except (OSError, subprocess.CalledProcessError):
+        records = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert records, "no committed CORRECTNESS_r*.json found next to tests/"
     sampled: set[str] = set()
     for p in records:

@@ -236,3 +236,36 @@ def test_kmeans_single_pass_assignment_has_no_exchange(spark):
     out = similarity.kmeans_clusters(emb, k=2, assign_passes=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+def _persistent_rdd_ids(spark):
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def test_bounded_releases_probe_blocks(spark):
+    """bounded() materializes its probe via localCheckpoint; the refusal
+    path must actually free those blocks (the old probe._jdf.rdd()
+    unpersist targeted a freshly derived RDD — a no-op; advisor round-5
+    finding), and the success path must hand the caller a working
+    release handle."""
+    import pytest
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    spark.catalog.clearCache()
+    before = _persistent_rdd_ids(spark)
+    # refusal path: blocks released before the raise
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.bounded(emb, 3, "test twin")
+    assert _persistent_rdd_ids(spark) == before, "refusal path leaked probe blocks"
+    # success path: blocks pinned until the caller's release handle runs
+    out = similarity.bounded(emb, 10_000, "test twin")
+    assert out.count() > 0
+    pinned = _persistent_rdd_ids(spark) - before
+    assert pinned, "success path should have a materialized (persisted) probe"
+    out.release_bounded()
+    assert _persistent_rdd_ids(spark) == before, "release_bounded() did not free the probe"
