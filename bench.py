@@ -85,6 +85,9 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     # round-5 new operators
     "session_funnel_depth",
+    # round-6 new operators
+    "bloom_pruned_order_revenue",
+    "orders_zorder_locality",
 ]
 
 

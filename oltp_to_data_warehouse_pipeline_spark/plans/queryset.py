@@ -8210,6 +8210,165 @@ def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y96.subtract(y97)  # EXCEPT DISTINCT semantics
 
 
+# 48-bit md5 fold, DuckDB side — the same engine-portable hash family
+# table_checksum_orders uses; seed rides in the string prefix.
+_DUCK_FOLD = (
+    "CAST(list_sum(list_transform(generate_series(1, 12), i -> "
+    "(strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1)::BIGINT"
+    " << (4 * (12 - i)))) AS BIGINT)"
+)
+
+
+def _duck_bloom_bit(key_expr: str, h: int, num_bits: int) -> str:
+    return _DUCK_FOLD.format(expr=f"'bf{h}|' || CAST({key_expr} AS VARCHAR)") + f" % {num_bits}"
+
+
+@query(
+    "bloom_pruned_order_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+    GROUP BY 1
+    """,
+)
+def bloom_pruned_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly order volume/revenue for a selective customer set, probed
+    through :func:`operators.bloomjoin.bloom_semi_join` — the runtime-filter
+    join shape for build sides too big to broadcast.  The coarse phase
+    broadcasts two ≤4096-row bit relations (O(num_bits), INDEPENDENT of how
+    many build keys there are) and prunes the fact scan-side; the exact
+    semi join then sees only survivors, so at 100 TB its shuffle moves a
+    few percent of the fact instead of all of it.  The bloom layer cannot
+    change the answer (false positives are removed by the exact phase,
+    false negatives are impossible), which is why the oracle is a plain
+    ``IN`` subquery.  Revenue sums in DECIMAL (order-independent).
+
+    Extension beyond the reference surface (its joins are star-schema
+    broadcasts, DB.sql §2.3); this is the complementary big-build case.
+    """
+    from oltp_to_data_warehouse_pipeline_spark.operators.bloomjoin import bloom_semi_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+    pruned = bloom_semi_join(o, keys, "o_custkey", "c_custkey", num_bits=4096, num_hashes=2)
+    return pruned.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "bloom_filter_audit",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000),
+    bits0 AS (SELECT DISTINCT {_duck_bloom_bit('k', 0, 1024)} AS b FROM keys),
+    bits1 AS (SELECT DISTINCT {_duck_bloom_bit('k', 1, 1024)} AS b FROM keys),
+    marked AS (
+      SELECT CASE WHEN {_duck_bloom_bit('o_custkey', 0, 1024)} IN (SELECT b FROM bits0)
+                   AND {_duck_bloom_bit('o_custkey', 1, 1024)} IN (SELECT b FROM bits1)
+                  THEN 1 ELSE 0 END AS coarse,
+             CASE WHEN o_custkey IN (SELECT k FROM keys) THEN 1 ELSE 0 END AS member
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS probe_rows,
+           CAST(sum(coarse) AS BIGINT) AS coarse_survivors,
+           CAST(sum(member) AS BIGINT) AS exact_members,
+           round(CAST(sum(coarse) - sum(member) AS DOUBLE)
+                 / CAST(count(*) - sum(member) AS DOUBLE), 6) + 0.0
+             AS false_positive_rate
+    FROM marked
+    """,
+)
+def bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom sizing audit (:func:`operators.bloomjoin.coarse_survivor_stats`)
+    at a deliberately undersized 1024 bits so false positives are visible:
+    probe rows, coarse-phase survivors, exact members, and the realized
+    false-positive row rate — the numbers that decide whether the bloom
+    pays for itself at a given selectivity (textbook rate (1-e^(-kn/m))^k;
+    size num_bits ≥ ~10× the key count to keep it low).  One pass over the
+    probe: all three counts are conditional sums on the same scan, the bit
+    memberships are broadcast left joins against ≤1024-row relations.
+
+    The oracle replays the identical seeded md5 bit hashing, so the rate
+    must match exactly — any drift in the hash family is a hash mismatch
+    here before it could silently skew the pruning join."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.bloomjoin import coarse_survivor_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+    return coarse_survivor_stats(o, keys, "o_custkey", "c_custkey", num_bits=1024, num_hashes=2)
+
+
+@query(
+    "orders_zorder_locality",
+    """
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS dy
+      FROM orders),
+    bounds AS (
+      SELECT min(ck) AS ck0, max(ck) AS ck1, min(dy) AS dy0, max(dy) AS dy1
+      FROM base),
+    scaledv AS (
+      SELECT ck, dy,
+             CASE WHEN ck1 = ck0 THEN 0
+                  ELSE CAST((ck - ck0) * 65535 AS BIGINT) // (ck1 - ck0) END AS sx,
+             CASE WHEN dy1 = dy0 THEN 0
+                  ELSE CAST((dy - dy0) * 65535 AS BIGINT) // (dy1 - dy0) END AS sy
+      FROM base, bounds),
+    z AS (
+      SELECT ck, dy,
+             CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               ((((sx >> i) & 1) << (2*i + 1)) + (((sy >> i) & 1) << (2*i)))::BIGINT
+             )) AS BIGINT) AS zval
+      FROM scaledv)
+    SELECT CAST(zval >> 26 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(ck) - min(ck) AS BIGINT) AS cust_span,
+           CAST(max(dy) - min(dy) AS BIGINT) AS day_span
+    FROM z GROUP BY 1
+    """,
+)
+def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave the bits of customer key
+    and order day (:mod:`operators.layout`), cut the curve into 64 buckets
+    (top 6 bits), and report each bucket's bounding box spans in BOTH
+    dimensions.  A single-column sort gives tight spans in one dimension
+    and full-range spans in the other; the z-curve bounds both at once —
+    exactly the min/max file-statistics property that lets parquet scans
+    skip files for predicates on EITHER column (`write_zordered` is the
+    writer that materializes this layout; this query is its inspectable
+    plan twin).
+
+    Everything is exact integer arithmetic — scaling uses integer floor
+    division (no double quotient to flip between engines), the z-value is
+    a 32-bit interleave — so the oracle replays it bit-for-bit.  Scale:
+    z-values are scan-side expressions; the only exchange is the final
+    64-key aggregate (bounds come from a 1-row aggregate broadcast, no
+    collect — at 100 TB substitute table statistics)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.layout import with_zvalue
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("dy"),
+    )
+    zed = with_zvalue(base, ["ck", "dy"], bits=16, out_col="zval")
+    return zed.groupBy(F.shiftright(F.col("zval"), 26).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.max("ck") - F.min("ck")).cast("bigint").alias("cust_span"),
+        (F.max("dy") - F.min("dy")).cast("bigint").alias("day_span"),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -8218,6 +8377,12 @@ def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # ROUND 6 WINDOW: new registrations lead; the kmeans family below
+    # (positions 2-4) stays in-window because its dist² computation changed
+    # to order-independent decimal summands this round.
+    "bloom_pruned_order_revenue",
+    "bloom_filter_audit",
+    "orders_zorder_locality",
     # ROUND 5 WINDOW: new registrations + implementations whose plan changed
     # this round lead (the driver samples the first 50 names; the parity
     # guard test in tests/test_entry.py enforces that every registered name
