@@ -88,6 +88,7 @@ HEADLINE = [
     # round-6 new operators
     "bloom_pruned_order_revenue",
     "orders_zorder_locality",
+    "heavy_hitter_users",
 ]
 
 

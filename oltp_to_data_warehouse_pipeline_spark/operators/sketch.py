@@ -1,0 +1,136 @@
+"""Count-min-sketch heavy hitters — bounded-state frequency finding.
+
+The exact way to find keys with count ≥ T is a full ``GROUP BY key``: one
+shuffle carrying EVERY distinct key.  At 100 TB with billions of keys
+that shuffle (and its reducer-side hash tables) is the cost; a count-min
+sketch replaces it with three bounded pieces:
+
+1. **Counters** — each row increments ``depth`` cells (seeded-md5 hash per
+   sketch row, same engine-portable fold as ``operators.bloomjoin``);
+   ``groupBy(j, cell)`` with map-side combine shuffles at most
+   ``width × depth`` counter rows no matter how many keys exist.
+2. **Candidate filter** — the counter table broadcasts (~100 KB) and each
+   probe row computes its estimate scan-side: ``min_j counter[h_j(key)]``.
+   CMS never undercounts, so ``estimate ≥ T`` admits every true heavy
+   hitter (false negatives impossible) plus hash-collision false
+   positives (expected overcount ≈ e·N/width per cell — size ``width``
+   accordingly).
+3. **Exact verify** — the estimate depends only on the key, so ALL
+   occurrences of a candidate key survive the filter; a ``groupBy`` over
+   survivors therefore yields their exact counts, and the final
+   ``count ≥ T`` filter removes the collision admits.
+
+Result equality with the exact ``HAVING count(*) ≥ T`` query is the
+contract — the sketch changes what shuffles, never the answer — the same
+two-phase coarse/exact design as :mod:`operators.bloomjoin`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_cell(key: Column, j: int, width: int) -> Column:
+    """Cell index of ``key`` in sketch row ``j`` (seeded 48-bit md5 fold)."""
+    folded = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cm{j}|"), key.cast("string"))), 1, 12), 16, 10
+    ).cast("bigint")
+    return folded % width
+
+
+def cms_counters(df: DataFrame, key: str, width: int = 8192, depth: int = 3) -> DataFrame:
+    """The sketch itself: ``(j, cell, c)`` — at most width×depth rows.
+
+    One narrow ×depth explode then a grouped count; map-side combine
+    collapses each task's contribution to ≤ width×depth partials, so the
+    exchange is bounded by the sketch size, not the data."""
+    cells = F.array(*[F.struct(F.lit(j).alias("j"), cms_cell(F.col(key), j, width).alias("cell")) for j in range(depth)])
+    return (
+        df.select(F.explode(cells).alias("e"))
+        .groupBy(F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _with_estimate(
+    df: DataFrame, key: str, counters: DataFrame, width: int, depth: int
+) -> DataFrame:
+    """Attach the scan-side CMS estimate: ``depth`` broadcast lookups + min."""
+    out = df
+    for j in range(depth):
+        cj = counters.where(F.col("j") == j).select(
+            F.col("cell").alias(f"__cell{j}"), F.col("c").alias(f"__c{j}")
+        )
+        out = out.withColumn(f"__probe{j}", cms_cell(F.col(key), j, width)).join(
+            F.broadcast(cj), F.col(f"__probe{j}") == F.col(f"__cell{j}"), "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"__c{j}"), F.lit(0)) for j in range(depth)])
+    drop = [c for j in range(depth) for c in (f"__probe{j}", f"__cell{j}", f"__c{j}")]
+    return out.withColumn("__cms_est", est).drop(*drop)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: str,
+    min_count: int,
+    width: int = 8192,
+    depth: int = 3,
+) -> DataFrame:
+    """Exact keys with ``count(*) ≥ min_count`` — found via the sketch,
+    verified exactly.  Returns ``(key, n_rows)``, bit-identical to the
+    full-aggregation ``HAVING`` query (see module docstring for why)."""
+    rows = df.select(F.col(key)).where(F.col(key).isNotNull())
+    counters = cms_counters(rows, key, width, depth)
+    survivors = _with_estimate(rows, key, counters, width, depth).where(
+        F.col("__cms_est") >= min_count
+    )
+    return (
+        survivors.groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .where(F.col("n_rows") >= min_count)
+    )
+
+
+def cms_candidate_audit(
+    df: DataFrame,
+    key: str,
+    min_count: int,
+    width: int = 8192,
+    depth: int = 3,
+) -> DataFrame:
+    """Sizing audit (one row): distinct keys, sketch candidates, true heavy
+    hitters, and the worst per-key overestimate — the numbers that decide
+    ``width`` for a target candidate precision.  Unlike the operator this
+    DOES aggregate every distinct key (it exists to characterize the
+    sketch against ground truth on a sample, not to run at full scale)."""
+    rows = df.select(F.col(key)).where(F.col(key).isNotNull())
+    counters = cms_counters(rows, key, width, depth)
+    exact = rows.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    est = _with_estimate(exact, key, counters, width, depth)
+    return est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum((F.col("__cms_est") >= min_count).cast("int")).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("n") >= min_count).cast("int")).cast("bigint").alias("n_heavy"),
+        F.max(F.col("__cms_est") - F.col("n")).cast("bigint").alias("max_overestimate"),
+    )
+
+
+def exact_heavy_hitters(df: DataFrame, key: str, min_count: int) -> DataFrame:
+    """The full-aggregation ground truth (verification twin)."""
+    return (
+        df.select(F.col(key))
+        .where(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .where(F.col("n_rows") >= min_count)
+    )
+
+
+__all__ = [
+    "cms_cell",
+    "cms_counters",
+    "cms_heavy_hitters",
+    "cms_candidate_audit",
+    "exact_heavy_hitters",
+]

@@ -8369,6 +8369,76 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "heavy_hitter_users",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1 HAVING count(*) >= 84
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with ≥84 events, found via a count-min sketch
+    (:func:`operators.sketch.cms_heavy_hitters`) and verified exactly.
+    The exact formulation shuffles every distinct key; the sketch path
+    shuffles ≤ width×depth counters (map-side combined), broadcasts them
+    (~100 KB), filters candidates scan-side (CMS never undercounts → no
+    false negatives), and aggregates only the surviving rows — at 10⁹
+    distinct keys that is the difference between a key-cardinality
+    shuffle and a bounded one.  The oracle is the plain HAVING query:
+    result equality is the operator's contract, exactly as
+    `bloom_pruned_order_revenue`'s bloom layer."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.sketch import cms_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", min_count=84, width=8192, depth=3)
+
+
+@query(
+    "cms_sketch_audit",
+    f"""
+    WITH ev AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
+    counters AS (
+      SELECT j,
+             {_DUCK_FOLD.format(expr="'cm' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)")}
+               % 8192 AS cell,
+             count(*) AS c
+      FROM ev, generate_series(0, 2) AS t(j)
+      GROUP BY 1, 2),
+    exact AS (SELECT k, count(*) AS n FROM ev GROUP BY 1),
+    probes AS (
+      SELECT e.k, e.n, t.j,
+             {_DUCK_FOLD.format(expr="'cm' || CAST(t.j AS VARCHAR) || '|' || CAST(e.k AS VARCHAR)")}
+               % 8192 AS cell
+      FROM exact e, generate_series(0, 2) AS t(j)),
+    est AS (
+      SELECT k, n, min(c) AS est
+      FROM probes JOIN counters USING (j, cell)
+      GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN est >= 84 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN n >= 84 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+           CAST(max(est - n) AS BIGINT) AS max_overestimate
+    FROM est
+    """,
+)
+def cms_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS sizing audit (:func:`operators.sketch.cms_candidate_audit`):
+    distinct keys, sketch candidates at the threshold, true heavy hitters,
+    and the worst per-key overestimate — the numbers that size ``width``
+    for a target candidate precision (expected overcount ≈ e·N/width per
+    sketch row).  The oracle replays the identical seeded md5 cell
+    hashing and min-of-depth estimate, so any drift in the sketch math is
+    a hash mismatch here before it could silently degrade the pruning in
+    `heavy_hitter_users`.  (The audit aggregates every distinct key by
+    design — it characterizes the sketch against ground truth on a
+    sample; the operator itself never does.)"""
+    from oltp_to_data_warehouse_pipeline_spark.operators.sketch import cms_candidate_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_candidate_audit(ev, "user_id", min_count=84, width=8192, depth=3)
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -8383,6 +8453,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bloom_pruned_order_revenue",
     "bloom_filter_audit",
     "orders_zorder_locality",
+    "heavy_hitter_users",
+    "cms_sketch_audit",
     # ROUND 5 WINDOW: new registrations + implementations whose plan changed
     # this round lead (the driver samples the first 50 names; the parity
     # guard test in tests/test_entry.py enforces that every registered name
