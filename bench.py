@@ -89,6 +89,7 @@ HEADLINE = [
     "bloom_pruned_order_revenue",
     "orders_zorder_locality",
     "heavy_hitter_users",
+    "zorder_skipping_gain",
 ]
 
 
