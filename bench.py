@@ -90,6 +90,7 @@ HEADLINE = [
     "orders_zorder_locality",
     "heavy_hitter_users",
     "zorder_skipping_gain",
+    "trending_event_types",
 ]
 
 

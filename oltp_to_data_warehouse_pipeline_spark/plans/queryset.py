@@ -8370,6 +8370,57 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trending_event_types",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws,
+             event_type
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) g),
+    c AS (SELECT ws, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+    r AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rank
+      FROM c)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type AS key,
+           CAST(n AS BIGINT) AS n,
+           CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sliding-window top-3 event types (1 h windows, 30 m slide) — the
+    batch twin of `streaming/trending.trending_topk_query`, which computes
+    the same ranking incrementally with a watermark and emits each window's
+    top-k exactly once at close (late-data tests in
+    tests/test_trending.py).  Deterministic tiebreak (n desc, key asc).
+
+    Scale: the rank window partitions by the window key — per-group state
+    is the key-type cardinality, no global sort; the count aggregate
+    shuffles (window, type) pairs with map-side combine.  The streaming
+    form's state is (windows-in-horizon × keys), bounded by the watermark
+    horizon, not the stream length."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming.trending import (
+        rank_topk,
+        windowed_key_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = windowed_key_counts(
+        ev, window_len="1 hour", slide="30 minutes", watermark=None
+    )
+    return rank_topk(counts, k=3).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "key",
+        "n",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
     "zorder_skipping_gain",
     """
     WITH base AS (
@@ -8584,6 +8635,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "heavy_hitter_users",
     "cms_sketch_audit",
     "zorder_skipping_gain",
+    "trending_event_types",
     # ROUND 5 WINDOW: new registrations + implementations whose plan changed
     # this round lead (the driver samples the first 50 names; the parity
     # guard test in tests/test_entry.py enforces that every registered name
