@@ -1,27 +1,28 @@
-"""Z-order (Morton) data layout — multi-column data skipping.
+"""Oracle-exact Z-order (Morton) expressions — the AUDIT layer.
 
-A single-column sort gives parquet min/max file stats that prune scans on
-that column only; interleaving the bits of TWO OR MORE columns gives every
-file a small bounding box in all of them at once, so selective predicates
-on any participating column skip most files.  This is the layout trick
-behind Delta/Iceberg `ZORDER BY`, reimplemented here as plain DataFrame
-expressions:
+The production z-ordered WRITER lives in ``sources.files`` (`zorder_key`
++ `write_zordered`: double-scaled quantization, NULL-to-bucket-0, clamp —
+the right trade-offs for laying out arbitrary columns).  This module is
+its cross-engine-REPLAYABLE counterpart: every step is exact integer
+arithmetic, so a SQL oracle reproduces the z-values bit for bit — which
+is what lets `orders_zorder_locality` and `zorder_skipping_gain` put the
+layout's data-skipping claims under the differential hash gate instead
+of taking them on faith.
 
-- :func:`scaled` maps a column into ``[0, 2^bits)`` with exact integer
-  arithmetic (no double division anywhere — a floor of a double quotient
-  can flip on x.9999995 boundaries between engines).
+- :func:`scaled` maps an integer column into ``[0, 2^bits)`` with exact
+  integer arithmetic (no double division anywhere — a floor of a double
+  quotient can flip on x.9999995 boundaries between engines; the writer
+  can tolerate that, an oracle-hashed audit cannot).
 - :func:`zvalue` interleaves the scaled columns' bits into one bigint
   (column j's bit i lands at position ``i*n + (n-1-j)``), a pure narrow
   expression — zero shuffle to compute.
-- :func:`write_zordered` range-partitions on the z-value and sorts within
-  partitions before writing, which is exactly one shuffle for any number
-  of layout columns.
+- :func:`with_zvalue` attaches the z-value with bounds from a 1-row
+  aggregate broadcast (the scalar-without-collect pattern, as
+  balance_opportunity_segments).
 
-100 TB posture: the z-value is scan-side arithmetic; the one range
-exchange replaces the one a plain sorted write needs anyway, and the
-min/max scaling bounds come from table statistics (here: a 1-row
-aggregate broadcast — the same scalar-without-collect pattern as
-balance_opportunity_segments).
+The two layers' bit orders intentionally differ only in column direction;
+each is self-consistent, and nothing requires a writer file boundary to
+equal an audit bucket boundary.
 """
 
 from __future__ import annotations
@@ -78,26 +79,4 @@ def with_zvalue(
     ]
     return j.withColumn(out_col, zvalue(parts, bits)).drop(
         *[f"__{n}_{c}" for c in cols for n in ("min", "max")]
-    )
-
-
-def write_zordered(
-    df: DataFrame,
-    cols: list[str],
-    path: str,
-    num_files: int = 32,
-    bits: int = 16,
-) -> None:
-    """Write ``df`` as parquet laid out along the z-curve of ``cols``:
-    range-partitioned on the z-value (num_files output files) and sorted
-    within each file, so every file carries a tight min/max bounding box
-    in ALL the layout columns — the property parquet row-group/file
-    skipping needs.  One shuffle total."""
-    (
-        with_zvalue(df, cols, bits)
-        .repartitionByRange(num_files, "zval")
-        .sortWithinPartitions("zval")
-        .drop("zval")
-        .write.mode("overwrite")
-        .parquet(path)
     )

@@ -8344,9 +8344,11 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions.  A single-column sort gives tight spans in one dimension
     and full-range spans in the other; the z-curve bounds both at once —
     exactly the min/max file-statistics property that lets parquet scans
-    skip files for predicates on EITHER column (`write_zordered` is the
-    writer that materializes this layout; this query is its inspectable
-    plan twin).
+    skip files for predicates on EITHER column (`sources.files.
+    write_zordered` is the production writer that materializes this
+    layout; this query is its oracle-replayable audit twin —
+    operators.layout spells the curve in exact integer arithmetic
+    precisely so the differential hash gate can check it).
 
     Everything is exact integer arithmetic — scaling uses integer floor
     division (no double quotient to flip between engines), the z-value is
@@ -8479,7 +8481,7 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading column near-perfectly and reads ~everything for the other
     dimension; the z-curve bounds both.  This is `orders_zorder_locality`'s
     decision-grade companion: the number a table owner looks at before
-    paying the re-layout shuffle (`layout.write_zordered`).
+    paying the re-layout shuffle (`sources.files.write_zordered`).
 
     Scale: two global range-sorts for the ntile simulation (this is an
     audit that would run on a SAMPLE at 100 TB — the real layout writer

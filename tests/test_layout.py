@@ -8,9 +8,9 @@ from pyspark.sql import functions as F
 from oltp_to_data_warehouse_pipeline_spark.operators.layout import (
     scaled,
     with_zvalue,
-    write_zordered,
     zvalue,
 )
+from oltp_to_data_warehouse_pipeline_spark.sources.files import write_zordered
 
 
 def _py_interleave(vals: list[int], bits: int = 16) -> int:
@@ -66,7 +66,7 @@ def test_write_zordered_bounds_both_columns(spark, tmp_path):
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("dy"),
     )
     path = str(tmp_path / "zorders")
-    write_zordered(o, ["ck", "dy"], path, num_files=16)
+    write_zordered(o, path, ["ck", "dy"], num_files=16)
 
     per_file = (
         spark.read.parquet(path)
