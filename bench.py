@@ -232,9 +232,15 @@ def main() -> None:
     detail_path.write_text(json.dumps({**out, **detail}, indent=2) + "\n")
 
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort trim: the contract keys stay
-        out.pop("oracle_total", None)
-        out.pop("ratio", None)
+    # Last-resort trim: the dominant line cost is the per-query dict, not
+    # the ~45-char scalars — dropping scalars alone could never bring an
+    # over-budget line back under the window (round-6 review finding).
+    # Shed the FASTEST query entries first (full dict lives in
+    # BENCH_DETAIL.json; the slow entries are the informative ones) and
+    # keep the contract keys and ratio scalars.
+    while len(line) > 1900 and len(out["queries"]) > 8:
+        out["queries"].pop(min(out["queries"], key=out["queries"].get))
+        out["queries_trimmed"] = True
         line = json.dumps(out, separators=(",", ":"))
     os.write(real_stdout, (line + "\n").encode())
 

@@ -40,13 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from oltp_to_data_warehouse_pipeline_spark.util import md5_fold48
+
 
 def bloom_bit(key: Column, h: int, num_bits: int) -> Column:
     """Bit position of ``key`` under hash function ``h`` (seeded md5 fold)."""
-    folded = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"bf{h}|"), key.cast("string"))), 1, 12), 16, 10
-    ).cast("bigint")
-    return folded % num_bits
+    return md5_fold48(key, f"bf{h}|") % num_bits
 
 
 def bloom_semi_join(

@@ -63,16 +63,29 @@ def zvalue(cols: list[Column], bits: int = 16) -> Column:
 
 
 def with_zvalue(
-    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "zval"
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zval",
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Attach the z-value of ``cols`` (integer columns) as ``out_col``.
 
     Bounds come from ONE 1-row aggregate broadcast-cross-joined back (no
-    collect; at 100 TB substitute catalog statistics as literals).
+    collect; at 100 TB substitute catalog statistics as literals).  A
+    caller that also needs the bounds for its own arithmetic passes the
+    relation in via ``bounds`` (columns ``__min_<c>``/``__max_<c>``) so
+    the aggregate's scan isn't paid twice (round-6 review finding —
+    zorder_skipping_gain was re-scanning orders for its slice bounds).
     """
-    bounds = df.agg(
-        *[f(c).alias(f"__{n}_{c}") for c in cols for n, f in (("min", F.min), ("max", F.max))]
-    )
+    if bounds is None:
+        bounds = df.agg(
+            *[
+                f(c).alias(f"__{n}_{c}")
+                for c in cols
+                for n, f in (("min", F.min), ("max", F.max))
+            ]
+        )
     j = df.crossJoin(F.broadcast(bounds))
     parts = [
         scaled(F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits) for c in cols

@@ -55,34 +55,26 @@ def bounded(df: DataFrame, max_rows: int, what: str, knob: str = "max_rows") -> 
 
     Block lifecycle: ``localCheckpoint`` persists the probe's INTERNAL RDD
     — ``probe._jdf.rdd()`` derives a fresh Row-RDD, so unpersisting that is
-    a no-op (advisor round-5 finding).  The real handle is recovered by
-    diffing the context's persistent-RDD registry around the checkpoint
-    call.  On refusal the blocks are released before raising; on success
-    the returned DataFrame carries a ``release_bounded()`` attribute that
-    frees them once the caller is done (``bench.py``'s ``drop_persisted``
-    and ``SparkSession.catalog.clearCache()`` also work — the blocks are
-    bounded either way, ≤ max_rows + 1 rows).
+    a no-op (advisor round-5 finding).  The real handle is the LogicalRDD
+    inside the checkpointed plan (``util.checkpoint_blocks`` — precise even
+    under concurrent queries; a registry diff would mis-attribute a
+    neighbor's blocks, round-6 review finding).  On refusal the blocks are
+    released before raising.  On success the pin is the caller's to
+    release once the result has been consumed: a ``release_bounded()``
+    attribute rides on the returned DataFrame for callers that hold it
+    directly, and :func:`release_probes` frees every probe this module has
+    materialized (chained ``.select``/``.join`` results drop Python
+    attributes — the module-level function is the route that always
+    works).  ``bench.py``'s ``drop_persisted``
+    and ``spark.catalog.clearCache()`` also release it; the pin is bounded
+    either way, ≤ max_rows + 1 rows.
     """
-    jsc = df.sparkSession.sparkContext._jsc.sc()
+    from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
 
-    def _persistent() -> dict:
-        out = {}
-        it = jsc.getPersistentRDDs().iterator()
-        while it.hasNext():
-            entry = it.next()
-            out[entry._1()] = entry._2()
-        return out
-
-    before = set(_persistent())
     probe = df.limit(max_rows + 1).localCheckpoint(eager=True)
-    fresh = {rid: rdd for rid, rdd in _persistent().items() if rid not in before}
 
     def _release() -> None:
-        for rdd in fresh.values():
-            try:
-                rdd.unpersist(False)
-            except Exception:  # noqa: BLE001 - cleanup must never mask the caller
-                pass
+        release_checkpoint(probe)
 
     if probe.count() > max_rows:
         _release()  # the caller is about to not use them
@@ -93,7 +85,25 @@ def bounded(df: DataFrame, max_rows: int, what: str, knob: str = "max_rows") -> 
         )
     out = probe.limit(max_rows)
     out.release_bounded = _release
+    _PROBE_RELEASES.append(_release)
     return out
+
+
+# Release hooks for every bounded() probe materialized in this process, in
+# creation order.  Chained transformations drop instance attributes, so the
+# per-DataFrame handle alone is unreachable from most call sites (round-6
+# review finding) — operators that embed a bounded probe release it here.
+_PROBE_RELEASES: list = []
+
+
+def release_probes() -> None:
+    """Release the blocks of EVERY probe ``bounded()`` has materialized so
+    far (each ≤ its max_rows + 1; releasing is idempotent).  Call between
+    logical runs when reusing one SparkSession for many queries — the
+    differential harness and bench both do, via their clearCache sweeps,
+    which this complements for library users."""
+    while _PROBE_RELEASES:
+        _PROBE_RELEASES.pop()()
 
 
 def cosine_topk(
@@ -446,32 +456,36 @@ def sq_dist(a: Column, b: Column) -> Column:
 
 
 def sq_dist_exact(a: Column, b: Column) -> Column:
-    """Σ (aᵢ-bᵢ)² with ORDER-INDEPENDENT summation: each squared term is
-    rounded at 8 dp and summed in DECIMAL, then the exact total is cast back
-    to double.  Spark folds the array sequentially while a SQL twin sums a
-    hash-aggregated unnest join in arbitrary order — with raw double terms
-    the two sums differ by ~1e-16 relative, enough to flip a near-tie argmin
-    or a 4 dp rounding of the distance on half-ulp boundaries (advisor
-    round-5 finding).  With exact decimal summands both engines compute the
-    identical value by construction.  The terms themselves are identical
-    doubles in both engines (same IEEE subtract/multiply on the same
-    inputs), so rounding them at 8 dp is deterministic and shared.
+    """Σ (aᵢ-bᵢ)² with ORDER-INDEPENDENT, ENGINE-SHARED summation: each
+    squared term is quantized to an INTEGER number of 1e-8 units via
+    ``floor(t·1e8 + 0.5)``, the integers are summed exactly, and the total
+    converts back to double once.  Spark folds the array sequentially
+    while a SQL twin sums a hash-aggregated unnest join in arbitrary order
+    — with raw double terms the two sums differ by ~1e-16 relative, enough
+    to flip a near-tie argmin or a 4 dp rounding of the distance on
+    half-ulp boundaries (advisor round-5 finding).
+
+    The quantization rule is spelled in IEEE primitives only — multiply,
+    add, floor — which every engine evaluates bit-identically on the same
+    double input; a decimal-string ``round(t, 8)`` would NOT be shared
+    (Spark rounds the shortest decimal repr via BigDecimal, DuckDB rounds
+    the scaled binary value — they disagree near 9th-decimal .5
+    boundaries; round-6 review finding).  The terms themselves are
+    identical doubles in both engines (same subtract/multiply on the same
+    inputs), the integer sum is ≤ dim·4e8 ≪ 2⁵³ so exact in BIGINT and
+    HUGEINT alike, and the final /1e8 is one shared IEEE division.
 
     Used by the cross-engine-reproducible k-means path; the ANN paths
     (:func:`nearest_cell` / IVF) keep the raw double :func:`sq_dist` —
     they are approximate by contract and their oracles replay the same
     fold, so the codegen-friendlier form wins there.
     """
-    terms = F.zip_with(a, b, lambda x, y: F.round((x - y) * (x - y), 8).cast("decimal(26,8)"))
-    return F.aggregate(
-        terms,
-        F.lit(0).cast("decimal(30,8)"),
-        # re-cast each partial back to (30,8): Spark widens decimal adds and
-        # at the 38-precision cap would otherwise SHED scale (38,8)+(26,8)
-        # → (38,7), losing the 8th digit; at (30,8) the add is exact and the
-        # cast can never overflow (values are ≤ dim × max_term ≪ 10^22)
-        lambda acc, v: (acc + v).cast("decimal(30,8)"),
-    ).cast("double")
+    terms = F.zip_with(
+        a, b, lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e8) + F.lit(0.5))
+    )
+    return (
+        F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v) / F.lit(1e8)
+    )
 
 
 def _cell_entries(vec: Column, centroids: list[list[float]]) -> list[Column]:

@@ -23,6 +23,15 @@ sketch replaces it with three bounded pieces:
 Result equality with the exact ``HAVING count(*) ≥ T`` query is the
 contract — the sketch changes what shuffles, never the answer — the same
 two-phase coarse/exact design as :mod:`operators.bloomjoin`.
+
+Block lifecycle: each invocation materializes its counter relation
+(eager localCheckpoint — see :func:`_with_estimate` for why) and the pin
+lives until released.  It is sketch-sized (≤ width×depth rows, ~200 KB
+at the defaults) so a handful of invocations is harmless, but a session
+running many queries should sweep between them —
+``spark.catalog.clearCache()`` or the harness's ``drop_persisted`` both
+release these blocks (``util.release_checkpoint`` frees one relation
+precisely when the caller holds it).
 """
 
 from __future__ import annotations
@@ -30,13 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from oltp_to_data_warehouse_pipeline_spark.util import md5_fold48
+
 
 def cms_cell(key: Column, j: int, width: int) -> Column:
     """Cell index of ``key`` in sketch row ``j`` (seeded 48-bit md5 fold)."""
-    folded = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"cm{j}|"), key.cast("string"))), 1, 12), 16, 10
-    ).cast("bigint")
-    return folded % width
+    return md5_fold48(key, f"cm{j}|") % width
 
 
 def cms_counters(df: DataFrame, key: str, width: int = 8192, depth: int = 3) -> DataFrame:

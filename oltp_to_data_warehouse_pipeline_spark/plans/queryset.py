@@ -6984,13 +6984,17 @@ _KMEANS_A1 = r"""
       SELECT cluster, i AS pos, c[i] AS m
       FROM c0, unnest(generate_series(1, len(c))) AS t(i)),
     d0 AS (
-      -- order-independent dist²: 8dp-rounded DECIMAL summands (the Spark
-      -- twin folds the vector sequentially, this hash-agg sums in arbitrary
-      -- order; with raw doubles the two totals differ by ~1e-16 — enough to
-      -- flip a near-tie argmin or the 4dp dist rounding)
+      -- order-independent, engine-shared dist²: each squared term is
+      -- quantized to integer 1e-8 units with floor(t*1e8 + 0.5) — IEEE
+      -- multiply/add/floor only, which both engines evaluate identically
+      -- on the identical double term (a decimal round(t, 8) would NOT be
+      -- shared: Spark rounds the shortest decimal repr, DuckDB the scaled
+      -- binary value).  The integer sum is exact in any width, and the
+      -- single /1e8 at the end is one shared IEEE division; the Spark
+      -- twin is operators.similarity.sq_dist_exact.
       SELECT d.vec_id, c.cluster,
-             CAST(sum(CAST(round((d.val - c.m) * (d.val - c.m), 8)
-                           AS DECIMAL(26,8))) AS DOUBLE) AS dist2
+             CAST(CAST(sum(CAST(floor((d.val - c.m) * (d.val - c.m) * 1e8 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e8 AS dist2
       FROM dims d JOIN c0l c USING (pos) GROUP BY 1, 2),
     a0 AS (
       SELECT vec_id, cluster FROM (
@@ -7002,8 +7006,8 @@ _KMEANS_A1 = r"""
       FROM a0 JOIN dims d USING (vec_id) GROUP BY 1, 2),
     d1 AS (
       SELECT d.vec_id, c.cluster,
-             CAST(sum(CAST(round((d.val - c.m) * (d.val - c.m), 8)
-                           AS DECIMAL(26,8))) AS DOUBLE) AS dist2
+             CAST(CAST(sum(CAST(floor((d.val - c.m) * (d.val - c.m) * 1e8 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e8 AS dist2
       FROM dims d JOIN c1 c USING (pos) GROUP BY 1, 2),
     a1 AS (
       SELECT vec_id, cluster, dist2 FROM (
@@ -8495,7 +8499,17 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("ck"),
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("dy"),
     )
-    z = with_zvalue(base, ["ck", "dy"], bits=16, out_col="zval")
+    # ONE bounds pass feeds both the z scaling and the slice arithmetic —
+    # the 1-row aggregate is materialized (eager localCheckpoint, the
+    # bounded-barrier pattern) so its orders scan runs once, not once per
+    # consumer (round-6 review finding)
+    bounds = base.agg(
+        F.min("ck").alias("__min_ck"),
+        F.max("ck").alias("__max_ck"),
+        F.min("dy").alias("__min_dy"),
+        F.max("dy").alias("__max_dy"),
+    ).localCheckpoint(eager=True)
+    z = with_zvalue(base, ["ck", "dy"], bits=16, out_col="zval", bounds=bounds)
     files = z.select(
         "ck",
         "dy",
@@ -8518,18 +8532,12 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").alias("dylo"),
         F.max("dy").alias("dyhi"),
     )
-    bounds = base.agg(
-        F.min("ck").alias("ck0"),
-        F.max("ck").alias("ck1"),
-        F.min("dy").alias("dy0"),
-        F.max("dy").alias("dy1"),
-    )
     span = lambda lo, hi, k: F.col(lo) + ((F.col(hi) - F.col(lo)) * k - F.pmod((F.col(hi) - F.col(lo)) * k, 5)) / 5  # noqa: E731
     slices = bounds.select(
-        span("ck0", "ck1", F.lit(2)).cast("bigint").alias("ck_lo"),
-        span("ck0", "ck1", F.lit(3)).cast("bigint").alias("ck_hi"),
-        span("dy0", "dy1", F.lit(2)).cast("bigint").alias("dy_lo"),
-        span("dy0", "dy1", F.lit(3)).cast("bigint").alias("dy_hi"),
+        span("__min_ck", "__max_ck", F.lit(2)).cast("bigint").alias("ck_lo"),
+        span("__min_ck", "__max_ck", F.lit(3)).cast("bigint").alias("ck_hi"),
+        span("__min_dy", "__max_dy", F.lit(2)).cast("bigint").alias("dy_lo"),
+        span("__min_dy", "__max_dy", F.lit(3)).cast("bigint").alias("dy_hi"),
     )
     return (
         boxes.crossJoin(F.broadcast(slices))
@@ -8628,9 +8636,13 @@ def cms_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # ROUND 6 WINDOW: new registrations lead; the kmeans family below
-    # (positions 2-4) stays in-window because its dist² computation changed
-    # to order-independent decimal summands this round.
+    # ROUND 6 WINDOW: new registrations lead; the kmeans family
+    # (kmeans_embedding_clusters / kmeans_cluster_profile /
+    # cluster_balanced_sample, in the round-5 block just below) stays
+    # in-window because its dist² computation changed to the shared
+    # integer-quantized summation this round.  NB: insertion shifts
+    # positions — name queries, never count offsets, when reasoning about
+    # the 50-name window.
     "bloom_pruned_order_revenue",
     "bloom_filter_audit",
     "orders_zorder_locality",

@@ -75,6 +75,7 @@ def trending_topk_query(
     slide: str = "30 minutes",
     watermark: str = "10 minutes",
     k: int = 3,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Start the streaming trending query (append mode + foreachBatch).
 
@@ -82,7 +83,12 @@ def trending_topk_query(
     complete (module docstring), so the batch-local :func:`rank_topk` is
     the whole computation; results land under ``sink_path/batch_id=<n>/``
     (overwrite per batch — replay-idempotent).  Read the result with
-    ``spark.read.parquet(sink_path)``."""
+    ``spark.read.parquet(sink_path)``.
+
+    ``available_now=True`` drains the current backlog and terminates (the
+    batch/backfill mode — also what lets a test's ``awaitTermination``
+    actually return instead of timing out against the default perpetual
+    trigger; round-6 review finding)."""
     counts = windowed_key_counts(stream, ts_col, key_col, window_len, slide, watermark)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
@@ -92,9 +98,11 @@ def trending_topk_query(
             f"{sink_path}/batch_id={epoch_id}"
         )
 
-    return (
+    writer = (
         counts.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

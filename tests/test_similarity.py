@@ -269,3 +269,20 @@ def test_bounded_releases_probe_blocks(spark):
     assert pinned, "success path should have a materialized (persisted) probe"
     out.release_bounded()
     assert _persistent_rdd_ids(spark) == before, "release_bounded() did not free the probe"
+
+
+def test_release_probes_frees_all_bounded_pins(spark):
+    """Chained transformations drop the per-DataFrame release attribute, so
+    the module-level release_probes() must free every probe bounded() has
+    materialized — including ones only reachable through derived frames."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+    emb = _emb(spark)
+    spark.catalog.clearCache()
+    similarity.release_probes()  # drain pins from earlier tests
+    before = _persistent_rdd_ids(spark)
+    # an operator-internal probe the caller never sees directly
+    similarity.cosine_topk(emb, emb.where("vec_id = 0"), k=2).collect()
+    assert _persistent_rdd_ids(spark) - before, "operator should have pinned a probe"
+    similarity.release_probes()
+    assert _persistent_rdd_ids(spark) == before, "release_probes() left blocks pinned"

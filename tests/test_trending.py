@@ -98,8 +98,10 @@ def test_stream_trending_watermark_and_exactly_once(spark, tmp_path):
         slide="30 minutes",
         watermark="10 minutes",
         k=3,
+        available_now=True,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "query must terminate after draining the backlog"
+    q.stop()
 
     got = sorted(
         (str(r["window_start"]), r["key"], r["n"], r["rank"])
