@@ -91,6 +91,7 @@ HEADLINE = [
     "heavy_hitter_users",
     "zorder_skipping_gain",
     "trending_event_types",
+    "order_value_bootstrap_ci",
 ]
 
 

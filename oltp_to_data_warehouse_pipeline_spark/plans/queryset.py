@@ -8376,6 +8376,65 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_bootstrap_ci",
+    f"""
+    WITH h AS (
+      SELECT {_DUCK_FOLD.format(expr="'bs|' || CAST(o_orderkey AS VARCHAR)")}
+               % 2147483647 AS h,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders),
+    e AS (SELECT h, v, r FROM h, generate_series(-1, 99) AS g(r)),
+    wtd AS (
+      SELECT r,
+             CASE WHEN r = -1 THEN 1 ELSE
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    ELSE 4 END
+             END AS w, v
+      FROM (SELECT r, v,
+                   ((h * (48271 + r) + r) % 2147483647) / 2147483647.0 AS u
+            FROM e)),
+    means AS (
+      SELECT r,
+             CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m,
+             CAST(sum(w) AS BIGINT) AS nw
+      FROM wtd GROUP BY r),
+    ranked AS (
+      SELECT m,
+             row_number() OVER (ORDER BY m ASC, r ASC) AS ra,
+             row_number() OVER (ORDER BY m DESC, r DESC) AS rd
+      FROM means WHERE r >= 0)
+    SELECT (SELECT nw FROM means WHERE r = -1) AS n_rows,
+           (SELECT round(m, 4) + 0.0 FROM means WHERE r = -1) AS mean_value,
+           (SELECT round(m, 4) + 0.0 FROM ranked WHERE ra = 3) AS ci_lo,
+           (SELECT round(m, 4) + 0.0 FROM ranked WHERE rd = 3) AS ci_hi
+    """,
+)
+def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order value via the POISSON bootstrap
+    (:func:`operators.stats.bootstrap_mean_ci`, B=100) — uncertainty
+    quantification for eval metrics without the classical bootstrap's B
+    resampling shuffles.  One pass computes all replicas simultaneously
+    (per-(row, replica) Poisson(1) weights from an LCG step over the row's
+    md5 fold — exact integer arithmetic, so the oracle replays every
+    weight); replica −1 carries weight 1 and IS the full-sample mean, so
+    the exact mean shares the same scan.  Map-side combine collapses the
+    ×101 explode to 101 partials per task; the only exchange carries 101
+    rows.  Replica means divide exact DECIMAL sums by exact BIGINT counts
+    — bit-identical across engines — and the CI picks ranked means with a
+    replica-id tiebreak (total order, no percentile interpolation to
+    diverge on)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.stats import bootstrap_mean_ci
+
+    o = load_table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        o, "o_orderkey", "o_totalprice", replicas=100, alpha=0.05
+    )
+
+
+@query(
     "trending_event_types",
     """
     WITH w AS (
@@ -8650,6 +8709,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "cms_sketch_audit",
     "zorder_skipping_gain",
     "trending_event_types",
+    "order_value_bootstrap_ci",
     # ROUND 5 WINDOW: new registrations + implementations whose plan changed
     # this round lead (the driver samples the first 50 names; the parity
     # guard test in tests/test_entry.py enforces that every registered name
