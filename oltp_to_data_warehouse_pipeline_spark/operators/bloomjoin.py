@@ -144,7 +144,14 @@ def coarse_survivor_stats(
         F.sum(exact).cast("bigint").alias("exact_members"),
         (
             F.round(
-                (F.sum(coarse) - F.sum(exact)) / (F.count(F.lit(1)) - F.sum(exact)), 6
+                (F.sum(coarse) - F.sum(exact))
+                # When every probe row is a build member the non-member pool
+                # is empty and the rate is undefined: NULL, explicitly, in
+                # BOTH engines (Spark int division by zero yields NULL while
+                # IEEE double division yields NaN/inf — the oracle mirrors
+                # this guard with NULLIF).
+                / F.nullif(F.count(F.lit(1)) - F.sum(exact), F.lit(0)),
+                6,
             )
             + F.lit(0.0)
         ).alias("false_positive_rate"),

@@ -75,6 +75,16 @@ def bounded(df: DataFrame, max_rows: int, what: str, knob: str = "max_rows") -> 
 
     def _release() -> None:
         release_checkpoint(probe)
+        # Unregister ourselves so a per-DataFrame release also drops the
+        # module-level handle — otherwise a long-lived session that
+        # releases probes individually still accumulates closures (and the
+        # DataFrames they capture) until release_probes() (advisor r6
+        # finding).  release_checkpoint is idempotent, so a later
+        # release_probes() sweep double-calling us would be harmless too.
+        try:
+            _PROBE_RELEASES.remove(_release)
+        except ValueError:
+            pass
 
     if probe.count() > max_rows:
         _release()  # the caller is about to not use them

@@ -52,10 +52,15 @@ def cms_counters(df: DataFrame, key: str, width: int = 8192, depth: int = 3) -> 
 
     One narrow ×depth explode then a grouped count; map-side combine
     collapses each task's contribution to ≤ width×depth partials, so the
-    exchange is bounded by the sketch size, not the data."""
+    exchange is bounded by the sketch size, not the data.
+
+    NULL keys are excluded here (not only by callers): md5_fold48(NULL)
+    would mint (j, NULL) cells and break the documented width×depth bound
+    by up to ``depth`` rows."""
     cells = F.array(*[F.struct(F.lit(j).alias("j"), cms_cell(F.col(key), j, width).alias("cell")) for j in range(depth)])
     return (
-        df.select(F.explode(cells).alias("e"))
+        df.where(F.col(key).isNotNull())
+        .select(F.explode(cells).alias("e"))
         .groupBy(F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -109,7 +109,12 @@ def bootstrap_mean_ci(
     import math
 
     lo_rank = math.ceil(round(alpha / 2 * replicas, 9))  # ceil(α/2·B), float-drift-safe
-    boot = means.where(F.col("r") >= 0)
+    # A replica whose weights all drew 0 (possible only for tiny n) has
+    # nw = 0 and a NULL mean; Spark's ASC window puts NULLs FIRST while
+    # DuckDB's default is NULLS LAST, so ranks would diverge cross-engine.
+    # Such a replica carries no information — drop it in BOTH engines
+    # (the oracle mirrors the nw > 0 predicate).  advisor r6 finding.
+    boot = means.where((F.col("r") >= 0) & (F.col("nw") > 0))
     asc = Window.orderBy(F.col("m").asc(), F.col("r").asc())
     desc = Window.orderBy(F.col("m").desc(), F.col("r").desc())
     ranked = boot.select(

@@ -90,3 +90,16 @@ def test_materialize_build_matches_and_releases(spark):
     )
     assert mat == plain
     spark.catalog.clearCache()
+
+
+def test_fp_rate_null_when_every_probe_is_a_member(spark):
+    """Degenerate audit: every probe row is a build member → the
+    non-member pool is empty and the rate is undefined.  Both engines
+    must yield NULL (Spark int/0 → NULL; the oracle guards with NULLIF —
+    IEEE double/0 would be NaN/inf and diverge the hash gate).  advisor
+    r6 finding."""
+    o = load_table(spark, SF, "orders")
+    keys = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    row = coarse_survivor_stats(o, keys, "o_custkey", "c_custkey", num_bits=4096).collect()[0]
+    assert row["exact_members"] == row["probe_rows"]
+    assert row["false_positive_rate"] is None

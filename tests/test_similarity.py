@@ -286,3 +286,20 @@ def test_release_probes_frees_all_bounded_pins(spark):
     assert _persistent_rdd_ids(spark) - before, "operator should have pinned a probe"
     similarity.release_probes()
     assert _persistent_rdd_ids(spark) == before, "release_probes() left blocks pinned"
+
+
+def test_per_probe_release_unregisters_module_hook(spark):
+    """Releasing one probe via its own handle must also drop the
+    module-level _PROBE_RELEASES entry — otherwise a long session that
+    releases probes individually still accumulates DataFrame-capturing
+    closures until release_probes() (advisor r6 finding)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    S.release_probes()  # clean slate
+    df = spark.range(5).withColumnRenamed("id", "vec_id")
+    probe = S.bounded(df, 100, what="test", knob="max_rows")
+    assert len(S._PROBE_RELEASES) == 1
+    probe.release_bounded()
+    assert len(S._PROBE_RELEASES) == 0
+    probe.release_bounded()  # idempotent
+    S.release_probes()  # no-op on empty registry

@@ -68,3 +68,17 @@ def test_counters_broadcast_in_plan(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert plan.count("BroadcastExchange") >= 3, "depth counter lookups must broadcast"
+
+
+def test_counters_exclude_null_keys(spark):
+    """md5_fold48(NULL) would mint (j, NULL) cells and break the
+    width×depth bound by up to `depth` rows — cms_counters must filter
+    NULLs itself, not rely on callers (advisor r6 finding)."""
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",), (None,)], "k string"
+    )
+    rows = cms_counters(df, "k", width=8, depth=3).collect()
+    assert all(r["cell"] is not None for r in rows)
+    assert len(rows) <= 8 * 3
+    # the non-null mass is fully accounted: 3 rows × 3 depth slices
+    assert sum(r["c"] for r in rows) == 3 * 3

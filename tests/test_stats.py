@@ -71,3 +71,17 @@ def test_deterministic_across_invocations(spark):
     a = bootstrap_mean_ci(o, "o_orderkey", "o_totalprice", replicas=50).collect()[0]
     b = bootstrap_mean_ci(o, "o_orderkey", "o_totalprice", replicas=50).collect()[0]
     assert a == b
+
+
+def test_tiny_n_zero_weight_replicas_are_dropped(spark):
+    """n=1: many replicas draw weight 0 for the single row → NULL means.
+    Spark ranks NULLs FIRST on ASC windows while DuckDB defaults to
+    NULLS LAST, so unless those replicas are dropped the CI rank picks
+    diverge cross-engine (advisor r6 finding).  With the nw>0 filter the
+    surviving replica means all equal the single value, so both bounds
+    must equal the mean — non-NULL, well-defined."""
+    one = spark.createDataFrame([(1, 4200.0)], "k int, v double")
+    r = bootstrap_mean_ci(one, "k", "v", replicas=100).collect()[0]
+    assert r["n_rows"] == 1
+    assert r["mean_value"] == 4200.0
+    assert r["ci_lo"] == 4200.0 and r["ci_hi"] == 4200.0
