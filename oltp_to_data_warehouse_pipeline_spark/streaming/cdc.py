@@ -7,9 +7,13 @@ a set-oriented LWW upsert per topic, with offsets checkpointed by Structured
 Streaming.  At-least-once delivery + idempotent upsert = exactly-once table
 state (ST3).
 
-The micro-batch function is stream-agnostic, so tests drive it with batch
-DataFrames and a file-source stream — no Kafka broker needed (the Kafka
-source is config wiring, ST1/ST2/ST6).
+The micro-batch function is stream-agnostic.  The container has no broker,
+so the ``format("kafka")`` path is config wiring verified against the
+reference consumer's settings — but the FULL loop (readStream → normalize →
+upsert → dead-letter, offsets checkpointed and replayed across restarts)
+runs end-to-end against the in-process file-backed broker
+(sources/kafkalog.py, :func:`kafka_log_stream`), which serves the JVM Kafka
+source's exact schema; production is a one-line format swap.
 """
 
 from __future__ import annotations
@@ -72,6 +76,39 @@ def kafka_stream(
         F.col("value").cast("string").alias("value"),
         F.col("topic").alias("topic"),
         F.col("offset").cast("bigint").alias("offset"),
+    )
+
+
+def kafka_log_stream(
+    spark: SparkSession,
+    log_root: str,
+    topics: list[str],
+    max_offsets_per_trigger: int = 10_000,
+) -> DataFrame:
+    """The :func:`kafka_stream` twin over the in-process file-backed broker
+    (sources/kafkalog.py) — identical projection, identical offset/replay
+    semantics, no network.  This is what lets the FULL reference CDC loop
+    (`mongo_postgres_cdc.py:429-456`: poll → parse/flatten/upsert → commit)
+    run end-to-end in tests and local replay sessions; production swaps
+    ``format("kafkalog")`` for ``format("kafka")`` and nothing downstream
+    changes, because the source serves the JVM Kafka source's exact schema.
+    """
+    from oltp_to_data_warehouse_pipeline_spark.sources.kafkalog import (
+        KafkaLogDataSource,
+    )
+
+    spark.dataSource.register(KafkaLogDataSource)
+    return (
+        spark.readStream.format("kafkalog")
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load(log_root)
+        .select(
+            F.col("value").cast("string").alias("value"),
+            F.col("topic").alias("topic"),
+            F.col("offset").cast("bigint").alias("offset"),
+        )
     )
 
 

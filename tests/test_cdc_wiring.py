@@ -1,5 +1,10 @@
-"""Kafka source wiring (ST1/ST2 — no broker in the container, so the
-options dict is the tested surface) and graceful shutdown (ST6)."""
+"""Kafka source wiring (ST1/ST2: the format("kafka") option dict, verified
+against the reference consumer's settings) and graceful shutdown (ST6).
+
+The full CDC loop — readStream → normalize → upsert with offset
+checkpointing and replay — is e2e-tested against the in-process broker in
+tests/test_kafkalog.py; this module keeps the real-broker option parity
+pinned."""
 
 from __future__ import annotations
 
