@@ -1,7 +1,7 @@
 """Minimal REAL media codecs (pure stdlib) for the multimodal seam.
 
 `multimodal.extract_features` takes any ``bytes -> list[float]`` codec; tests
-previously exercised only the deterministic fake.  These decoders parse two
+previously exercised only the deterministic fake.  These decoders parse three
 real container formats with nothing beyond the standard library, proving the
 production plug-in seam end-to-end on genuine media bytes:
 
@@ -11,6 +11,8 @@ production plug-in seam end-to-end on genuine media bytes:
   runs; what Pillow adds is breadth (palettes, 16-bit, interlace, other
   containers), not a different seam.
 - WAV: RIFF/PCM via the stdlib ``wave`` module (16-bit and 8-bit PCM).
+- BMP: BITMAPINFOHEADER+ BI_RGB, 24-bit BGR / 32-bit BGRA, bottom-up and
+  top-down row orders, 4-byte row padding — decoded to RGB(A).
 
 Feature heads (`png_feature`, `wav_feature`) reduce decoded pixels/samples
 to a fixed-dim float vector — per-channel moments for images, windowed RMS
@@ -177,3 +179,105 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a BMP byte-string -> (width, height, channels, RGB(A) pixel
+    bytes, top-down row order).
+
+    Supports the dominant on-disk variant: BITMAPINFOHEADER (or the larger
+    V4/V5 headers, which extend it compatibly), uncompressed BI_RGB,
+    24-bit BGR and 32-bit BGRA, bottom-up (positive height) and top-down
+    (negative height) layouts, rows padded to 4 bytes.  Anything else —
+    palettes, RLE, 16-bit — raises ``ValueError``: loud refusal beats
+    wrong pixels (same policy as :func:`decode_png`).
+    """
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (need BITMAPINFOHEADER+)")
+    width, height_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (planes={planes} bpp={bpp} compression={compression})"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height_raw}")
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3  # rows padded to 4 bytes
+    need = pixel_off + stride * height
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} bytes, need {need}")
+    out = bytearray(width * height * channels)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = data[pixel_off + src_y * stride : pixel_off + src_y * stride + width * channels]
+        base = y * width * channels
+        for x in range(width):
+            px = row[x * channels : (x + 1) * channels]
+            # BGR(A) on disk -> RGB(A) out
+            out[base + x * channels] = px[2]
+            out[base + x * channels + 1] = px[1]
+            out[base + x * channels + 2] = px[0]
+            if channels == 4:
+                out[base + x * channels + 3] = px[3]
+    return width, height, channels, bytes(out)
+
+
+def bmp_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Real-image feature head over decoded BMP pixels — same per-channel
+    mean/variance reduction as :func:`png_feature`, so the two container
+    formats produce comparable vectors for identical pixel content."""
+    _w, _h, channels, px = decode_bmp(data)
+    n = len(px) // channels
+    feats: list[float] = []
+    for c in range(channels):
+        vals = px[c::channels]
+        mean = sum(vals) / (255.0 * n)
+        var = sum((v / 255.0 - mean) ** 2 for v in vals) / n
+        feats.extend((mean, var))
+    while len(feats) < dim:
+        feats.append(feats[len(feats) % (2 * channels)])
+    return feats[:dim]
+
+
+def encode_bmp(width: int, height: int, channels: int, pixels: bytes, top_down: bool = False) -> bytes:
+    """Tiny BMP writer (BI_RGB, 24/32-bit) — fixture generator for tests;
+    the decoder above must round-trip anything this emits.  ``pixels`` is
+    RGB(A), top-down."""
+    if channels not in (3, 4):
+        raise ValueError("BMP fixture writer supports 3 or 4 channels")
+    stride = (width * channels + 3) & ~3
+    pad = b"\x00" * (stride - width * channels)
+    rows = []
+    y_range = range(height) if top_down else range(height - 1, -1, -1)
+    for y in y_range:
+        row = bytearray()
+        for x in range(width):
+            px = pixels[(y * width + x) * channels : (y * width + x + 1) * channels]
+            row += bytes((px[2], px[1], px[0])) + (px[3:4] if channels == 4 else b"")
+        rows.append(bytes(row) + pad)
+    body = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        channels * 8,
+        0,
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + body

@@ -260,3 +260,74 @@ def test_png_unfilter_property_all_filter_mixes(w, h, filters):
         + chunk(b"IEND", b"")
     )
     assert codecs.decode_png(blob) == (w, h, ch, px)
+
+
+# ------------------------------------------------------------------ BMP ----
+
+
+def test_bmp_roundtrip_24_and_32_bit_both_orientations():
+    """encode→decode identity for 24/32-bit, bottom-up AND top-down, at a
+    width whose row needs 4-byte padding (3*3=9 → stride 12)."""
+    px3 = _gradient_rgb(3, 5)
+    for td in (False, True):
+        assert codecs.decode_bmp(codecs.encode_bmp(3, 5, 3, px3, top_down=td)) == (
+            3, 5, 3, px3,
+        )
+    px4 = bytes((i * 7) % 256 for i in range(6 * 2 * 4))
+    assert codecs.decode_bmp(codecs.encode_bmp(6, 2, 4, px4)) == (6, 2, 4, px4)
+
+
+def test_bmp_rejects_unsupported_loudly():
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_bmp(b"notabmp")
+    good = bytearray(codecs.encode_bmp(2, 2, 3, bytes(12)))
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression=1"):
+        codecs.decode_bmp(bytes(rle))
+    short = bytes(good[: len(good) - 4])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_bmp(short)
+
+
+def test_bmp_and_png_features_agree_on_identical_pixels():
+    """Same pixel content through both containers → the same feature
+    vector (the heads reduce pixels, not container bytes)."""
+    px = _gradient_rgb(8, 8)
+    f_png = codecs.png_feature(codecs.encode_png(8, 8, 3, px), dim=8)
+    f_bmp = codecs.bmp_feature(codecs.encode_bmp(8, 8, 3, px), dim=8)
+    assert f_bmp == pytest.approx(f_png, abs=1e-12)
+
+
+def test_extract_features_e2e_with_real_bmp_codec(spark):
+    imgs = [
+        (0, codecs.encode_bmp(8, 8, 3, _gradient_rgb(8, 8))),
+        (1, codecs.encode_bmp(8, 8, 3, bytes(8 * 8 * 3))),
+    ]
+    df = spark.createDataFrame(imgs, "media_id long, content binary")
+    out = extract_features(df, codec=lambda b: codecs.bmp_feature(b, dim=8))
+    rows = {r["media_id"]: r["feature"] for r in out.collect()}
+    assert rows[1][0] == pytest.approx(0.0)
+    assert rows[0][0] == pytest.approx(0.5, abs=0.01) and rows[0][1] > 0.05
+
+
+def test_bmp_pillow_cross_check_if_available():
+    """If Pillow ever lands in the container, pin our decoder to it."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    px = _gradient_rgb(5, 4)
+    data = codecs.encode_bmp(5, 4, 3, px)
+    ref = PIL_Image.open(io.BytesIO(data)).convert("RGB").tobytes()
+    assert codecs.decode_bmp(data)[3] == ref
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 6),
+    ch=st.sampled_from([3, 4]),
+    td=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, ch, td, data):
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)))
+    assert codecs.decode_bmp(codecs.encode_bmp(w, h, ch, px, top_down=td)) == (w, h, ch, px)

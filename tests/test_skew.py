@@ -78,3 +78,21 @@ def test_skew_profile_flags_hot_key(spark):
     # uniform expectation is 1100/101 ≈ 10.9 rows/key -> hot is ~92x
     assert 80 < prof[0]["skew_x"] < 100
     assert prof[1]["n_rows"] == 1
+
+
+def test_salted_plan_shuffles_on_key_and_salt(spark):
+    """Pin the physical shape that makes salting work (r6 verdict item 5):
+    the exchange hash-partitions on (k, __salt) — so a hot k spreads over
+    `salts` shuffle partitions — and the join executes as a shuffled hash
+    join, not a broadcast (a broadcast would mean no shuffle was salted
+    and the test proves nothing)."""
+    large, small = _tables(spark)
+    out = salted_join(large, small, on="k", salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("k#" in p and "__salt#" in p for p in parts), (
+        "no exchange partitions on (k, __salt):\n" + plan
+    )

@@ -7,14 +7,23 @@ operators (Jaccard, MinHash-LSH, embedding LSH) would see Σdf² grow 100×
 for a 10× corpus and the study would measure fixture pathology instead of
 engine scaling:
 
-- documents: every token gets a per-replica suffix, so replicas share ZERO
-  shingles while each replica's internal token/shingle statistics stay
-  identical to the original;
-- embeddings: deterministic per-(replica, position) sign flips — norms and
-  within-replica geometry preserved, cross-replica cosine decorrelated.
+- documents: every token gets a per-replica ``_r<i>_`` suffix, so replicas
+  share ZERO shingles while each replica's internal token/shingle
+  statistics stay identical to the original (the delimited form is
+  unambiguous — round 6's bare ``<i>`` suffix let replica 1's ``x1`` + "1"
+  collide with an original ``x11``);
+- embeddings: deterministic per-(replica, position) sign flips keyed by
+  ``xxhash64(pos, i)`` — a diagonal ±1 orthogonal transform per replica, so
+  norms and within-replica inner products are preserved EXACTLY while
+  cross-replica cosine decorrelates.  (Round 6 used the parity of
+  ``p*odd + i*odd`` = ``(p+i) % 2``, which gives all even-i replicas ONE
+  shared sign pattern — exact cross-replica duplicates, the very pathology
+  the flips exist to prevent.)
 
-Usage: python tools/make_scale_fixture.py [out_dir] [factor]
-(defaults /tmp/scale_sf1, 10)
+Usage: python tools/make_scale_fixture.py [out_dir] [factor] [src_dir] [tables]
+(defaults /tmp/scale_sf1, 10, /root/testdata/sf0.1, all tables;
+``tables`` is a comma list, e.g. ``documents,embeddings`` for the
+100x decade-study fixture where only the corpus tables are needed)
 """
 
 from __future__ import annotations
@@ -42,6 +51,8 @@ KEY_OFFSETS: dict[str, list[str]] = {
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else SRC
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     from pyspark.sql import functions as F
 
@@ -52,24 +63,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for tbl in ("nation", "region"):
-        load_table(spark, SRC, tbl).write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+        if only is not None and tbl not in only:
+            continue
+        load_table(spark, src, tbl).write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
 
     for tbl, keys in KEY_OFFSETS.items():
-        base = load_table(spark, SRC, tbl)
+        if only is not None and tbl not in only:
+            continue
+        base = load_table(spark, src, tbl)
         parts = []
         for i in range(factor):
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(i * OFF))
             if tbl == "documents" and i > 0:
-                df = df.withColumn("text", F.regexp_replace("text", r"(\S+)", rf"$1{i}"))
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", rf"$1_r{i}_")
+                )
             if tbl == "embeddings" and i > 0:
-                # sign flip when (pos * 2654435761 + i * 40503) is odd
+                # per-replica diagonal +/-1 orthogonal transform: flip
+                # position p iff xxhash64(p, i) is odd — decorrelated
+                # ACROSS replicas (unlike a linear parity, which repeats
+                # every other replica), identical within one
                 df = df.withColumn(
                     "embedding",
                     F.expr(
                         "transform(embedding, (x, p) -> "
-                        f"CASE WHEN pmod(p * 2654435761 + {i} * 40503, 2) = 1 "
+                        f"CASE WHEN pmod(xxhash64(p, {i}), 2) = 1 "
                         "THEN -x ELSE x END)"
                     ),
                 )
