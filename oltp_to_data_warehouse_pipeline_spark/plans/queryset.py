@@ -8705,21 +8705,24 @@ def cms_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # ROUND 6 WINDOW: new registrations lead; the kmeans family
-    # (kmeans_embedding_clusters / kmeans_cluster_profile /
-    # cluster_balanced_sample, in the round-5 block just below) stays
-    # in-window because its dist² computation changed to the shared
-    # integer-quantized summation this round.  NB: insertion shifts
-    # positions — name queries, never count offsets, when reasoning about
-    # the 50-name window.
-    "bloom_pruned_order_revenue",
+    # ROUND 7 WINDOW: queries whose SEMANTICS or oracle changed this round
+    # lead (r6 advisor fixes): customers_without_orders now anti-joins on
+    # URGENT orders (the unfiltered form was vacuously 0-row),
+    # bloom_filter_audit gained the NULLIF degenerate-rate guard on both
+    # twins, order_value_bootstrap_ci drops nw=0 replicas on both twins.
+    # NB: insertion shifts positions — name queries, never count offsets,
+    # when reasoning about the 50-name window.
+    "customers_without_orders",
     "bloom_filter_audit",
+    "order_value_bootstrap_ci",
+    # ROUND 6 WINDOW (committed in CORRECTNESS_r06.json, kept near the
+    # front one more round while young).
+    "bloom_pruned_order_revenue",
     "orders_zorder_locality",
     "heavy_hitter_users",
     "cms_sketch_audit",
     "zorder_skipping_gain",
     "trending_event_types",
-    "order_value_bootstrap_ci",
     # ROUND 5 WINDOW: new registrations + implementations whose plan changed
     # this round lead (the driver samples the first 50 names; the parity
     # guard test in tests/test_entry.py enforces that every registered name
