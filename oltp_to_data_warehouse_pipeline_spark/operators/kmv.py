@@ -1,0 +1,180 @@
+"""K-minimum-values (KMV) distinct sketch — mergeable, ORACLE-EXACT
+cardinality estimation for rollups that must not rescan raw data.
+
+The exact way to serve "distinct users per arbitrary date window" is a
+full ``COUNT(DISTINCT)`` per window: every window re-shuffles every
+distinct key it covers, and windows cannot share work.  At 100 TB with
+per-day/per-hour rollups that is the dominant recurring cost.  A KMV
+sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 "distinct-value
+synopses") replaces it with a bounded relation:
+
+1. **Sketch** — hash each key with the engine-portable 48-bit md5 fold
+   (``util.md5_fold48``, seed ``"kmv|"``) and keep the ``k`` SMALLEST
+   distinct hash values per group: ≤ k rows per group, no matter how many
+   distinct keys exist.
+2. **Merge** — the k smallest hashes of a union are a subset of the union
+   of each part's k smallest, so re-ranking unioned day sketches yields a
+   week/month/window sketch WITHOUT touching raw data: k rows per day in,
+   k rows per window out.
+3. **Estimate** — with m = |sketch| < k the sketch is exhaustive and the
+   estimate is exact (= m); otherwise the k-th smallest hash ``h_k``
+   estimates density and ``est = (k-1) · 2^48 div h_k`` (integer
+   division — both engines floor positive quotients identically, so the
+   DuckDB twin replays the estimate bit-for-bit).
+
+Because merge-then-estimate is IDENTICAL to estimate-over-raw by the
+subset property above, the differential oracle computes from raw rows
+while the Spark plan merges stored day sketches — a hash mismatch would
+catch either a broken fold or a broken merge.
+
+Scale path: building the sketch naively ranks ALL distinct (group, hash)
+pairs — the same shuffle as one exact COUNT(DISTINCT), acceptable once
+but not what a sketch build should cost.  ``kmv_sketch(prefilter=True)``
+bounds it coarse-then-exact, in the house style of
+:mod:`operators.bloomjoin` / :mod:`operators.sketch`:
+
+- a map-side-partial ``approx_count_distinct`` (HLL, rsd 2%) sizes each
+  group, and only hashes below ``t = 4k/est · 2^48`` enter the
+  distinct+rank (expected ≈ 4k survivors per group — the exchange carries
+  O(k) rows per group instead of every distinct key);
+- the threshold only needs to keep the true k smallest, i.e. ``est < 4n``
+  — impossible to violate at rsd 2% — but the plan still VERIFIES it:
+  groups whose survivor count lands under k while their threshold was
+  active are rescued with their unfiltered hash set (a plan-side
+  anti/semi split on the tiny per-group audit relation), so the output is
+  bit-identical to the unfiltered formulation by construction, not by
+  probabilistic argument.
+
+Estimator error is the standard KMV ~1/sqrt(k-2) relative sd
+(tests/test_kmv.py asserts it statistically — the round-6 bootstrap
+lesson: the cross-engine gate proves agreement, not validity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.util import md5_fold48
+
+HASH_SPACE = 1 << 48  # md5_fold48 range: [0, 2^48)
+_SAFETY = 4  # threshold headroom over the HLL estimate (rsd 0.02)
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """The sketch hash: seeded engine-portable 48-bit md5 fold."""
+    return md5_fold48(key, "kmv|")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    k: int = 64,
+    prefilter: bool = True,
+) -> DataFrame:
+    """``(group…, h)`` — the ≤ k smallest distinct key hashes per group.
+
+    ``prefilter=True`` is the scale path (HLL-sized hash threshold +
+    under-k rescue, module docstring); ``False`` is the plain formulation
+    the oracle replays.  Both return the same relation by construction.
+    """
+    g = [F.col(c) for c in group_cols]
+    raw = df.where(F.col(key).isNotNull()).select(*g, kmv_hash(key).alias("h"))
+    if prefilter:
+        # Coarse: per-group HLL estimate -> hash admission threshold.
+        # Map-side partial aggregation; the exchange carries one HLL
+        # register set per group, independent of key cardinality.  The
+        # threshold filter applies SCAN-SIDE, before any distinct shuffle —
+        # that ordering is the whole point of the sketch build.
+        thresholds = (
+            df.where(F.col(key).isNotNull())
+            .groupBy(*g)
+            .agg(F.approx_count_distinct(key, rsd=0.02).alias("__acd"))
+            .withColumn(
+                "__t",
+                F.when(F.col("__acd") <= _SAFETY * k, F.lit(HASH_SPACE)).otherwise(
+                    (F.lit(float(_SAFETY * k * HASH_SPACE)) / F.col("__acd")).cast("bigint")
+                ),
+            )
+            .select(*g, "__t")
+        )
+        survivors = (
+            raw.join(F.broadcast(thresholds), group_cols)
+            .where(F.col("h") < F.col("__t"))
+            .select(*group_cols, "h")
+            .distinct()
+        )
+        # Exact-verify the coarse step: a group whose active threshold
+        # (< HASH_SPACE) admitted fewer than k distinct hashes COULD have
+        # lost part of its true k-minimum set; rescue it with its
+        # unfiltered hash set.  The audit relation is one row per group
+        # (bounded), so both joins broadcast.  At rsd 2% the rescue branch
+        # is empty; it exists so the equality with the plain formulation is
+        # structural, not probabilistic.
+        audit = (
+            survivors.groupBy(*g)
+            .agg(F.count(F.lit(1)).alias("__nsurv"))
+            .join(F.broadcast(thresholds), group_cols)
+            .where((F.col("__nsurv") < k) & (F.col("__t") < HASH_SPACE))
+            .select(*group_cols)
+        )
+        kept = survivors.join(F.broadcast(audit), group_cols, "left_anti")
+        rescued = (
+            raw.join(F.broadcast(audit), group_cols, "left_semi")
+            .select(*group_cols, "h")
+            .distinct()
+        )
+        hashes = kept.select(*group_cols, "h").unionByName(rescued)
+    else:
+        hashes = raw.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Re-sketch a union of sketches under a coarser grouping — e.g. day
+    sketches whose ``month`` column replaces ``day`` in ``group_cols``.
+    Input is ≤ k rows per fine group, so the rank shuffle is sketch-sized.
+    ``distinct()`` first: the same key hash can appear under many fine
+    groups."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        sketch.select(*group_cols, "h")
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """``(group…, est_distinct)`` from a ≤ k-row-per-group sketch.
+
+    ``m < k`` ⇒ the sketch is the full hash set ⇒ estimate exact.
+    Otherwise ``(k-1)·2^48 div h_k`` — BIGINT integer division, identical
+    in both engines for positive operands (``h_k ≥ 1``: the fold of any
+    key is ≥ 0 and a 0 hash would need md5 = '000000000000…', guarded with
+    greatest() anyway)."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = sketch.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    per = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.max(F.when(F.col("__r") == k, F.col("h"))).alias("__hk"),
+    )
+    # (k-1)*2^48 exceeds 2^53 — `/` (double) would lose low bits, so the
+    # quotient runs in BIGINT `div`, which both engines floor identically.
+    num = (k - 1) * HASH_SPACE
+    return per.select(
+        *group_cols,
+        F.when(F.col("__m") < k, F.col("__m"))
+        .otherwise(
+            F.expr(f"CAST({num} AS BIGINT) div greatest(__hk, CAST(1 AS BIGINT))")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

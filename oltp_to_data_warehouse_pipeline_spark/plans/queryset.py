@@ -8697,6 +8697,167 @@ def cms_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_candidate_audit(ev, "user_id", min_count=84, width=8192, depth=3)
 
 
+_KMV_K = 64
+# (k-1) * 2^48 — the KMV estimator numerator, BIGINT-exact on both engines.
+_KMV_NUM = (_KMV_K - 1) * (1 << 48)
+_KMV_EST = (
+    f"CAST(CASE WHEN m < {_KMV_K} THEN m "
+    f"ELSE {_KMV_NUM} // greatest(hk, CAST(1 AS BIGINT)) END AS BIGINT)"
+)
+_KMV_H = _DUCK_FOLD.format(expr="'kmv|' || CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "kmv_daily_users",
+    f"""
+    WITH hs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, {_KMV_H} AS h
+      FROM events WHERE user_id IS NOT NULL),
+    ranked AS (
+      SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS r FROM hs),
+    sk AS (
+      SELECT d, count(*) AS m,
+             max(CASE WHEN r = {_KMV_K} THEN h END) AS hk
+      FROM ranked WHERE r <= {_KMV_K} GROUP BY 1),
+    exact AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT strftime(sk.d, '%Y-%m-%d') AS day,
+           {_KMV_EST} AS kmv_users,
+           exact_users,
+           round((100.0 * ({_KMV_EST} - exact_users)) / exact_users, 2) + 0.0 AS err_pct
+    FROM sk JOIN exact ON sk.d = exact.d
+    """,
+)
+def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users via a k-minimum-values sketch
+    (:mod:`operators.kmv`), audited against the exact DAU.  The sketch
+    build is the scale path (HLL-sized scan-side hash threshold + under-k
+    rescue — the exchange carries O(k) hashes per day, not every distinct
+    key), and the DuckDB oracle replays the PLAIN formulation (rank all
+    distinct hashes), so the gate proves the coarse path loses nothing —
+    the same coarse-structure-then-exact-verify contract as
+    `heavy_hitter_users`.  The exact_users column is the audit half: at
+    100 TB you'd keep only the sketch relation (k rows/day) and never
+    recompute exact distincts per window."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    sk = kmv.kmv_sketch(ev, "user_id", ["d"], k=_KMV_K, prefilter=True)
+    est = kmv.kmv_estimate(sk, ["d"], k=_KMV_K).withColumnRenamed(
+        "est_distinct", "kmv_users"
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return est.join(exact, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "kmv_users",
+        "exact_users",
+        (
+            F.round(
+                (F.lit(100.0) * (F.col("kmv_users") - F.col("exact_users")))
+                / F.col("exact_users"),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("err_pct"),
+    )
+
+
+@query(
+    "kmv_rolling_7d_users",
+    f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    hs AS (
+      SELECT DISTINCT w.d AS target, {_KMV_H} AS h
+      FROM events e
+      JOIN days w ON CAST(e.ts AS DATE) BETWEEN w.d - 6 AND w.d
+      WHERE e.user_id IS NOT NULL),
+    ranked AS (
+      SELECT target, h,
+             row_number() OVER (PARTITION BY target ORDER BY h) AS r FROM hs),
+    sk AS (
+      SELECT target, count(*) AS m,
+             max(CASE WHEN r = {_KMV_K} THEN h END) AS hk
+      FROM ranked WHERE r <= {_KMV_K} GROUP BY 1),
+    exact AS (
+      SELECT w.d AS target,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+      FROM events e
+      JOIN days w ON CAST(e.ts AS DATE) BETWEEN w.d - 6 AND w.d
+      WHERE e.user_id IS NOT NULL GROUP BY 1)
+    SELECT strftime(sk.target, '%Y-%m-%d') AS day,
+           {_KMV_EST} AS kmv_users,
+           exact_users,
+           round((100.0 * ({_KMV_EST} - exact_users)) / exact_users, 2) + 0.0 AS err_pct
+    FROM sk JOIN exact ON sk.target = exact.target
+    """,
+)
+def kmv_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, served by MERGING stored
+    per-day KMV sketches (k rows/day in, k rows/window out) — the rollup
+    `daily_active_users`' docstring promises for 100 TB: arbitrary
+    date-window distincts WITHOUT re-shuffling raw events per window.
+
+    Spark merges day sketches (each day's sketch fans out to the ≤7
+    windows it serves — a bounded explode over a ≤ k-row relation); the
+    oracle ranks ALL distinct hashes of each window's raw rows directly.
+    Their equality is exactly the KMV merge theorem (a union's k smallest
+    hashes are each among their own part's k smallest) holding over the
+    real fold — plus the build prefilter's losslessness, both verified by
+    the hash gate.  The exact_users column is the audit half; it
+    re-aggregates raw rows per window by design (the sketch path is what
+    ships)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    days = ev.select("d").distinct()
+    day_sk = kmv.kmv_sketch(ev, "user_id", ["d"], k=_KMV_K, prefilter=True)
+    # Each day sketch serves the 7 trailing windows it falls in; windows
+    # are restricted to days that exist (broadcast ~|days| rows).
+    fanned = (
+        day_sk.withColumn(
+            "target", F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)"))
+        )
+        .join(F.broadcast(days.withColumnRenamed("d", "target")), "target", "left_semi")
+        .select("target", "h")
+    )
+    merged = kmv.kmv_merge(fanned, ["target"], k=_KMV_K)
+    est = kmv.kmv_estimate(merged, ["target"], k=_KMV_K).withColumnRenamed(
+        "est_distinct", "kmv_users"
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .withColumn(
+            "target", F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)"))
+        )
+        .join(F.broadcast(days.withColumnRenamed("d", "target")), "target", "left_semi")
+        .groupBy("target")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return est.join(exact, "target").select(
+        F.date_format("target", "yyyy-MM-dd").alias("day"),
+        "kmv_users",
+        "exact_users",
+        (
+            F.round(
+                (F.lit(100.0) * (F.col("kmv_users") - F.col("exact_users")))
+                / F.col("exact_users"),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("err_pct"),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -8712,6 +8873,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # twins, order_value_bootstrap_ci drops nw=0 replicas on both twins.
     # NB: insertion shifts positions — name queries, never count offsets,
     # when reasoning about the 50-name window.
+    "kmv_daily_users",
+    "kmv_rolling_7d_users",
     "customers_without_orders",
     "bloom_filter_audit",
     "order_value_bootstrap_ci",

@@ -1,0 +1,99 @@
+"""KMV distinct sketch: prefilter losslessness, merge-theorem equality,
+rescue-path exactness, and (the round-6 bootstrap lesson) the ESTIMATOR'S
+statistical validity — the cross-engine gate proves agreement, not that
+the estimate means anything."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+SF = "/root/testdata/sf0.001"
+K = 64
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_prefilter_is_lossless(spark):
+    """The HLL-sized hash threshold must produce the SAME sketch as the
+    plain rank-everything formulation — the operator's whole contract."""
+    ev = load_table(spark, SF, "events").withColumn("d", F.col("ts").cast("date"))
+    fast = kmv.kmv_sketch(ev, "user_id", ["d"], k=K, prefilter=True)
+    plain = kmv.kmv_sketch(ev, "user_id", ["d"], k=K, prefilter=False)
+    assert _rows(fast) == _rows(plain)
+
+
+def test_sketch_is_bounded(spark):
+    ev = load_table(spark, SF, "events").withColumn("d", F.col("ts").cast("date"))
+    sk = kmv.kmv_sketch(ev, "user_id", ["d"], k=K)
+    per = sk.groupBy("d").count().agg(F.max("count")).collect()[0][0]
+    assert per <= K
+
+
+def test_rescue_path_exactness(spark):
+    """Force the coarse threshold to under-admit (safety factor can't save
+    a deliberately broken estimate, but the under-k rescue must): shrink k
+    so thresholds activate, and check against the plain formulation on a
+    skewed synthetic where one group is 100x another."""
+    rows = [(g, v) for g in ("a", "b") for v in range(2000 if g == "a" else 20)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    for k in (4, 16):
+        fast = kmv.kmv_sketch(df, "v", ["g"], k=k, prefilter=True)
+        plain = kmv.kmv_sketch(df, "v", ["g"], k=k, prefilter=False)
+        assert _rows(fast) == _rows(plain), f"k={k}"
+
+
+def test_merge_equals_direct(spark):
+    """The merge theorem over the real fold: re-sketching unioned per-day
+    sketches under a coarser group == sketching the raw rows under it."""
+    ev = load_table(spark, SF, "events").withColumn("d", F.col("ts").cast("date"))
+    ev = ev.withColumn("w", F.weekofyear("d"))
+    day_sk = kmv.kmv_sketch(ev, "user_id", ["d", "w"], k=K)
+    merged = kmv.kmv_merge(day_sk.select("w", "h"), ["w"], k=K)
+    direct = kmv.kmv_sketch(ev, "user_id", ["w"], k=K, prefilter=False)
+    assert _rows(merged.select("w", "h")) == _rows(direct.select("w", "h"))
+
+
+def test_small_groups_are_exact(spark):
+    """m < k ⇒ the sketch is exhaustive and the estimate IS the exact
+    distinct count."""
+    ev = load_table(spark, SF, "events")
+    n_users = ev.where(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    k = n_users + 10
+    one = ev.withColumn("g", F.lit(1))
+    sk = kmv.kmv_sketch(one, "user_id", ["g"], k=k)
+    est = kmv.kmv_estimate(sk, ["g"], k=k).collect()[0]["est_distinct"]
+    assert est == n_users
+
+
+def test_estimator_statistical_validity(spark):
+    """On n >> k synthetic distinct values the estimate must land within
+    a few standard errors of truth (KMV rel. sd ~ 1/sqrt(k-2)), and a
+    larger k must not do worse by more than noise.  Deterministic: the
+    'sample' is the md5 fold of a fixed value set."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    for k, tol_sd in ((64, 4.0), (512, 4.0)):
+        sk = kmv.kmv_sketch(df, "v", ["g"], k=k)
+        est = kmv.kmv_estimate(sk, ["g"], k=k).collect()[0]["est_distinct"]
+        rel = abs(est - n) / n
+        sd = 1.0 / (k - 2) ** 0.5
+        assert rel < tol_sd * sd, f"k={k}: rel err {rel:.3f} vs {tol_sd} sd {tol_sd*sd:.3f}"
+    # and the k=512 estimate is strictly tighter than k=64's bound allows
+    sk = kmv.kmv_sketch(df, "v", ["g"], k=512)
+    est = kmv.kmv_estimate(sk, ["g"], k=512).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 4.0 / (512 - 2) ** 0.5
+
+
+def test_null_keys_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", "x"), ("a", "y")], "g string, v string"
+    )
+    sk = kmv.kmv_sketch(df, "v", ["g"], k=8)
+    assert sk.count() == 2
