@@ -1,0 +1,86 @@
+"""Sweep-line interval analytics — concurrency over half-open intervals
+without a pair join.
+
+"How many sessions/calls/jobs were open at each moment" is an interval
+overlap question; the naive formulation self-joins intervals on
+``a.start < b.end AND b.start < a.end`` — O(n²) candidate pairs and, with
+no equi-key, a broadcast-nested-loop plan that cannot survive scale.  The
+sweep line answers it with GROUPED aggregations only: every interval
+contributes a ``+1`` boundary at its start and a ``-1`` at its end, and
+the running sum of per-instant nets IS the concurrency curve (half-open
+``[start, end)``: an interval ending at T and one starting at T never
+overlap, which falls out of both deltas landing in the same per-``ts``
+net before the cumulative sum is taken).
+
+The prefix sum itself is the scale hazard: a single global
+``ORDER BY ts`` window puts every boundary in ONE task.  This operator
+runs it two-phase, the distributed-prefix-sum shape:
+
+1. within-bucket running sums — ``Window.partitionBy(bucket)`` over
+   time-bucketed boundaries (parallel across buckets);
+2. bucket offsets — exclusive cumulative of PER-BUCKET TOTALS, a relation
+   with one row per bucket (days/hours), small by construction; only this
+   tiny relation crosses a single-partition window, and it broadcasts
+   back onto phase 1.
+
+The DuckDB twin replays the plain single-window formulation — equality is
+the two-phase decomposition's correctness proof, in the same
+oracle-replays-the-plain-form contract as :mod:`operators.sketch`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def concurrency_timeline(
+    df: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket: str = "day",
+) -> DataFrame:
+    """``(ts, concurrent)`` — open-interval count immediately AFTER each
+    boundary instant, half-open ``[start, end)`` semantics.  One row per
+    distinct boundary timestamp; ``bucket`` (a ``date_trunc`` unit) sizes
+    the parallel phase of the prefix sum — pick it so one bucket's
+    boundaries fit a task (hour/day), and so the bucket-count relation
+    stays broadcast-small."""
+    b = df.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta")).unionByName(
+        df.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    )
+    # Per-instant net FIRST: collapsing simultaneous boundaries before any
+    # ordering makes the running sum independent of intra-instant order —
+    # ties are where naive sweep implementations diverge between engines.
+    net = (
+        b.groupBy("ts")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+        .withColumn("__b", F.date_trunc(bucket, F.col("ts")))
+    )
+    w_in = Window.partitionBy("__b").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = net.withColumn("__run", F.sum("net").over(w_in))
+    # Exclusive prefix of bucket totals: the ONLY single-partition window,
+    # over one row per bucket.
+    totals = net.groupBy("__b").agg(F.sum("net").alias("__tot"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_b), F.lit(0))
+    ).select("__b", "__off")
+    return run.join(F.broadcast(offsets), "__b").select(
+        "ts", (F.col("__off") + F.col("__run")).cast("bigint").alias("concurrent")
+    )
+
+
+def concurrency_peaks(
+    df: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    top_n: int = 20,
+    bucket: str = "day",
+) -> DataFrame:
+    """The ``top_n`` highest-concurrency boundary instants, ties broken by
+    earliest instant — TakeOrdered over the timeline, no global sort."""
+    tl = concurrency_timeline(df, start_col, end_col, bucket)
+    return tl.orderBy(F.col("concurrent").desc(), F.col("ts").asc()).limit(top_n)

@@ -8858,6 +8858,153 @@ def kmv_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_concurrency_peaks",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT min(ts) AS st, max(ts) + INTERVAL '30 minutes' AS en
+      FROM s GROUP BY user_id, sid
+    ),
+    b AS (
+      SELECT st AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT en AS ts, -1 AS delta FROM sess
+    ),
+    n AS (SELECT ts, CAST(sum(delta) AS BIGINT) AS net FROM b GROUP BY ts),
+    c AS (
+      SELECT ts,
+             CAST(sum(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS concurrent
+      FROM n
+    )
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, concurrent
+    FROM c ORDER BY concurrent DESC, ts ASC LIMIT 20
+    """,
+)
+def session_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions — the capacity-planning number — via the
+    sweep line (:mod:`operators.intervals`): interval overlap counting
+    with GROUPED aggregations only, no pair join (the naive self-join on
+    ``a.st < b.en AND b.st < a.en`` has no equi-key and degenerates to a
+    nested-loop at scale).  The Spark prefix sum is two-phase (per-day
+    partials + a broadcast bucket-offset relation — the only global
+    ordering touches one row per day); the oracle replays the plain
+    single-window cumulative sum over the `user_sessions` gaps-and-islands
+    sessionization, so the gate proves the distributed decomposition and
+    the half-open tie handling both match the textbook form."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import intervals
+    from oltp_to_data_warehouse_pipeline_spark.streaming import windows
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = windows.session_counts(
+        ev, gap="30 minutes", group_cols=("user_id",), watermark=None
+    )
+    peaks = intervals.concurrency_peaks(
+        sess, "session_start", "session_end", top_n=20, bucket="day"
+    )
+    return peaks.select(
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"), "concurrent"
+    )
+
+
+_DUCK_SHINGLES = """
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM documents"""
+
+
+@query(
+    "prefix_filter_near_pairs",
+    f"""
+    WITH sh AS ({_DUCK_SHINGLES}
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def prefix_filter_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard ≥ 0.5 pairs via PREFIX FILTERING
+    (:mod:`operators.setjoin`): only each doc's rarest
+    ``n − ceil(τ·n) + 1`` shingles enter the candidate join, a lossless
+    prune by the prefix-filter theorem — unlike `ngram_jaccard_pairs`'
+    ``max_df`` cap, which drops boilerplate postings by FIAT.  The oracle
+    is the PLAIN all-pairs formulation (no prefix anywhere), so the gate
+    proves the theorem lost no pair over the real corpus."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import setjoin
+
+    d = load_table(spark, sf_dir, "documents")
+    return setjoin.prefix_filter_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@query(
+    "prefix_filter_audit",
+    f"""
+    WITH sh AS ({_DUCK_SHINGLES}
+    ),
+    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+    ranked AS (
+      SELECT doc, sh,
+             row_number() OVER (PARTITION BY doc ORDER BY df, sh) AS rn,
+             count(*) OVER (PARTITION BY doc) AS n
+      FROM sh JOIN dfreq USING (sh)),
+    prefix AS (SELECT doc, sh FROM ranked WHERE rn <= n - ceil(0.5 * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc < b.doc),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2),
+    surv AS (
+      SELECT doc_a, doc_b
+      FROM pairs JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sh) AS postings_all,
+           (SELECT CAST(count(*) AS BIGINT) FROM prefix) AS postings_prefix,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_pairs
+    """,
+)
+def prefix_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filter sizing audit: total postings vs prefix postings (the
+    quadratic term the candidate join actually pays), candidates admitted,
+    pairs surviving exact verify.  The oracle REPLAYS the prefix logic
+    (same (df, shingle) order, same ceil arithmetic), so rank-order drift
+    between engines — the classic tie-break bug in prefix filtering —
+    fails the hash gate here before it could silently change candidates
+    in `prefix_filter_near_pairs`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import setjoin
+
+    d = load_table(spark, sf_dir, "documents")
+    return setjoin.prefix_filter_audit(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -8875,6 +9022,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # when reasoning about the 50-name window.
     "kmv_daily_users",
     "kmv_rolling_7d_users",
+    "session_concurrency_peaks",
+    "prefix_filter_near_pairs",
+    "prefix_filter_audit",
     "customers_without_orders",
     "bloom_filter_audit",
     "order_value_bootstrap_ci",
