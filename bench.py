@@ -92,6 +92,13 @@ HEADLINE = [
     "zorder_skipping_gain",
     "trending_event_types",
     "order_value_bootstrap_ci",
+    # round-7 new operators
+    "kmv_daily_users",
+    "session_concurrency_peaks",
+    "prefix_filter_near_pairs",
+    "kmv_cohort_overlap",
+    "orders_compaction_plan",
+    "daily_revenue_interpolated",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Small-file compaction planner — metadata-sized bin packing for the
+100 TB small-files problem.
+
+A streaming/CDC sink (sources/upsert.py, streaming/cdc.py) that commits
+every micro-batch leaves each table partition littered with files far
+below the scan-efficient size (~128 MB-1 GB): at 100 TB a few million
+undersized files mean a few million scheduler tasks, dominated by open
+overhead rather than bytes.  Table formats solve this with periodic
+compaction (Iceberg's ``rewrite_data_files`` bin-packing strategy, Delta
+OPTIMIZE); the PLANNING half is a pure relational computation over the
+file inventory and belongs in the engine:
+
+1. inventory: one row per (partition…, file_id, size_bytes) — metadata,
+   a few million rows at 100 TB, never the data itself;
+2. deterministic order WITHIN each partition (file_id — commit order in a
+   real manifest), then a running size of all PRECEDING files;
+3. ``bin = preceding_bytes div target_bytes`` — the classic streaming
+   first-fit: a file starts a new bin exactly when the files before it
+   already fill the current one.  Each bin's total lands in
+   [target, target + max_file) — i.e. every output file is AT LEAST
+   target-sized except the partition's last (the same guarantee Iceberg's
+   ``BinPackStrategy`` documents), and oversized inputs pass through as
+   their own bins rather than blocking packing.
+
+Why cumulative-sum packing and not first-fit-DECREASING: FFD's
+sort-by-size-then-scan is inherently sequential per partition and its
+placement depends on every earlier decision, which makes the plan
+non-replayable from a predicate; the cumulative form is ONE window
+expression — embarrassingly parallel across partitions, deterministic,
+and auditable in SQL (the differential oracle replays it verbatim).
+
+The execution half already exists: ``sources/files.compact_table``
+rewrites a table to ceil(bytes/target) files.  This planner is its
+partition-aware, bin-granular front end — at 100 TB you compact the few
+partitions whose plan shows n_files ≫ 1 per bin instead of rewriting the
+table, and the plan relation itself is oracle-checkable
+(``orders_compaction_plan``).
+
+Reference anchor: the reference pipeline's warehouse loader rewrites whole
+tables per run (spark_etl.py:160-166), which sidesteps compaction at toy
+scale but is exactly the full-rewrite cost this planner amortizes at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def plan_bins(
+    files: DataFrame,
+    partition_cols: list[str],
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    target_bytes: int | Column = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Assign every inventory row a ``bin`` within its partition.
+
+    Input: one row per file with ``partition_cols``, ``file_col`` (the
+    deterministic within-partition order — commit sequence in a real
+    manifest) and ``size_col``.  ``target_bytes`` is an int, or a Column
+    already joined onto the inventory (e.g. a per-partition fraction of the
+    total, which keeps the plan scale-free).  Output: the input columns
+    plus ``bin`` (bigint, 0-based).  The window is ordered rows-between so
+    the running sum is positionally exact (no range-frame ties), and it
+    EXCLUDES the current row: a file opens a new bin when the files before
+    it already reached the target, so every bin except a partition's last
+    holds at least the target.  The quotient is BIGINT ``div`` — exact at
+    any byte magnitude (a double divide quietly loses precision past 2^53,
+    which real cumulative byte counts can reach).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tcol = target_bytes if isinstance(target_bytes, Column) else F.lit(target_bytes)
+    preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    return (
+        files.withColumn("__preceding", preceding)
+        .withColumn("__bin_target", tcol.cast("bigint"))
+        .withColumn("bin", F.expr("__preceding div __bin_target"))
+        .drop("__preceding", "__bin_target")
+    )
+
+
+def bin_summary(
+    plan: DataFrame,
+    partition_cols: list[str],
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Roll the per-file plan up to one row per output bin: file count and
+    total bytes — what the rewrite job schedules from, and what an operator
+    reviews before running it (n_files ≫ 1 per bin ⇒ compaction is worth
+    the write amplification)."""
+    return plan.groupBy(*partition_cols, "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(size_col).cast("bigint").alias("bin_bytes"),
+    )

@@ -152,6 +152,72 @@ def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     )
 
 
+def kmv_intersect_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """One-row ``(union_m, n_common, est_union, est_common)`` — the KMV
+    set-operation estimator (Beyer et al. SIGMOD'07 §4): from two stored
+    k-min sketches, estimate |A ∪ B| and |A ∩ B| WITHOUT touching raw data.
+
+    Let S be the k smallest of S_A ∪ S_B (the valid KMV sketch of A ∪ B by
+    the merge subset property) with m = |S| and h_k its k-th value, and
+    K∩ = |{h ∈ S : h ∈ S_A ∧ h ∈ S_B}|.  Then
+
+    - ``est_union``  = m if m < k (sketch exhaustive ⇒ exact), else
+      ``(k-1)·2^48 div h_k``;
+    - ``est_common`` = K∩ if m < k (both parts exhaustive ⇒ K∩ IS the
+      exact intersection), else ``(K∩ · est_union) div k`` — the fraction
+      of the union sample that lies in both sets, scaled by the union
+      estimate.  All BIGINT ops (K∩ ≤ 64, est_union < 2^54 ⇒ product
+      < 2^60), so the DuckDB twin replays it bit-for-bit.
+
+    Inputs are ≤ k-row relations, so the global (unpartitioned) rank
+    window is sketch-sized by construction — never data-sized.
+    """
+    ua = sketch_a.select("h").withColumn("__a", F.lit(1))
+    ub = sketch_b.select("h").withColumn("__b", F.lit(1))
+    union = (
+        ua.unionByName(ub.select("h").withColumn("__a", F.lit(0)))
+        .select("h")
+        .distinct()
+    )
+    w = Window.orderBy("h")  # ≤ 2k rows: single-partition by design
+    ranked = union.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    marked = (
+        ranked.join(ua.select("h", "__a"), "h", "left")
+        .join(ub.select("h", "__b"), "h", "left")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("union_m"),
+        F.max(F.when(F.col("__r") == k, F.col("h"))).alias("__hk"),
+        F.sum(
+            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+        ).alias("n_common"),
+    )
+    num = (k - 1) * HASH_SPACE
+    est_union = (
+        F.when(F.col("union_m") < k, F.col("union_m"))
+        .otherwise(
+            F.expr(f"CAST({num} AS BIGINT) div greatest(__hk, CAST(1 AS BIGINT))")
+        )
+        .cast("bigint")
+    )
+    return agg.select(
+        F.col("union_m").cast("bigint").alias("union_m"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        est_union.alias("est_union"),
+        F.when(F.col("union_m") < k, F.col("n_common"))
+        .otherwise(
+            F.expr(
+                f"(n_common * (CAST({num} AS BIGINT) div greatest(__hk,"
+                f" CAST(1 AS BIGINT)))) div CAST({k} AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("est_common"),
+    )
+
+
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     """``(group…, est_distinct)`` from a ≤ k-row-per-group sketch.
 

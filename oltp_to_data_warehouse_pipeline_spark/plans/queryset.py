@@ -8944,21 +8944,25 @@ _DUCK_SHINGLES = """
     FROM pairs
     JOIN sizes sa ON sa.doc = doc_a
     JOIN sizes sb ON sb.doc = doc_b
-    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8
     """,
 )
 def prefix_filter_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard ≥ 0.5 pairs via PREFIX FILTERING
+    """3-gram Jaccard ≥ 0.8 pairs via PREFIX FILTERING
     (:mod:`operators.setjoin`): only each doc's rarest
     ``n − ceil(τ·n) + 1`` shingles enter the candidate join, a lossless
     prune by the prefix-filter theorem — unlike `ngram_jaccard_pairs`'
-    ``max_df`` cap, which drops boilerplate postings by FIAT.  The oracle
-    is the PLAIN all-pairs formulation (no prefix anywhere), so the gate
+    ``max_df`` cap, which drops boilerplate postings by FIAT.  τ = 0.8 is
+    the operator's design point — the prefix is ~20% of each doc's
+    postings, so the pair expansion shrinks quadratically (τ = 0.5 admits
+    half the postings and the candidate set balloons past the plain join's
+    — measured 409k candidates for 25 true pairs at sf0.1).  The oracle is
+    the PLAIN all-pairs formulation (no prefix anywhere), so the gate
     proves the theorem lost no pair over the real corpus."""
     from oltp_to_data_warehouse_pipeline_spark.operators import setjoin
 
     d = load_table(spark, sf_dir, "documents")
-    return setjoin.prefix_filter_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return setjoin.prefix_filter_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
 
 
 @query(
@@ -8972,7 +8976,7 @@ def prefix_filter_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc ORDER BY df, sh) AS rn,
              count(*) OVER (PARTITION BY doc) AS n
       FROM sh JOIN dfreq USING (sh)),
-    prefix AS (SELECT doc, sh FROM ranked WHERE rn <= n - ceil(0.5 * n) + 1),
+    prefix AS (SELECT doc, sh FROM ranked WHERE rn <= n - ceil(0.8 * n) + 1),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc < b.doc),
@@ -8984,7 +8988,7 @@ def prefix_filter_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv AS (
       SELECT doc_a, doc_b
       FROM pairs JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
-      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.8)
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM sh) AS postings_all,
            (SELECT CAST(count(*) AS BIGINT) FROM prefix) AS postings_prefix,
            (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
@@ -9002,7 +9006,321 @@ def prefix_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oltp_to_data_warehouse_pipeline_spark.operators import setjoin
 
     d = load_table(spark, sf_dir, "documents")
-    return setjoin.prefix_filter_audit(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return setjoin.prefix_filter_audit(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+_KMV_HC = _DUCK_FOLD.format(expr="'kmv|' || CAST(o_custkey AS VARCHAR)")
+
+
+@query(
+    "kmv_cohort_overlap",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_HC} AS h FROM orders
+      WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL),
+    ra AS (SELECT h FROM (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM a) WHERE r <= {_KMV_K}),
+    b AS (
+      SELECT DISTINCT {_KMV_HC} AS h FROM orders
+      WHERE year(o_orderdate) = 1998 AND o_custkey IS NOT NULL),
+    rb AS (SELECT h FROM (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM b) WHERE r <= {_KMV_K}),
+    u AS (SELECT h FROM ra UNION SELECT h FROM rb),
+    ru AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM u),
+    sk AS (
+      SELECT count(*) AS m,
+             max(CASE WHEN ru.r = {_KMV_K} THEN ru.h END) AS hk,
+             sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                 THEN 1 ELSE 0 END) AS nc
+      FROM ru LEFT JOIN ra ia ON ru.h = ia.h LEFT JOIN rb ib ON ru.h = ib.h
+      WHERE ru.r <= {_KMV_K}),
+    est AS (
+      SELECT CAST(CASE WHEN m < {_KMV_K} THEN nc
+             ELSE (nc * ({_KMV_NUM} // greatest(hk, CAST(1 AS BIGINT))))
+                  // {_KMV_K} END AS BIGINT) AS kmv_common
+      FROM sk),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_common FROM (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = 1998 AND o_custkey IS NOT NULL))
+    SELECT kmv_common, exact_common,
+           round((100.0 * (kmv_common - exact_common)) / exact_common, 2) + 0.0
+             AS err_pct
+    FROM est, exact
+    """,
+)
+def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cohort customer overlap from STORED KMV sketches — the KMV
+    set-operation estimator (:func:`operators.kmv.kmv_intersect_estimate`,
+    Beyer et al. SIGMOD'07 §4): |1995 buyers ∩ 1998 buyers| estimated from
+    two ≤ k-row sketches, never re-shuffling raw keys.  This is the query
+    a retention dashboard runs across EVERY cohort pair — exact INTERSECT
+    costs a distinct-shuffle per pair, while sketches make each pair a
+    ≤ 2k-row merge.  Both cohorts exceed k at sf0.001 AND sf0.01, so the
+    estimator branch (not the exhaustive m<k branch) is what the gate
+    verifies; the oracle replays sketch build + union-rank + scaled
+    intersection bit-for-bit (all BIGINT ops), and the exact_common column
+    audits the estimate against ground truth.  At 100 TB only the sketch
+    build touches data (scan-side hash threshold, O(k) rows per cohort on
+    the exchange); the overlap math is metadata-sized."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    o = o.withColumn("yr", F.year("o_orderdate"))
+    cohorts = o.where(F.col("yr").isin(1995, 1998))
+    # The ≤ 2k-row sketch feeds BOTH intersect-estimate inputs; pin it so
+    # the build (HLL pass + threshold join + distinct + rank) runs once —
+    # exactly the "stored sketches" deployment this query models.
+    sk = kmv.kmv_sketch(
+        cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True
+    ).localCheckpoint(eager=True)
+    est = kmv.kmv_intersect_estimate(
+        sk.where(F.col("yr") == 1995),
+        sk.where(F.col("yr") == 1998),
+        k=_KMV_K,
+    ).select(F.col("est_common").alias("kmv_common"))
+    # Exact audit in ONE scan: a customer is common iff both years appear.
+    exact = (
+        cohorts.groupBy("o_custkey")
+        .agg(F.count_distinct("yr").alias("__ny"))
+        .where(F.col("__ny") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    # 1-row × 1-row combine: BNLJ over a broadcast scalar, never data-sized.
+    return est.crossJoin(exact).select(
+        "kmv_common",
+        "exact_common",
+        (
+            F.round(
+                (F.lit(100.0) * (F.col("kmv_common") - F.col("exact_common")))
+                / F.col("exact_common"),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("err_pct"),
+    )
+
+
+@query(
+    "orders_compaction_plan",
+    """
+    WITH inv AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS part_year,
+             CAST(o_orderkey % 16 AS BIGINT) AS file_id,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS size_bytes
+      FROM orders GROUP BY 1, 2),
+    tgt AS (
+      SELECT part_year,
+             greatest(CAST(sum(size_bytes) AS BIGINT) // 4, CAST(1 AS BIGINT))
+               AS target
+      FROM inv GROUP BY 1),
+    planned AS (
+      SELECT i.part_year, i.file_id, i.size_bytes,
+             CAST(coalesce(sum(i.size_bytes) OVER (
+                    PARTITION BY i.part_year ORDER BY i.file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // t.target AS BIGINT) AS bin
+      FROM inv i JOIN tgt t ON i.part_year = t.part_year)
+    SELECT part_year, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS bin_bytes
+    FROM planned GROUP BY 1, 2
+    """,
+)
+def orders_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (:mod:`operators.compaction`): simulate a
+    per-year micro-batch manifest (16 commit files per year, sized by their
+    billed cents so sizes vary realistically), then bin-pack each year's
+    files with the cumulative-preceding-size rule — a file opens a new bin
+    exactly when the files before it fill the current one, so every bin but
+    a partition's last is at least target-sized (Iceberg BinPackStrategy's
+    guarantee, as ONE window expression instead of a sequential FFD loop).
+    The target is scale-free (a quarter of each partition's total, so the
+    plan discriminates at every sf) and joins in as a broadcast of one row
+    per partition.  At 100 TB the inventory is file METADATA — millions of
+    rows, not the data — and the plan is embarrassingly parallel across
+    partitions; the rewrite it drives is the existing writer path."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import compaction
+
+    o = load_table(spark, sf_dir, "orders")
+    inv = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("part_year"),
+        (F.col("o_orderkey") % 16).cast("bigint").alias("file_id"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("size_bytes")
+    )
+    tgt = inv.groupBy("part_year").agg(
+        F.greatest(
+            F.expr("CAST(sum(size_bytes) AS BIGINT) div 4"),
+            F.lit(1).cast("bigint"),
+        ).alias("__target")
+    )
+    planned = compaction.plan_bins(
+        inv.join(F.broadcast(tgt), "part_year"),
+        ["part_year"],
+        file_col="file_id",
+        size_col="size_bytes",
+        target_bytes=F.col("__target"),
+    )
+    return compaction.bin_summary(planned, ["part_year"], size_col="size_bytes")
+
+
+@query(
+    "customer_l_diversity",
+    """
+    WITH g AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT CASE
+               WHEN c_acctbal < 0 THEN 'DEBT'
+               WHEN c_acctbal < 3000 THEN 'LOW'
+               WHEN c_acctbal < 7000 THEN 'MID'
+               ELSE 'HIGH' END) AS BIGINT) AS l_distinct
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, segment, group_size, l_distinct,
+           (l_distinct < 3) AS below_l
+    FROM g
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check `customer_k_anonymity`'s
+    docstring implies: a group can be ≥ k members yet still leak if the
+    SENSITIVE attribute (balance band here) is near-constant within it,
+    because quasi-identifiers then reveal the sensitive value without
+    re-identifying anyone (Machanavajjhala et al., ICDE'06).  Per
+    quasi-identifier group: size, distinct sensitive bands, and a below-l
+    flag (l=3).  Same shape as the k-anonymity profile — broadcast dim
+    join + one keyed aggregate with a distinct — so it rides the identical
+    100 TB plan."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "DEBT")
+        .when(F.col("c_acctbal") < 3000, "LOW")
+        .when(F.col("c_acctbal") < 7000, "MID")
+        .otherwise("HIGH")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.count_distinct(band).cast("bigint").alias("l_distinct"),
+        )
+        .withColumn("below_l", F.col("l_distinct") < 3)
+    )
+
+
+@query(
+    "daily_revenue_interpolated",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b),
+    joined AS (
+      SELECT s.d, daily.rev_c FROM spine s LEFT JOIN daily ON s.d = daily.d),
+    ctx AS (
+      SELECT d, rev_c,
+             last_value(rev_c IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_c,
+             last_value(CASE WHEN rev_c IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_d,
+             first_value(rev_c IGNORE NULLS) OVER (
+               ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_c,
+             first_value(CASE WHEN rev_c IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_d
+      FROM joined)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CASE
+             WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE)
+             WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+             WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+             ELSE floor(CAST(prev_c AS DOUBLE)
+                  + CAST(next_c - prev_c AS DOUBLE)
+                    * (CAST(datediff('day', prev_d, d) AS DOUBLE)
+                       / CAST(datediff('day', prev_d, next_d) AS DOUBLE))
+                  + 0.5)
+           END / 100.0 AS revenue,
+           (rev_c IS NULL) AS interpolated
+    FROM ctx
+    """,
+)
+def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation over the densified spine: order-less days get
+    LINEAR interpolation between their bracketing observed days (edges
+    carry the nearest observation) instead of `daily_revenue_spine`'s
+    zero-fill — zeros bias every downstream mean/MA/forecast low, which is
+    exactly what a revenue consumer must not ship.  prev/next context comes
+    from last/first-with-ignoreNulls frames — one window pass each way, no
+    self-join.  Cross-engine determinism: revenue rides as EXACT integer
+    cents (decimal sum) into the interpolation, whose double arithmetic is
+    term-for-term identical in both engines over exact-integer inputs, and
+    the nearest-cent rounding is ``floor(x + 0.5)`` — NOT ``round(x, 2)``,
+    whose half-cent behavior differs per engine (shortest-decimal vs
+    binary; the round-6 ``sq_dist_exact`` lesson).  The window is global
+    but CALENDAR-sized (one row per day — ~36.5k rows per century),
+    constant in data volume: at 100 TB the day aggregate underneath shrinks
+    data to days first, so the unpartitioned frame never sees a data-sized
+    relation."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    joined = spine.join(daily, "d", "left")
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    known_d = F.when(F.col("rev_c").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "d",
+        "rev_c",
+        F.last("rev_c", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(known_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("rev_c", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(known_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    frac = F.datediff("d", "prev_d").cast("double") / F.datediff(
+        "next_d", "prev_d"
+    ).cast("double")
+    interp_cents = (
+        F.when(F.col("rev_c").isNotNull(), F.col("rev_c").cast("double"))
+        .when(F.col("prev_c").isNull(), F.col("next_c").cast("double"))
+        .when(F.col("next_c").isNull(), F.col("prev_c").cast("double"))
+        .otherwise(
+            F.floor(
+                F.col("prev_c").cast("double")
+                + (F.col("next_c") - F.col("prev_c")).cast("double") * frac
+                + F.lit(0.5)
+            ).cast("double")
+        )
+    )
+    return ctx.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (interp_cents / F.lit(100.0)).alias("revenue"),
+        F.col("rev_c").isNull().alias("interpolated"),
+    )
 
 
 # The per-round differential gate samples a prefix of the registration order
@@ -9022,6 +9340,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # when reasoning about the 50-name window.
     "kmv_daily_users",
     "kmv_rolling_7d_users",
+    "kmv_cohort_overlap",
+    "orders_compaction_plan",
+    "customer_l_diversity",
+    "daily_revenue_interpolated",
     "session_concurrency_peaks",
     "prefix_filter_near_pairs",
     "prefix_filter_audit",

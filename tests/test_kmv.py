@@ -97,3 +97,59 @@ def test_null_keys_ignored(spark):
     )
     sk = kmv.kmv_sketch(df, "v", ["g"], k=8)
     assert sk.count() == 2
+
+
+def test_intersect_exact_when_exhaustive(spark):
+    """m < k ⇒ both parts exhaustive ⇒ n_common IS the exact intersection
+    and est_common returns it unscaled."""
+    a = spark.createDataFrame([(v,) for v in range(30)], "v int")
+    b = spark.createDataFrame([(v,) for v in range(20, 50)], "v int")
+    k = 128  # > |A ∪ B| = 50
+    ga = a.withColumn("g", F.lit(1))
+    gb = b.withColumn("g", F.lit(1))
+    sa = kmv.kmv_sketch(ga, "v", ["g"], k=k)
+    sb = kmv.kmv_sketch(gb, "v", ["g"], k=k)
+    row = kmv.kmv_intersect_estimate(sa, sb, k=k).collect()[0]
+    assert row["union_m"] == 50
+    assert row["est_union"] == 50
+    assert row["n_common"] == 10
+    assert row["est_common"] == 10
+
+
+def test_intersect_statistical_validity(spark):
+    """Estimator branch (union >> k): A = [0, 100k), B = [50k, 150k) —
+    |∩| = 50k, |∪| = 150k, J = 1/3.  K∩ ~ Binomial(k, J), so the
+    intersection estimate's relative sd is ≈ sqrt((1-J)/(k·J)) plus the
+    union estimator's ~1/sqrt(k-2); assert within 4 combined sd.
+    Deterministic (the 'sample' is the md5 fold of a fixed value set)."""
+    n, ov = 100_000, 50_000
+    a = spark.range(n).select(F.lit(1).alias("g"), F.col("id").cast("string").alias("v"))
+    b = spark.range(n - ov, 2 * n - ov).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    k = 512
+    sa = kmv.kmv_sketch(a, "v", ["g"], k=k)
+    sb = kmv.kmv_sketch(b, "v", ["g"], k=k)
+    row = kmv.kmv_intersect_estimate(sa, sb, k=k).collect()[0]
+    union_true, j = 2 * n - ov, ov / (2 * n - ov)
+    sd = ((1 - j) / (k * j)) ** 0.5 + 1.0 / (k - 2) ** 0.5
+    rel_union = abs(row["est_union"] - union_true) / union_true
+    rel_common = abs(row["est_common"] - ov) / ov
+    assert rel_union < 4.0 / (k - 2) ** 0.5, f"union rel {rel_union:.3f}"
+    assert rel_common < 4.0 * sd, f"common rel {rel_common:.3f} vs 4sd {4*sd:.3f}"
+    assert 0 < row["est_common"] < row["est_union"]
+
+
+def test_intersect_disjoint_sets(spark):
+    """Zero overlap must estimate zero (K∩ = 0 scales to 0 in the
+    estimator branch too — no false intersection mass)."""
+    a = spark.range(10_000).select(F.lit(1).alias("g"), F.col("id").cast("string").alias("v"))
+    b = spark.range(20_000, 30_000).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    k = 64
+    sa = kmv.kmv_sketch(a, "v", ["g"], k=k)
+    sb = kmv.kmv_sketch(b, "v", ["g"], k=k)
+    row = kmv.kmv_intersect_estimate(sa, sb, k=k).collect()[0]
+    assert row["n_common"] == 0
+    assert row["est_common"] == 0

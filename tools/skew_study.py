@@ -1,8 +1,8 @@
 """Adversarial skew study (round-6 verdict item 5): a deliberately
 Zipf-skewed join-key fixture — ONE part carries ~30% of a 10x lineitem —
 and a measured unsalted-vs-salted pair for the shuffled-hash brand-revenue
-join, with the per-task shuffle spread of the join stage as evidence of
-WHERE the time goes.
+join (min-of-k walls; the salted plan's fan-out itself is pinned by
+tests/test_skew.py::test_salted_plan_shuffles_on_key_and_salt).
 
 Why this regime is the adversarial one: the hot key's ~1.8M rows land in a
 single shuffle partition.  AQE's skew-join splitting (on, per session.py)
