@@ -346,9 +346,22 @@ def cosine_near_dup_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify once per unique candidate pair (the candidate set is tiny
-    # vs the corpus, so two hash joins to fetch vectors beat carrying the
-    # vectors through the banding shuffle)
+    return _verify_cosine_pairs(emb, cand, threshold, id_col, vec_col)
+
+
+def _verify_cosine_pairs(
+    emb: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine verification of an ``(id_a, id_b)`` candidate relation:
+    once per unique pair (the candidate set is tiny vs the corpus, so two
+    hash joins to fetch vectors beat carrying the vectors through the
+    banding shuffle).  Precision 1 by construction — every emitted pair
+    really clears ``threshold``."""
+    vec = as_double_vec(vec_col)
     nv = emb.select(F.col(id_col).alias("id"), vec.alias("v"), l2_norm(vec).alias("n"))
     av = nv.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     bv = nv.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
@@ -363,6 +376,137 @@ def cosine_near_dup_lsh(
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
     )
+
+
+def lsh_auto_params(
+    n: int,
+    recall_sim: float = 0.9,
+    target_recall: float = 0.9,
+    occupancy_exp: int = 2,
+    max_planes: int = 4096,
+) -> tuple[int, int]:
+    """``(rows_per_band, bands)`` sized for corpus cardinality ``n`` — the
+    standard (b, r) calculus that keeps hyperplane LSH LINEAR as data grows.
+
+    Fixed-width band keys go quadratic: with r sign bits per band, random
+    (decorrelated) vector pairs collide at ~2^-r per band, so candidate
+    volume is ~bands·n²/2^(r+1) — constant r means candidates grow n².
+    (Measured: the shipped 8×8 configuration was 3.7×/decade at 10× data
+    but 104×/decade at 100×, 8.3 GB of candidate shuffle — SCALING.md.)
+
+    - ``rows_per_band`` = ceil(log2 n) + ``occupancy_exp``: expected bucket
+      occupancy n/2^r stays ≈ 2^-occupancy_exp, so RANDOM collisions per
+      band stay ~n/2^(occupancy_exp+1) — linear in n by construction.
+    - ``bands`` = ceil(ln(1/(1−target_recall)) / p^r) with
+      p = 1 − acos(recall_sim)/π (Goemans–Williamson): enough bands that a
+      true pair at similarity ``recall_sim`` still collides somewhere with
+      probability ≥ ``target_recall``.
+
+    Raises when the budget explodes (``bands·r > max_planes``) — which is
+    exactly what happens for LOW similarity thresholds (p → 0.5 makes p^r
+    vanish).  Hyperplane LSH is a near-dup primitive (sim ≳ 0.8); mid-sim
+    retrieval belongs to IVF (:func:`ivf_topk`), and the error says so
+    instead of silently degrading to either recall-0 or all-pairs."""
+    import math
+
+    r = max(1, math.ceil(math.log2(max(n, 2))) + occupancy_exp)
+    p = 1.0 - math.acos(min(max(recall_sim, -1.0), 1.0)) / math.pi
+    per_band = p**r
+    bands = max(1, math.ceil(math.log(1.0 / (1.0 - target_recall)) / max(per_band, 1e-300)))
+    if bands * r > max_planes:
+        raise ValueError(
+            f"lsh_auto_params: n={n}, recall_sim={recall_sim} needs "
+            f"{bands} bands x {r} bits = {bands * r} planes (> max_planes="
+            f"{max_planes}). Hyperplane LSH only pays at near-dup "
+            "similarities (recall_sim >= ~0.8); for mid-similarity "
+            "retrieval use the IVF index (ivf_topk) instead."
+        )
+    return r, bands
+
+
+def hyperplane_band_keys_vectorized(
+    emb: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, band, key)`` — per-band sign-bit keys via ONE numpy matmul per
+    Arrow batch (``mapInPandas``).
+
+    The relational sign path (posexplode ⋈ plane weights → hash agg) streams
+    n·dim·planes join rows — right for the codegen'd oracle-replayable query
+    at 64 planes, unaffordable at the auto-sized plane counts
+    :func:`lsh_auto_params` returns (hundreds of planes).  Here each batch
+    costs one BLAS ``V @ Pᵀ`` and emits ``bands`` key rows per vector.
+    Falls back is not provided deliberately: numpy is a hard dependency of
+    the vectorized path, exactly like :func:`cosine_topk_pandas`."""
+    import numpy as np
+
+    rows = len(planes) // bands
+    pmat = np.asarray(planes, dtype=np.float64).T  # dim × planes
+    out_schema = f"id {dict(emb.dtypes)[id_col]}, band int, key long"
+    shifts = np.arange(rows, dtype=np.int64)
+
+    def keys(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            signs = (v @ pmat) >= 0.0  # n × planes
+            n = len(pdf)
+            per_band = signs.reshape(n, bands, rows).astype(np.int64)
+            key = (per_band << shifts).sum(axis=2)  # n × bands
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().repeat(bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "key": key.reshape(-1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(keys, out_schema)
+
+
+def cosine_near_dup_lsh_auto(
+    emb: DataFrame,
+    n: int,
+    threshold: float = 0.8,
+    recall_sim: float | None = None,
+    target_recall: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-sized cosine near-dup: :func:`lsh_auto_params` sizes the band
+    signature for ``n`` vectors, :func:`hyperplane_band_keys_vectorized`
+    computes the keys in one matmul per batch, candidates equi-join on
+    (band, key), and :func:`_verify_cosine_pairs` makes precision 1.
+
+    ``n`` is the (approximate) corpus cardinality — callers at 100 TB pass
+    a catalog statistic or ``approx_count_distinct`` result rather than
+    forcing a count scan here; being off by 2× shifts expected bucket
+    occupancy by one power of two, which the ``occupancy_exp`` headroom
+    absorbs.  Candidate volume is ~bands·n/2^(occupancy_exp+1) random
+    collisions plus the true near-dup mass — LINEAR in n (measured back to
+    sub-decade growth at the 100× fixture, SCALING.md §decades)."""
+    dim = len(emb.select(vec_col).first()[0])
+    r, bands = lsh_auto_params(
+        n, recall_sim if recall_sim is not None else max(threshold, 0.9),
+        target_recall=target_recall,
+    )
+    planes = seeded_planes(bands * r, dim, seed=seed)
+    banded = hyperplane_band_keys_vectorized(emb, planes, bands, id_col, vec_col)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_cosine_pairs(emb, cand, threshold, id_col, vec_col)
 
 
 def seeded_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

@@ -303,3 +303,85 @@ def test_per_probe_release_unregisters_module_hook(spark):
     assert len(S._PROBE_RELEASES) == 0
     probe.release_bounded()  # idempotent
     S.release_probes()  # no-op on empty registry
+
+
+# ---------------------------------------------------------------------------
+# auto-sized LSH (the 100x-fixture finding: fixed band width goes quadratic)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_auto_params_track_corpus_size():
+    """Bits per band must grow with log2(n) (constant expected bucket
+    occupancy — the linearity invariant) and the band count must stay
+    within the plane budget at near-dup similarities."""
+    import pytest
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    r1, b1 = S.lsh_auto_params(2_000)
+    r2, b2 = S.lsh_auto_params(200_000)
+    assert r2 - r1 == pytest.approx(__import__("math").log2(100), abs=1)
+    assert b2 >= b1  # recall at fixed sim needs more bands as r grows
+    # occupancy invariant: n / 2^r constant within a factor of 2
+    assert abs((2_000 / 2**r1) / (200_000 / 2**r2) - 1) < 1.0
+
+
+def test_lsh_auto_params_refuse_mid_similarity():
+    """Low-similarity targets make p^r vanish and the band budget explode;
+    the operator must say 'use IVF' instead of silently shipping recall~0."""
+    import pytest
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    with pytest.raises(ValueError, match="IVF"):
+        S.lsh_auto_params(1_000_000, recall_sim=0.4)
+
+
+def test_vectorized_band_keys_match_reference(spark):
+    """The numpy-matmul band keys must equal an independent pure-Python
+    sign computation over the same planes (catches transpose/reshape/shift
+    mistakes, the classic vectorization bugs)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    dim, bands, rows = 8, 3, 4
+    planes = S.seeded_planes(bands * rows, dim, seed=7)
+    data = [(i, [((i * 7 + j * 13) % 11) / 5.0 - 1.0 for j in range(dim)]) for i in range(40)]
+    emb = spark.createDataFrame(data, "vec_id bigint, embedding array<double>")
+    got = {
+        (r["id"], r["band"]): r["key"]
+        for r in S.hyperplane_band_keys_vectorized(emb, planes, bands).collect()
+    }
+    for i, v in data:
+        signs = [sum(p[j] * v[j] for j in range(dim)) >= 0 for p in planes]
+        for band in range(bands):
+            want = sum(1 << j for j in range(rows) if signs[band * rows + j])
+            assert got[(i, band)] == want, (i, band)
+
+
+def test_auto_lsh_finds_planted_near_dups(spark):
+    """Recall contract on a corpus with REAL near-dups: planted
+    sim≈1 duplicate pairs among decorrelated vectors must come back (the
+    target_recall=0.9 sizing, deterministic under seeded planes), with
+    precision 1 (every returned pair clears the threshold exactly)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    rng_state, rows = 12345, []
+    n, dim = 400, 16
+
+    def lcg():
+        nonlocal rng_state
+        rng_state = (rng_state * 48271) % 2147483647
+        return rng_state / 2147483647.0 - 0.5
+
+    base = [[lcg() for _ in range(dim)] for _ in range(n)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant 10 near-exact duplicates of vectors 0..9 (tiny perturbation)
+    for i in range(10):
+        rows.append((n + i, [x + 0.001 * ((i + j) % 3 - 1) for j, x in enumerate(base[i])]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = S.cosine_near_dup_lsh_auto(emb, n=len(rows), threshold=0.95).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(i, n + i) for i in range(10)}
+    found = len(pairs & planted)
+    assert found >= 9, f"planted near-dup recall {found}/10 under target 0.9"
+    assert all(r["sim"] >= 0.95 for r in got)  # precision 1
