@@ -108,15 +108,25 @@ def kmv_sketch(
         # Exact-verify the coarse step: a group whose active threshold
         # (< HASH_SPACE) admitted fewer than k distinct hashes COULD have
         # lost part of its true k-minimum set; rescue it with its
-        # unfiltered hash set.  The audit relation is one row per group
-        # (bounded), so both joins broadcast.  At rsd 2% the rescue branch
-        # is empty; it exists so the equality with the plain formulation is
-        # structural, not probabilistic.
+        # unfiltered hash set.  The audit starts from THRESHOLDS (one row
+        # per group, complete by construction) left-joined to survivor
+        # counts — starting from survivors would silently DROP a group
+        # whose every hash landed above its threshold (zero survivors ⇒ no
+        # groupBy row ⇒ neither kept nor rescued; md5_fold48 and the HLL
+        # sizer hash differently, so such inputs exist).  Both joins
+        # broadcast.  At rsd 2% the rescue branch is empty; it exists so
+        # the equality with the plain formulation is structural, not
+        # probabilistic.
         audit = (
-            survivors.groupBy(*g)
-            .agg(F.count(F.lit(1)).alias("__nsurv"))
-            .join(F.broadcast(thresholds), group_cols)
-            .where((F.col("__nsurv") < k) & (F.col("__t") < HASH_SPACE))
+            thresholds.join(
+                survivors.groupBy(*g).agg(F.count(F.lit(1)).alias("__nsurv")),
+                group_cols,
+                "left",
+            )
+            .where(
+                (F.coalesce(F.col("__nsurv"), F.lit(0)) < k)
+                & (F.col("__t") < HASH_SPACE)
+            )
             .select(*group_cols)
         )
         kept = survivors.join(F.broadcast(audit), group_cols, "left_anti")

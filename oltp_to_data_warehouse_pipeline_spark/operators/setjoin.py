@@ -79,9 +79,28 @@ def _pin(
     return df
 
 
+def threshold_fraction(threshold: float) -> tuple[int, int]:
+    """``(num, den)`` — the threshold as an exact small rational.
+
+    ``ceil(τ·n)`` computed in IEEE doubles OVERSHOOTS for some (τ, n):
+    ``0.55 * 100`` is 55.000000000000007, so float ceil gives 56 where the
+    true ceiling of the rational 55·100/100 is 55 — one posting short of
+    the theorem's prefix, i.e. a SILENTLY LOST qualifying pair (the
+    losslessness guarantee is the module's whole point).  The prefix rule
+    therefore runs in exact integer arithmetic: ceil(num·n/den) =
+    (num·n + den − 1) div den."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    return frac.numerator, frac.denominator
+
+
 def _prefix(tok: DataFrame, threshold: float) -> DataFrame:
     """Each doc's first ``n − ceil(τ·n) + 1`` postings in global
-    (document frequency, shingle) order — the lossless candidate set."""
+    (document frequency, shingle) order — the lossless candidate set.
+    The ceiling is exact-integer (:func:`threshold_fraction`), never a
+    float product."""
+    num, den = threshold_fraction(threshold)
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy("doc").orderBy(F.col("__df").asc(), F.col("tok").asc())
     w_doc = Window.partitionBy("doc")
@@ -90,23 +109,28 @@ def _prefix(tok: DataFrame, threshold: float) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w_rank))
         .withColumn("__n", F.count(F.lit(1)).over(w_doc))
     )
-    return ranked.where(
-        F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    ).select("doc", "tok")
+    ceil_tn = F.expr(f"({num} * __n + {den} - 1) div {den}")
+    return ranked.where(F.col("__rn") <= F.col("__n") - ceil_tn + 1).select(
+        "doc", "tok"
+    )
 
 
-def _pairs_from(tok: DataFrame, prefix: DataFrame, threshold: float) -> DataFrame:
-    """Exact-verified qualifying pairs from a (pinned) token relation and
-    its prefix: candidate equi-join on prefix postings, then the full-set
-    intersection count from two token-keyed joins restricted to candidate
-    docs."""
-    cand = (
+def _candidates(prefix: DataFrame) -> DataFrame:
+    """Distinct ``(doc_a, doc_b)`` pairs sharing a prefix posting — the
+    quadratic stage the prefix filter exists to bound."""
+    return (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .where(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def _verify_jaccard(tok: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-verified qualifying pairs from a (pinned) token relation and a
+    candidate relation: the full-set intersection count from two
+    token-keyed joins restricted to candidate docs."""
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     ta = tok.select(F.col("doc").alias("doc_a"), F.col("tok").alias("__t"))
     tb = tok.select(F.col("doc").alias("doc_b"), F.col("tok").alias("__t"))
@@ -150,7 +174,7 @@ def prefix_filter_pairs(
     the SSJoin norm — the inverted index is built once, not per probe."""
     tok = _pin(_tokens(df, id_col, text_col, shingle_n), materialize, on_materialize)
     prefix = _prefix(tok, threshold)
-    return _pairs_from(tok, prefix, threshold)
+    return _verify_jaccard(tok, _candidates(prefix), threshold)
 
 
 def prefix_filter_audit(
@@ -166,18 +190,15 @@ def prefix_filter_audit(
     filter, candidate count, and surviving pairs — the numbers that show
     WHY the filter pays (the pair expansion is quadratic in posting-list
     length; the prefix cuts the lists the theorem says it may).  Shares
-    ONE pinned token relation (and one pinned prefix — it feeds three
-    counting branches) across all four counters."""
+    ONE pinned token relation, one pinned prefix, and one pinned candidate
+    relation across all four counters — in particular the quadratic
+    candidate join runs ONCE, feeding both the n_candidates tally and the
+    exact verify (it used to run twice, once inline and once inside the
+    pairs pipeline)."""
     tok = _pin(_tokens(df, id_col, text_col, shingle_n), materialize, on_materialize)
     prefix = _pin(_prefix(tok, threshold), materialize, on_materialize)
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
-        .where(F.col("a.doc") < F.col("b.doc"))
-        .select("a.doc", "b.doc")
-        .distinct()
-    )
-    pairs = _pairs_from(tok, prefix, threshold)
+    cand = _pin(_candidates(prefix), materialize, on_materialize)
+    pairs = _verify_jaccard(tok, cand, threshold)
     return (
         tok.agg(F.count(F.lit(1)).cast("bigint").alias("postings_all"))
         .crossJoin(

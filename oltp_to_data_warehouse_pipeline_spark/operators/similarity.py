@@ -479,6 +479,7 @@ def cosine_near_dup_lsh_auto(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Corpus-sized cosine near-dup: :func:`lsh_auto_params` sizes the band
     signature for ``n`` vectors, :func:`hyperplane_band_keys_vectorized`
@@ -491,8 +492,20 @@ def cosine_near_dup_lsh_auto(
     occupancy by one power of two, which the ``occupancy_exp`` headroom
     absorbs.  Candidate volume is ~bands·n/2^(occupancy_exp+1) random
     collisions plus the true near-dup mass — LINEAR in n (measured back to
-    sub-decade growth at the 100× fixture, SCALING.md §decades)."""
-    dim = len(emb.select(vec_col).first()[0])
+    sub-decade growth at the 100× fixture, SCALING.md §decades).
+
+    ``dim`` skips the one-row dimensionality probe when the caller knows
+    it (a catalog fact at 100 TB); without it, an empty corpus raises a
+    clear error instead of the probe's bare NoneType subscript."""
+    if dim is None:
+        head = emb.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "cosine_near_dup_lsh_auto: empty corpus (or NULL first "
+                f"vector) and no dim= given — cannot size hyperplanes for "
+                f"{vec_col!r}"
+            )
+        dim = len(head[0])
     r, bands = lsh_auto_params(
         n, recall_sim if recall_sim is not None else max(threshold, 0.9),
         target_recall=target_recall,

@@ -8976,7 +8976,10 @@ def prefix_filter_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc ORDER BY df, sh) AS rn,
              count(*) OVER (PARTITION BY doc) AS n
       FROM sh JOIN dfreq USING (sh)),
-    prefix AS (SELECT doc, sh FROM ranked WHERE rn <= n - ceil(0.8 * n) + 1),
+    -- exact-integer ceil(4n/5): float ceil(0.8*n) overshoots on IEEE
+    -- boundaries (ceil(0.55*100) = 56), which would silently shrink the
+    -- prefix below the theorem's bound — mirrored in setjoin._prefix
+    prefix AS (SELECT doc, sh FROM ranked WHERE rn <= n - ((4 * n + 4) // 5) + 1),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc < b.doc),

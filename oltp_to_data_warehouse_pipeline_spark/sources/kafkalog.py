@@ -90,6 +90,12 @@ class LogProducer:
         self.root = root
         self.num_partitions = num_partitions
         self._rr: dict[str, int] = {}
+        # next offset per (topic, partition): seeded from the file ONCE,
+        # then maintained in-process — re-counting lines before every
+        # append made N sends O(N²) file bytes (round-7 review finding).
+        # Safe because partition files are append-only and this producer
+        # is the single writer, like a real Kafka partition leader.
+        self._next_offset: dict[tuple[str, int], int] = {}
 
     def _partition_for(self, topic: str, key: str | None) -> int:
         if key is None:
@@ -111,7 +117,10 @@ class LogProducer:
         path = _part_file(self.root, topic, p)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         line = json.dumps({"k": key, "v": value, "ts": ts_ms}, separators=(",", ":"))
-        offset = _count_lines(path)
+        if (topic, p) not in self._next_offset:
+            self._next_offset[(topic, p)] = _count_lines(path)
+        offset = self._next_offset[(topic, p)]
+        self._next_offset[(topic, p)] = offset + 1
         with open(path, "a", encoding="utf-8") as f:
             f.write(line + "\n")  # one write: line-atomic for local readers
             f.flush()

@@ -153,3 +153,25 @@ def test_intersect_disjoint_sets(spark):
     row = kmv.kmv_intersect_estimate(sa, sb, k=k).collect()[0]
     assert row["n_common"] == 0
     assert row["est_common"] == 0
+
+
+def test_rescue_covers_zero_survivor_groups(spark):
+    """A group whose EVERY kmv-hash lands above its admission threshold
+    has zero survivors; the audit must still rescue it (it used to start
+    from the survivor relation, where such a group has no row at all, and
+    the group silently vanished from the sketch).  Adversarial input:
+    k=1 with 8 distinct keys whose md5 folds all sit in the top half of
+    the hash space, so the active threshold 4k·2^48/est = 2^47 admits
+    none of them."""
+    import hashlib
+
+    def fold(s: str) -> int:
+        return int(hashlib.md5(f"kmv|{s}".encode()).hexdigest()[:12], 16)
+
+    top = [s for s in (f"key{i}" for i in range(1000)) if fold(s) >= 1 << 47][:8]
+    assert len(top) == 8
+    df = spark.createDataFrame([("g", s) for s in top], "g string, v string")
+    fast = kmv.kmv_sketch(df, "v", ["g"], k=1, prefilter=True)
+    plain = kmv.kmv_sketch(df, "v", ["g"], k=1, prefilter=False)
+    assert _rows(fast) == _rows(plain)
+    assert len(_rows(fast)) == 1  # the group is present, k=1 row

@@ -57,3 +57,26 @@ def test_crafted_edge_pair_survives(spark):
     want = _pairs(dedup.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5))
     assert got == want
     assert [(a, b) for a, b, _ in got] == [(1, 2)]
+
+
+def test_prefix_ceiling_is_exact_integer(spark):
+    """ceil(tau*n) must be the RATIONAL ceiling: IEEE 0.55*100 =
+    55.000000000000007, so a float ceil admits a prefix one posting short
+    of the theorem's bound (a silently lost qualifying pair — the
+    losslessness guarantee).  With n=100 distinct shingles and tau=0.55
+    the prefix must hold exactly 100 - 55 + 1 = 46 postings."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import setjoin
+
+    words = " ".join(f"w{i:03d}" for i in range(102))  # 100 distinct 3-grams
+    df = spark.createDataFrame([(1, words)], "doc_id int, text string")
+    tok = setjoin._tokens(df, "doc_id", "text", 3)
+    assert tok.count() == 100
+    assert setjoin._prefix(tok, 0.55).count() == 46
+
+
+def test_threshold_fraction_exact_rationals():
+    from oltp_to_data_warehouse_pipeline_spark.operators import setjoin
+
+    assert setjoin.threshold_fraction(0.8) == (4, 5)
+    assert setjoin.threshold_fraction(0.55) == (11, 20)
+    assert setjoin.threshold_fraction(0.5) == (1, 2)

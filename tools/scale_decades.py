@@ -59,14 +59,18 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     def shuffle_stats(name: str, sf_dir: str) -> dict:
-        """Shuffle bytes + records for ONE run, via per-job stage metrics."""
+        """Shuffle bytes + records for ONE run, via per-job stage metrics.
+        The job group is unique per (query, scale) — reusing one group
+        across scales made later decades' sums include earlier decades'
+        stages (round-7 review finding)."""
         sc = spark.sparkContext
         tracker = sc.statusTracker()
-        before = set(tracker.getJobIdsForGroup(None) or [])
-        sc.setJobGroup(f"decade-{name}", name)
+        group = f"decade-{name}-{sf_dir.replace('/', '_')}"
+        before = set(tracker.getJobIdsForGroup(group) or [])
+        sc.setJobGroup(group, name)
         run(name, sf_dir)
         sc.setJobGroup(None, None)
-        jobs = [j for j in (tracker.getJobIdsForGroup(f"decade-{name}") or []) if j not in before]
+        jobs = [j for j in (tracker.getJobIdsForGroup(group) or []) if j not in before]
         store = sc._jsc.sc().statusStore()
         sw = sr = 0
         stage_ids = set()
