@@ -120,11 +120,11 @@ def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
     raise ValueError(f"unsupported WAV sample width {width}")
 
 
-def png_feature(data: bytes, dim: int = 8) -> list[float]:
-    """Real-image feature head: per-channel mean and variance of decoded
-    pixels (normalized to [0,1]), tiled/truncated to ``dim``.  Matches the
-    ``bytes -> list[float]`` codec signature of `extract_features`."""
-    _w, _h, channels, px = decode_png(data)
+def _moment_features(px: bytes, channels: int, dim: int) -> list[float]:
+    """Per-channel mean and variance of [0,1]-normalized pixels,
+    tiled/truncated to ``dim`` — shared by the PNG and BMP feature heads
+    so 'comparable vectors for identical pixel content' is guaranteed by
+    construction, not by keeping two copies in sync."""
     n = len(px) // channels
     feats: list[float] = []
     for c in range(channels):
@@ -137,9 +137,20 @@ def png_feature(data: bytes, dim: int = 8) -> list[float]:
     return feats[:dim]
 
 
+def png_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Real-image feature head: per-channel mean and variance of decoded
+    pixels (normalized to [0,1]), tiled/truncated to ``dim``.  Matches the
+    ``bytes -> list[float]`` codec signature of `extract_features`."""
+    _w, _h, channels, px = decode_png(data)
+    return _moment_features(px, channels, dim)
+
+
 def wav_feature(data: bytes, dim: int = 8) -> list[float]:
     """Real-audio feature head: RMS energy over ``dim`` equal time windows
-    of the decoded waveform (mono-mixed)."""
+    of the decoded waveform (mono-mixed).  Window bounds are
+    ``⌊k·len/dim⌋`` so the windows PARTITION the signal — the earlier
+    fixed ``len // dim`` width dropped up to ``dim − 1`` trailing samples
+    (47% of a 15-sample clip), so a tail transient never registered."""
     _rate, nch, samples = decode_wav(data)
     if nch > 1:  # interleaved -> mono mix
         samples = [
@@ -147,10 +158,11 @@ def wav_feature(data: bytes, dim: int = 8) -> list[float]:
         ]
     if not samples:
         return [0.0] * dim
-    win = max(1, len(samples) // dim)
+    n = len(samples)
     feats = []
     for k in range(dim):
-        seg = samples[k * win : (k + 1) * win] or [0.0]
+        lo, hi = k * n // dim, (k + 1) * n // dim
+        seg = samples[lo:hi] or [0.0]
         feats.append((sum(s * s for s in seg) / len(seg)) ** 0.5)
     return feats
 
@@ -235,16 +247,7 @@ def bmp_feature(data: bytes, dim: int = 8) -> list[float]:
     mean/variance reduction as :func:`png_feature`, so the two container
     formats produce comparable vectors for identical pixel content."""
     _w, _h, channels, px = decode_bmp(data)
-    n = len(px) // channels
-    feats: list[float] = []
-    for c in range(channels):
-        vals = px[c::channels]
-        mean = sum(vals) / (255.0 * n)
-        var = sum((v / 255.0 - mean) ** 2 for v in vals) / n
-        feats.extend((mean, var))
-    while len(feats) < dim:
-        feats.append(feats[len(feats) % (2 * channels)])
-    return feats[:dim]
+    return _moment_features(px, channels, dim)
 
 
 def encode_bmp(width: int, height: int, channels: int, pixels: bytes, top_down: bool = False) -> bytes:

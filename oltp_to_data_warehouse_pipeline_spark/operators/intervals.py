@@ -45,7 +45,17 @@ def concurrency_timeline(
     distinct boundary timestamp; ``bucket`` (a ``date_trunc`` unit) sizes
     the parallel phase of the prefix sum — pick it so one bucket's
     boundaries fit a task (hour/day), and so the bucket-count relation
-    stays broadcast-small."""
+    stays broadcast-small.
+
+    Intervals with a NULL boundary are EXCLUDED up front: an open-ended
+    interval has no ``-1`` event, so it has no place on a finite sweep
+    line — and left in, its delta would land in a NULL ``date_trunc``
+    bucket that Spark's ASC window orders FIRST, silently shifting every
+    real bucket's offset (round-7 review finding).  Callers that want
+    still-open intervals counted should cap ``end_col`` with an as-of
+    instant (``coalesce(end, now)``) — an explicit modeling decision,
+    not a default."""
+    df = df.where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     b = df.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta")).unionByName(
         df.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
     )

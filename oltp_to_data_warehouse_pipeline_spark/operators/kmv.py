@@ -61,6 +61,31 @@ HASH_SPACE = 1 << 48  # md5_fold48 range: [0, 2^48)
 _SAFETY = 4  # threshold headroom over the HLL estimate (rsd 0.02)
 
 
+def _ns_join(
+    left: DataFrame, right: DataFrame, group_cols: list[str], how: str
+) -> DataFrame:
+    """Null-safe equi-join on the group columns, keeping LEFT's copy.
+
+    groupBy/Window treat a NULL group key as a real group, but a plain
+    equi-join never matches NULL = NULL — so the prefilter path's three
+    group-key joins silently dropped NULL-keyed groups that the plain
+    formulation keeps (round-7 review finding; e.g. a day column derived
+    from a NULL timestamp).  ``<=>`` keys are still hash-joinable, so the
+    broadcast shapes are unchanged."""
+    lt, rt = left.alias("__l"), right.alias("__r")
+    cond = None
+    for c in group_cols:
+        term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        cond = term if cond is None else cond & term
+    joined = lt.join(rt, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return joined
+    keep = [F.col(f"__l.{c}") for c in left.columns] + [
+        F.col(f"__r.{c}") for c in right.columns if c not in left.columns
+    ]
+    return joined.select(*keep)
+
+
 def kmv_hash(key: Column | str) -> Column:
     """The sketch hash: seeded engine-portable 48-bit md5 fold."""
     return md5_fold48(key, "kmv|")
@@ -100,7 +125,7 @@ def kmv_sketch(
             .select(*g, "__t")
         )
         survivors = (
-            raw.join(F.broadcast(thresholds), group_cols)
+            _ns_join(raw, F.broadcast(thresholds), group_cols, "inner")
             .where(F.col("h") < F.col("__t"))
             .select(*group_cols, "h")
             .distinct()
@@ -118,7 +143,8 @@ def kmv_sketch(
         # the equality with the plain formulation is structural, not
         # probabilistic.
         audit = (
-            thresholds.join(
+            _ns_join(
+                thresholds,
                 survivors.groupBy(*g).agg(F.count(F.lit(1)).alias("__nsurv")),
                 group_cols,
                 "left",
@@ -129,9 +155,9 @@ def kmv_sketch(
             )
             .select(*group_cols)
         )
-        kept = survivors.join(F.broadcast(audit), group_cols, "left_anti")
+        kept = _ns_join(survivors, F.broadcast(audit), group_cols, "left_anti")
         rescued = (
-            raw.join(F.broadcast(audit), group_cols, "left_semi")
+            _ns_join(raw, F.broadcast(audit), group_cols, "left_semi")
             .select(*group_cols, "h")
             .distinct()
         )
@@ -184,13 +210,12 @@ def kmv_intersect_estimate(
     Inputs are ≤ k-row relations, so the global (unpartitioned) rank
     window is sketch-sized by construction — never data-sized.
     """
-    ua = sketch_a.select("h").withColumn("__a", F.lit(1))
-    ub = sketch_b.select("h").withColumn("__b", F.lit(1))
-    union = (
-        ua.unionByName(ub.select("h").withColumn("__a", F.lit(0)))
-        .select("h")
-        .distinct()
-    )
+    # distinct() makes the function safe against multi-group sketches
+    # passed un-filtered (duplicate h values would fan the ranked join out
+    # and silently inflate union_m/n_common — round-7 review finding).
+    ua = sketch_a.select("h").distinct().withColumn("__a", F.lit(1))
+    ub = sketch_b.select("h").distinct().withColumn("__b", F.lit(1))
+    union = ua.select("h").unionByName(ub.select("h")).distinct()
     w = Window.orderBy("h")  # ≤ 2k rows: single-partition by design
     ranked = union.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
     marked = (

@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -128,16 +129,24 @@ class LogProducer:
         return p, offset
 
 
+_PART_FILE_RE = re.compile(r"^p(\d+)\.jsonl$")
+
+
 def _topic_partitions(root: str, topics: list[str]) -> list[tuple[str, int]]:
-    """Sorted (topic, partition) pairs present in the log for ``topics``."""
+    """Sorted (topic, partition) pairs present in the log for ``topics``.
+    Only exact ``pNN.jsonl`` names count — a stray editor copy like
+    ``p00.backup.jsonl`` used to hit ``int()`` and kill every offset call
+    of the source (round-7 review finding); non-partition files are simply
+    not part of the log."""
     out: list[tuple[str, int]] = []
     for t in topics:
         d = os.path.join(root, t)
         if not os.path.isdir(d):
             continue
         for name in sorted(os.listdir(d)):
-            if name.startswith("p") and name.endswith(".jsonl"):
-                out.append((t, int(name[1:-6])))
+            m = _PART_FILE_RE.match(name)
+            if m:
+                out.append((t, int(m.group(1))))
     return sorted(out)
 
 

@@ -37,6 +37,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from oltp_to_data_warehouse_pipeline_spark import fs
 from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
 
 
 def merge_batch_into_store(
@@ -54,23 +55,40 @@ def merge_batch_into_store(
     days-in-batch key set — with the store partitioned by ``d``, that is
     partition pruning, not a scan."""
     spark = batch.sparkSession
-    days = batch.withColumn("d", F.col(ts_col).cast("date"))
-    fresh = kmv.kmv_sketch(days, key_col, ["d"], k=k, prefilter=True)
-    if fs.has_data_files(spark, store_path):
-        touched = fresh.select("d").distinct()
-        stored = (
-            spark.read.parquet(store_path)
-            .join(F.broadcast(touched), "d", "left_semi")
-            .select("d", "h")
-        )
-        fresh = kmv.kmv_merge(fresh.unionByName(stored), ["d"], k=k)
-    (
-        fresh.select("h", "d")  # partition column last, house layout
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("d")
-        .parquet(store_path)
+    # Rows with a NULL/uncastable timestamp have no day — they cannot live
+    # in a day-partitioned store (a NULL partition would also dodge the
+    # touched-days pruning below), so they are excluded explicitly.
+    days = batch.withColumn("d", F.col(ts_col).cast("date")).where(
+        F.col("d").isNotNull()
     )
+    # Pin the sketch: it feeds BOTH the touched-day broadcast and the
+    # merge union, and Spark would otherwise run the whole sketch build
+    # (HLL pass, threshold join, distinct, rank) twice per micro-batch.
+    # Sketch-sized (≤ k rows per day in the batch), so always safe.
+    pinned = kmv.kmv_sketch(days, key_col, ["d"], k=k, prefilter=True).localCheckpoint(
+        eager=True
+    )
+    try:
+        fresh = pinned
+        if fs.has_data_files(spark, store_path):
+            touched = fresh.select("d").distinct()
+            stored = (
+                spark.read.parquet(store_path)
+                .join(F.broadcast(touched), "d", "left_semi")
+                .select("d", "h")
+            )
+            fresh = kmv.kmv_merge(fresh.unionByName(stored), ["d"], k=k)
+        (
+            fresh.select("h", "d")  # partition column last, house layout
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(store_path)
+        )
+    finally:
+        # A long-running stream calls this every micro-batch: drop the
+        # checkpoint blocks NOW, or they accumulate for the stream's life.
+        release_checkpoint(pinned)
 
 
 def maintain_kmv_store(
@@ -107,11 +125,21 @@ def window_estimate(
     """One row ``(est_distinct)``: distinct keys over [start, end], served
     ENTIRELY from stored day sketches — k rows per day in, one merged
     sketch out, raw data never touched.  The date filter prunes store
-    partitions before any read."""
+    partitions before any read.  ALWAYS one row: an absent store or a
+    range covering no stored days answers 0, not an empty relation (the
+    contract a dashboard caller indexes into)."""
+    zero = spark.createDataFrame([(0,)], "est_distinct bigint")
+    if not fs.has_data_files(spark, store_path):
+        return zero
     sk = (
         spark.read.parquet(store_path)
         .where((F.col("d") >= F.lit(start)) & (F.col("d") <= F.lit(end)))
         .select(F.lit(1).alias("g"), F.col("h"))
     )
     merged = kmv.kmv_merge(sk.select("g", "h"), ["g"], k=k)
-    return kmv.kmv_estimate(merged, ["g"], k=k).select("est_distinct")
+    est = kmv.kmv_estimate(merged, ["g"], k=k).select("est_distinct")
+    # empty range -> the groupBy emits no row; union with the zero row and
+    # keep the max so the caller always gets exactly one row
+    return est.unionByName(zero).agg(
+        F.max("est_distinct").cast("bigint").alias("est_distinct")
+    )

@@ -175,3 +175,32 @@ def test_rescue_covers_zero_survivor_groups(spark):
     plain = kmv.kmv_sketch(df, "v", ["g"], k=1, prefilter=False)
     assert _rows(fast) == _rows(plain)
     assert len(_rows(fast)) == 1  # the group is present, k=1 row
+
+
+def test_prefilter_keeps_null_group_keys(spark):
+    """groupBy treats a NULL group key as a real group; the prefilter
+    path's equi-joins used to drop it (NULL never equi-matches — round-7
+    review finding).  Both paths must agree, NULL group included."""
+    rows = [(None if v % 3 == 0 else f"g{v % 2}", str(v)) for v in range(300)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    fast = kmv.kmv_sketch(df, "v", ["g"], k=8, prefilter=True)
+    plain = kmv.kmv_sketch(df, "v", ["g"], k=8, prefilter=False)
+
+    def rows_nullsafe(d):
+        return sorted((r[0] or "", r[1]) for r in d.collect())
+
+    assert rows_nullsafe(fast) == rows_nullsafe(plain)
+    assert any(r["g"] is None for r in fast.collect())
+
+
+def test_intersect_safe_on_duplicate_hashes(spark):
+    """A multi-group sketch passed without filtering must not fan the
+    ranked join out and inflate the counts — inputs are made distinct."""
+    a = spark.createDataFrame([(g, v) for g in ("x", "y") for v in range(20)],
+                              "g string, v int")
+    k = 64
+    sk = kmv.kmv_sketch(a, "v", ["g"], k=k)  # same 20 hashes under 2 groups
+    row = kmv.kmv_intersect_estimate(sk, sk, k=k).collect()[0]
+    assert row["union_m"] == 20
+    assert row["n_common"] == 20
+    assert row["est_common"] == 20

@@ -120,3 +120,35 @@ def test_window_estimate_served_from_store(spark, tmp_path):
     assert est.collect()[0]["est_distinct"] == 7
     one = window_estimate(spark, store, "2026-01-02", "2026-01-02", k=K)
     assert one.collect()[0]["est_distinct"] == 7
+
+
+def test_window_estimate_guards(spark, tmp_path):
+    """Absent store and no-days-in-range must both answer ONE row with 0 —
+    not a crash (PATH_NOT_FOUND) or an empty relation a caller can't
+    index into."""
+    missing = str(tmp_path / "never_written")
+    assert window_estimate(spark, missing, "2026-01-01", "2026-01-02", k=K).collect()[
+        0
+    ]["est_distinct"] == 0
+    src = tmp_path / "src"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    _write(src, "b1.json", _events("2026-01-01", [1, 2, 3], 0))
+    _run(spark, src, store, ckpt)
+    out = window_estimate(spark, store, "1999-01-01", "1999-12-31", k=K).collect()
+    assert len(out) == 1 and out[0]["est_distinct"] == 0
+
+
+def test_null_timestamps_excluded(spark, tmp_path):
+    """Events with a NULL ts have no day: they must not create a NULL
+    store partition (which would also dodge touched-day pruning)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    rows = _events("2026-01-01", [1, 2, 3], 0) + [
+        {"event_id": 99, "user_id": 9, "ts": None}
+    ]
+    _write(src, "b1.json", rows)
+    _run(spark, src, store, ckpt)
+    days = {str(r["d"]) for r in spark.read.parquet(store).select("d").collect()}
+    assert days == {"2026-01-01"}
