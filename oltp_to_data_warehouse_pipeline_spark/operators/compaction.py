@@ -98,3 +98,65 @@ def bin_summary(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),
         F.sum(size_col).cast("bigint").alias("bin_bytes"),
     )
+
+
+def inventory(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """REAL file inventory from the scan's own file index: one row per
+    (partition…, file_id, size_bytes) via the hidden ``_metadata`` struct —
+    no data columns projected, no driver-side filesystem walk, identical on
+    local/HDFS/S3 (the same mechanism as ``sources/files.compact_table``).
+    ``file_id`` is the file path: lexicographic order ≈ commit order for
+    every writer in this repo (part-NNNNN naming), giving :func:`plan_bins`
+    its deterministic within-partition order."""
+    return df.select(
+        *partition_cols,
+        F.col("_metadata.file_path").alias("file_id"),
+        F.col("_metadata.file_size").alias("size_bytes"),
+    ).distinct()
+
+
+def compact_partition_by_plan(
+    spark,
+    part_dir: str,
+    plan_rows: list,
+    fmt: str = "parquet",
+) -> int:
+    """Execute one partition's bin plan: each bin's files rewrite to ONE
+    file.  ``plan_rows`` is the partition's slice of :func:`plan_bins`
+    output collected to the driver — file metadata, a few rows per
+    partition by construction.  Rewrite goes through a temp directory and
+    a rename swap (never half-deletes, like ``compact_table``).  Returns
+    the number of output files (= bins).
+
+    The per-bin loop issues one small Spark job per bin, sequentially —
+    right for the few-bins-per-partition case this targets; a fleet-scale
+    compactor would submit partitions concurrently (each call touches only
+    its own directory, so calls are independent)."""
+    from collections import defaultdict
+
+    from oltp_to_data_warehouse_pipeline_spark import fs
+
+    bins: dict[int, list[str]] = defaultdict(list)
+    for r in plan_rows:
+        bins[int(r["bin"])].append(r["file_id"])
+    tmp = part_dir.rstrip("/") + "__compact_tmp"
+    fs.delete(spark, tmp)
+    for b in sorted(bins):
+        (
+            spark.read.format(fmt)
+            .load(bins[b])
+            .coalesce(1)
+            .write.format(fmt)
+            .mode("append")
+            .save(tmp)
+        )
+    trash = part_dir.rstrip("/") + "__compact_old"
+    fs.delete(spark, trash)
+    if not fs.rename(spark, part_dir, trash):
+        fs.delete(spark, tmp)
+        raise IOError(f"compact: could not stage {part_dir} aside")
+    if not fs.rename(spark, tmp, part_dir):
+        fs.rename(spark, trash, part_dir)  # roll back — table intact
+        raise IOError(f"compact: could not publish {tmp}; rolled back")
+    fs.delete(spark, trash)
+    return len(bins)

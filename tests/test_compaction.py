@@ -84,3 +84,38 @@ def test_column_target_matches_int_target(spark):
         map(tuple, by_col.select(*by_int.columns).collect()),
         key=lambda t: (t[0], t[1]),
     )
+
+
+def test_real_inventory_plan_and_rewrite(spark, tmp_path):
+    """The plan→rewrite loop on a REAL partitioned table: inventory comes
+    from the scan's _metadata file index, the plan assigns bins, and the
+    per-partition rewrite leaves exactly one file per bin with identical
+    data — other partitions untouched."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(p, i, f"v{i}") for p in ("a", "b") for i in range(40)],
+        "pt string, k int, v string",
+    )
+    # 8 small files per partition
+    df.repartition(8).write.partitionBy("pt").parquet(path)
+    inv = compaction.inventory(spark.read.parquet(path), ["pt"])
+    per_file = inv.agg(F.min("size_bytes"), F.max("size_bytes")).first()
+    target = int(per_file[1]) * 3  # ~3 files per bin
+    plan = compaction.plan_bins(inv, ["pt"], target_bytes=target)
+    a_rows = [r.asDict() for r in plan.where(F.col("pt") == "a").collect()]
+    n_bins = len({r["bin"] for r in a_rows})
+    assert 1 < n_bins < 8
+    before = sorted(
+        (r["pt"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    out = compaction.compact_partition_by_plan(spark, f"{path}/pt=a", a_rows)
+    assert out == n_bins
+    after_inv = compaction.inventory(spark.read.parquet(path), ["pt"])
+    counts = {r["pt"]: r["n"] for r in after_inv.groupBy("pt").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["pt=a" if "pt=a" in counts else "a"] == n_bins
+    assert counts["pt=b" if "pt=b" in counts else "b"] == 8  # untouched
+    after = sorted(
+        (r["pt"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
