@@ -69,13 +69,26 @@ def plan_bins(
     holds at least the target.  The quotient is BIGINT ``div`` — exact at
     any byte magnitude (a double divide quietly loses precision past 2^53,
     which real cumulative byte counts can reach).
+
+    Non-positive targets are guarded HERE, not by callers: an int target
+    ≤ 0 raises, and a Column target is clamped to ≥ 1 — BIGINT ``div`` by
+    0 is NULL under non-ANSI semantics, which would silently emit NULL
+    bins that :func:`bin_summary` groups into one bogus bin.
     """
+    if isinstance(target_bytes, int) and target_bytes <= 0:
+        raise ValueError(
+            f"plan_bins: target_bytes must be positive, got {target_bytes}"
+        )
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(file_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    tcol = target_bytes if isinstance(target_bytes, Column) else F.lit(target_bytes)
+    tcol = (
+        F.greatest(target_bytes.cast("bigint"), F.lit(1).cast("bigint"))
+        if isinstance(target_bytes, Column)
+        else F.lit(target_bytes)
+    )
     preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
     return (
         files.withColumn("__preceding", preceding)
@@ -157,6 +170,7 @@ def compact_partition_by_plan(
         raise IOError(f"compact: could not stage {part_dir} aside")
     if not fs.rename(spark, tmp, part_dir):
         fs.rename(spark, trash, part_dir)  # roll back — table intact
+        fs.delete(spark, tmp)  # don't orphan the compacted copy
         raise IOError(f"compact: could not publish {tmp}; rolled back")
     fs.delete(spark, trash)
     return len(bins)

@@ -204,8 +204,12 @@ def kmv_intersect_estimate(
     - ``est_common`` = K∩ if m < k (both parts exhaustive ⇒ K∩ IS the
       exact intersection), else ``(K∩ · est_union) div k`` — the fraction
       of the union sample that lies in both sets, scaled by the union
-      estimate.  All BIGINT ops (K∩ ≤ 64, est_union < 2^54 ⇒ product
-      < 2^60), so the DuckDB twin replays it bit-for-bit.
+      estimate.  All BIGINT ops; est_union is clamped to the hash domain
+      2^48 (no set has more distinct keys than hash values), so
+      K∩ · est_union ≤ k · 2^48 stays inside int64 for any k < 2^15 —
+      even against adversarially small h_k.  Empty sketches estimate 0
+      (the n_common SUM coalesces, never NULL).  The DuckDB twin replays
+      the arithmetic bit-for-bit.
 
     Inputs are ≤ k-row relations, so the global (unpartitioned) rank
     window is sketch-sized by construction — never data-sized.
@@ -225,16 +229,28 @@ def kmv_intersect_estimate(
     agg = marked.agg(
         F.count(F.lit(1)).alias("union_m"),
         F.max(F.when(F.col("__r") == k, F.col("h"))).alias("__hk"),
-        F.sum(
-            F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+        # coalesce: SUM over zero rows is NULL — empty sketches must
+        # estimate 0, not break the one-row bigint contract.
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_common"),
     )
     num = (k - 1) * HASH_SPACE
+    # est_union clamped to HASH_SPACE (no set can exceed the hash domain):
+    # keeps n_common·est_union < k·2^48 — inside BIGINT for any k < 2^15,
+    # independent of how adversarially small __hk is.
+    est_union_expr = (
+        f"least(CAST({num} AS BIGINT) div greatest(__hk, CAST(1 AS BIGINT)),"
+        f" CAST({HASH_SPACE} AS BIGINT))"
+    )
     est_union = (
         F.when(F.col("union_m") < k, F.col("union_m"))
-        .otherwise(
-            F.expr(f"CAST({num} AS BIGINT) div greatest(__hk, CAST(1 AS BIGINT))")
-        )
+        .otherwise(F.expr(est_union_expr))
         .cast("bigint")
     )
     return agg.select(
@@ -243,10 +259,7 @@ def kmv_intersect_estimate(
         est_union.alias("est_union"),
         F.when(F.col("union_m") < k, F.col("n_common"))
         .otherwise(
-            F.expr(
-                f"(n_common * (CAST({num} AS BIGINT) div greatest(__hk,"
-                f" CAST(1 AS BIGINT)))) div CAST({k} AS BIGINT)"
-            )
+            F.expr(f"(n_common * {est_union_expr}) div CAST({k} AS BIGINT)")
         )
         .cast("bigint")
         .alias("est_common"),

@@ -409,6 +409,12 @@ def lsh_auto_params(
     instead of silently degrading to either recall-0 or all-pairs."""
     import math
 
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"lsh_auto_params: target_recall must be in (0, 1), got "
+            f"{target_recall!r} — 1.0 would need infinitely many bands "
+            "(the ln(1/(1-recall)) budget diverges)."
+        )
     r = max(1, math.ceil(math.log2(max(n, 2))) + occupancy_exp)
     p = 1.0 - math.acos(min(max(recall_sim, -1.0), 1.0)) / math.pi
     per_band = p**r

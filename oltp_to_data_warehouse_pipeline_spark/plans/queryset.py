@@ -9038,8 +9038,10 @@ _KMV_HC = _DUCK_FOLD.format(expr="'kmv|' || CAST(o_custkey AS VARCHAR)")
       FROM ru LEFT JOIN ra ia ON ru.h = ia.h LEFT JOIN rb ib ON ru.h = ib.h
       WHERE ru.r <= {_KMV_K}),
     est AS (
-      SELECT CAST(CASE WHEN m < {_KMV_K} THEN nc
-             ELSE (nc * ({_KMV_NUM} // greatest(hk, CAST(1 AS BIGINT))))
+      SELECT CAST(CASE WHEN m < {_KMV_K} THEN coalesce(nc, 0)
+             ELSE (coalesce(nc, 0)
+                   * least({_KMV_NUM} // greatest(hk, CAST(1 AS BIGINT)),
+                           CAST({1 << 48} AS BIGINT)))
                   // {_KMV_K} END AS BIGINT) AS kmv_common
       FROM sk),
     exact AS (
