@@ -385,3 +385,34 @@ def test_auto_lsh_finds_planted_near_dups(spark):
     found = len(pairs & planted)
     assert found >= 9, f"planted near-dup recall {found}/10 under target 0.9"
     assert all(r["sim"] >= 0.95 for r in got)  # precision 1
+
+
+def test_registered_auto_lsh_matches_exact_all_pairs(spark):
+    """The ORACLE-GATED auto-LSH query (embedding_near_dup_auto) must equal
+    the exact all-pairs answer on the fixture — recall 1 AND precision 1,
+    the same contract its DuckDB twin enforces — and the (r, bands) sizing
+    it rides on must carry a theoretical recall bound ≥ the requested
+    target at the planted-pair similarity (VERDICT r7 item 1)."""
+    import math
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+    from oltp_to_data_warehouse_pipeline_spark.plans import queryset as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    aug = Q._augmented_embeddings(spark, sf_dir)
+    got = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in Q.QUERIES["embedding_near_dup_auto"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in S.cosine_near_dup_pairs(aug, threshold=Q._AUTO_NEAR_T).collect()
+    }
+    assert got == exact  # recall 1 + precision 1 vs ground truth
+    assert len(got) == 50  # one pair per planted twin (vec_id % 10 == 0)
+    # theoretical recall bound of the sizing at the PLANTED similarity:
+    # pairs sit at cos >= 0.999, where 1 - (1 - p^r)^bands >= target.
+    n = aug.count()
+    r, bands = S.lsh_auto_params(n, recall_sim=Q._AUTO_NEAR_T, target_recall=0.9999)
+    p = 1.0 - math.acos(0.999) / math.pi
+    assert 1.0 - (1.0 - p**r) ** bands >= 0.9999
