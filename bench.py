@@ -92,11 +92,16 @@ HEADLINE = [
     "zorder_skipping_gain",
     "trending_event_types",
     "order_value_bootstrap_ci",
-    # round-7 new operators
-    "kmv_daily_users",
+    # round-7 new operators.  The benched KMV variants are the
+    # sketch-only paths (what ships at 100 TB); their audited twins
+    # (kmv_daily_users, kmv_cohort_overlap) stay oracle-gated in the
+    # correctness registry — the audit half re-aggregates raw rows per
+    # window by design and is a verification artifact, not the operator
+    # (VERDICT r7 item 2).
+    "kmv_daily_users_sketch",
     "session_concurrency_peaks",
     "prefix_filter_near_pairs",
-    "kmv_cohort_overlap",
+    "kmv_cohort_overlap_sketch",
     "orders_compaction_plan",
     "daily_revenue_interpolated",
 ]

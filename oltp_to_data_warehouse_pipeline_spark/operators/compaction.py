@@ -14,13 +14,24 @@ file inventory and belongs in the engine:
    a few million rows at 100 TB, never the data itself;
 2. deterministic order WITHIN each partition (file_id — commit order in a
    real manifest), then a running size of all PRECEDING files;
-3. ``bin = preceding_bytes div target_bytes`` — the classic streaming
-   first-fit: a file starts a new bin exactly when the files before it
-   already fill the current one.  Each bin's total lands in
-   [target, target + max_file) — i.e. every output file is AT LEAST
-   target-sized except the partition's last (the same guarantee Iceberg's
-   ``BinPackStrategy`` documents), and oversized inputs pass through as
-   their own bins rather than blocking packing.
+3. ``bin = preceding_bytes div target_bytes`` — grid packing: a file
+   joins the bin of the target-multiple its preceding bytes fall in.
+   Provable guarantees (property-tested in tests/test_compaction.py):
+   (a) output file count ≤ ``total_bytes div target + 1`` per partition,
+   so the mean output file is ≥ ~target-sized; (b) every bin is smaller
+   than ``target + its largest file`` (oversized inputs pass through
+   rather than blocking packing); (c) bins are order-preserving within
+   the partition; (d) ONE rewrite reaches the fixpoint — re-planning the
+   rewritten files assigns every file its own bin, so repeated compaction
+   never churns.  NOT guaranteed: "every non-last bin ≥ target" — a file
+   that overshoots several grid cells leaves its successor mid-grid and
+   the next bin can be undersized (e.g. sizes 150,230,40,70 at target
+   100 → bins 0,1,3,4 with bins 3,4 under target).  The count bound (a)
+   is the one that matters for the small-files problem: the scheduler
+   cost is file count, and trading occasional undersized bins for a
+   one-window, embarrassingly-parallel, SQL-replayable plan is the
+   point (a true running-reset packer is inherently sequential per
+   partition).
 
 Why cumulative-sum packing and not first-fit-DECREASING: FFD's
 sort-by-size-then-scan is inherently sequential per partition and its

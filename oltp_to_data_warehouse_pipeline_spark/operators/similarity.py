@@ -256,6 +256,81 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+    margin: float = 1e-9,
+) -> DataFrame:
+    """:func:`cosine_near_dup_pairs` with a VECTORIZED candidate prefilter —
+    identical output, the all-pairs arithmetic moved out of interpreted
+    higher-order functions (round-8 finding: the HOF all-pairs spent 46 s at
+    sf0.1 where this runs in ~1.5 s).
+
+    Coarse-then-exact-verify, the repo's standard contract: one numpy
+    matmul per Arrow batch against the (bounded, ≤ ``max_rows``) corpus
+    matrix scores every pair, pairs with matmul-cosine ≥ threshold −
+    ``margin`` become candidates, and each candidate is re-scored with the
+    SAME sequential zip_with/aggregate expression the plain operator uses —
+    so the emitted sims are bit-identical to the all-pairs formulation and
+    the DuckDB twin.  Losslessness: pairwise (numpy) vs sequential
+    summation of a d-term dot differ by ≲ d·ε ≈ 1e-13 at d ≤ 10⁴, five
+    orders inside the 1e-9 margin, so no true pair can be missed; the
+    margin admits a few sub-threshold candidates that the exact verify
+    rejects.  Zero-norm vectors score 0 in the prefilter and NULL in the
+    verify — excluded by both for any threshold > 0 (enforced).
+    """
+    if threshold <= 0.0:
+        raise ValueError(
+            "cosine_near_dup_pairs_blocked needs threshold > 0 (a"
+            " non-positive threshold admits all pairs — use"
+            " cosine_near_dup_pairs directly)"
+        )
+    import numpy as np
+
+    base = bounded(
+        ensure_min_parallelism(emb), max_rows, "cosine_near_dup_pairs_blocked"
+    ).select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    rows = base.collect()  # bounded by construction (≤ max_rows)
+    if not rows:
+        return _verify_cosine_pairs(
+            emb, base.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")),
+            threshold, id_col, vec_col,
+        )
+    ids = np.asarray([r["id"] for r in rows])
+    mat = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    inv = np.where(norms > 0.0, 1.0 / np.where(norms > 0.0, norms, 1.0), 0.0)
+    nmat = mat * inv[:, None]
+    cut = float(threshold) - float(margin)
+    id_t = dict(emb.dtypes)[id_col]
+    out_schema = f"id_a {id_t}, id_b {id_t}"
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf["id"].to_numpy()
+            bv = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            bn = np.linalg.norm(bv, axis=1)
+            binv = np.where(bn > 0.0, 1.0 / np.where(bn > 0.0, bn, 1.0), 0.0)
+            bnv = bv * binv[:, None]
+            for lo in range(0, len(ids), 8192):  # slab the corpus columns
+                sl = slice(lo, lo + 8192)
+                sims = bnv @ nmat[sl].T
+                # emit each unordered pair once: batch id < corpus id
+                r_i, c_i = np.nonzero((sims >= cut) & (bids[:, None] < ids[sl][None, :]))
+                if len(r_i):
+                    yield pd.DataFrame({"id_a": bids[r_i], "id_b": ids[sl][c_i]})
+
+    cand = base.mapInPandas(scan, out_schema)
+    return _verify_cosine_pairs(emb, cand, threshold, id_col, vec_col)
+
+
 def cosine_near_dup_lsh(
     emb: DataFrame,
     planes: list[list[float]],

@@ -2049,9 +2049,12 @@ def _lsh_near_dup_oracle(planes: list[list[float]], bands: int, threshold: float
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact all-pairs — the small-N verification
     path (dense cosine has no lossless index); ground truth for the LSH
-    variant's recall measurements."""
+    variant's recall measurements.  Physically the blocked variant: matmul
+    candidate prefilter with a 1e-9 margin + the same sequential-HOF exact
+    verify, so the emitted relation is bit-identical to the plain
+    formulation (and the oracle) while the n² arithmetic runs in BLAS."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+    return similarity.cosine_near_dup_pairs_blocked(emb, threshold=_NEAR_DUP_T)
 
 
 @query("embedding_near_dup_lsh", _lsh_near_dup_oracle(_LSH_PLANES, _LSH_BANDS, _NEAR_DUP_T))
@@ -5830,7 +5833,9 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     only.  The oracle replays the components as a recursive-CTE transitive
     closure — exact cross-engine agreement on every cluster assignment."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+    # blocked = matmul candidate prefilter + the SAME exact HOF verify —
+    # output identical to cosine_near_dup_pairs, ~30× faster at sf0.1
+    pairs = similarity.cosine_near_dup_pairs_blocked(emb, threshold=_NEAR_DUP_T)
     labels = dedup.connected_components(pairs.select("id_a", "id_b"), a="id_a", b="id_b")
     return (
         emb.select("vec_id")
@@ -8836,6 +8841,41 @@ def kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_daily_users_sketch",
+    f"""
+    WITH hs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, {_KMV_H} AS h
+      FROM events WHERE user_id IS NOT NULL),
+    ranked AS (
+      SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS r FROM hs),
+    sk AS (
+      SELECT d, count(*) AS m,
+             max(CASE WHEN r = {_KMV_K} THEN h END) AS hk
+      FROM ranked WHERE r <= {_KMV_K} GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, {_KMV_EST} AS kmv_users FROM sk
+    """,
+)
+def kmv_daily_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kmv_daily_users` WITHOUT the exact-DAU audit column — the variant
+    that actually ships at 100 TB (the audit half re-aggregates raw rows
+    per day by design and exists only to bound the estimator's error; see
+    `kmv_daily_users`).  Benchmarked in bench.py in place of the audited
+    twin so the headline timing measures the sketch path, not the audit
+    (VERDICT r7 item 2); the audited twin remains oracle-gated."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    sk = kmv.kmv_sketch(ev, "user_id", ["d"], k=_KMV_K, prefilter=True)
+    est = kmv.kmv_estimate(sk, ["d"], k=_KMV_K)
+    return est.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("est_distinct").alias("kmv_users"),
+    )
+
+
+@query(
     "kmv_rolling_7d_users",
     f"""
     WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
@@ -9172,6 +9212,57 @@ def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("err_pct"),
     )
+
+
+@query(
+    "kmv_cohort_overlap_sketch",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_HC} AS h FROM orders
+      WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL),
+    ra AS (SELECT h FROM (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM a) WHERE r <= {_KMV_K}),
+    b AS (
+      SELECT DISTINCT {_KMV_HC} AS h FROM orders
+      WHERE year(o_orderdate) = 1998 AND o_custkey IS NOT NULL),
+    rb AS (SELECT h FROM (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM b) WHERE r <= {_KMV_K}),
+    u AS (SELECT h FROM ra UNION SELECT h FROM rb),
+    ru AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM u),
+    sk AS (
+      SELECT count(*) AS m,
+             max(CASE WHEN ru.r = {_KMV_K} THEN ru.h END) AS hk,
+             sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                 THEN 1 ELSE 0 END) AS nc
+      FROM ru LEFT JOIN ra ia ON ru.h = ia.h LEFT JOIN rb ib ON ru.h = ib.h
+      WHERE ru.r <= {_KMV_K})
+    SELECT CAST(CASE WHEN m < {_KMV_K} THEN coalesce(nc, 0)
+           ELSE (coalesce(nc, 0)
+                 * least({_KMV_NUM} // greatest(hk, CAST(1 AS BIGINT)),
+                         CAST({1 << 48} AS BIGINT)))
+                // {_KMV_K} END AS BIGINT) AS kmv_common
+    FROM sk
+    """,
+)
+def kmv_cohort_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kmv_cohort_overlap` WITHOUT the exact-INTERSECT audit — the
+    sketch-serving path a retention dashboard runs per cohort pair at
+    100 TB (the audit half exists to bound the estimator and is kept in
+    the oracle-gated twin).  Benchmarked in place of the audited twin
+    (VERDICT r7 item 2)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    o = o.withColumn("yr", F.year("o_orderdate"))
+    cohorts = o.where(F.col("yr").isin(1995, 1998))
+    sk = kmv.kmv_sketch(
+        cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True
+    ).localCheckpoint(eager=True)
+    return kmv.kmv_intersect_estimate(
+        sk.where(F.col("yr") == 1995),
+        sk.where(F.col("yr") == 1998),
+        k=_KMV_K,
+    ).select(F.col("est_common").alias("kmv_common"))
 
 
 @query(

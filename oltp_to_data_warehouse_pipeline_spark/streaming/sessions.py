@@ -13,10 +13,11 @@ owns both: arbitrary session payload (first/last ts, count, value sum —
 extendable to e.g. distinct pages or a session replay pointer) and emit-on-
 close semantics.
 
-Scale: state is one ValueState row + one timer per ACTIVE key, partitioned
-by the grouping key across the state store (RocksDB on clusters); closed
-keys are cleared immediately, so state size tracks concurrent sessions,
-not history.
+Scale: state is one ListState row + one timer per OPEN RUN of each active
+key (normally exactly one; more only while a key's sessions await the
+watermark), partitioned by the grouping key across the state store
+(RocksDB on clusters); closed runs are dropped the moment their timer
+fires, so state size tracks concurrent open sessions, not history.
 """
 
 from __future__ import annotations
@@ -46,6 +47,14 @@ OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
 )
+# One row per OPEN run (gap-connected event group).  Multi-run state is
+# load-bearing for correctness, not a generalization: a single micro-batch
+# can span more than one session for a key (catch-up / availableNow
+# replay), and single-tuple state would merge them into one session where
+# the built-in session_window splits them (round-8 equivalence-test
+# finding).  Runs stay open until the WATERMARK passes run.last + gap —
+# never closed eagerly on batch-internal gaps, because a late in-gap event
+# in a later batch may still bridge two runs into one session.
 _STATE_SCHEMA = "start long, last long, n long, total double"
 
 
@@ -55,47 +64,75 @@ class _SessionProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
-        self.state = handle.getValueState("sess", _STATE_SCHEMA)
+        self.runs = handle.getListState("runs", _STATE_SCHEMA)
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
-        start, last, n, total = (
-            self.state.get() if self.state.exists() else (None, None, 0, 0.0)
-        )
-        old_deadline = None if last is None else last + self.gap_ms
+        old = [tuple(r) for r in self.runs.get()] if self.runs.exists() else []
+        items = [list(r) for r in old]
         for pdf in rows:
             if len(pdf) == 0:
                 continue
             ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-            lo, hi = int(ts_ms.min()), int(ts_ms.max())
-            start = lo if start is None else min(start, lo)
-            last = hi if last is None else max(last, hi)
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        if last is not None:
-            self.state.update((start, last, n, total))
-            # one timer per key: move the close deadline outward as events
-            # extend the session (delete-then-register keeps a single timer)
-            if old_deadline is not None:
-                self.handle.deleteTimer(old_deadline)
-            self.handle.registerTimer(last + self.gap_ms)
+            vals = pdf["value"].to_numpy()
+            items.extend(
+                [int(t), int(t), 1, float(v)] for t, v in zip(ts_ms, vals)
+            )
+        if len(items) == len(old):
+            return iter(())
+        # classic interval merge with gap tolerance: sorted by start, an
+        # item joins the current run iff it starts within gap of the run's
+        # last event — exactly session_window's transitive-chain semantics
+        # (pre-existing runs are internally gap-connected already).
+        merged: list[list] = []
+        for it in sorted(items, key=lambda x: (x[0], x[1])):
+            if merged and it[0] <= merged[-1][1] + self.gap_ms:
+                cur = merged[-1]
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
+            else:
+                merged.append(list(it))
+        self.runs.put([tuple(m) for m in merged])
+        # one timer per OPEN run; move/collapse deadlines as runs merge
+        old_deadlines = {r[1] + self.gap_ms for r in old}
+        new_deadlines = {m[1] + self.gap_ms for m in merged}
+        for t in old_deadlines - new_deadlines:
+            self.handle.deleteTimer(t)
+        for t in new_deadlines - old_deadlines:
+            self.handle.registerTimer(t)
         return iter(())
 
     def handleExpiredTimer(
         self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        if not self.state.exists():
+        if not self.runs.exists():
             return iter(())
-        start, last, n, total = self.state.get()
-        self.state.clear()
+        runs = sorted(tuple(r) for r in self.runs.get())
+        fired = (
+            expiredTimerInfo.getExpiryTimeInMs()
+            if expiredTimerInfo is not None
+            else -1
+        )
+        if fired is None or fired < 0:  # close-all: end-of-stream/test path
+            closed, kept = runs, []
+        else:
+            closed = [r for r in runs if r[1] + self.gap_ms <= fired]
+            kept = [r for r in runs if r[1] + self.gap_ms > fired]
+        if kept:
+            self.runs.put(kept)
+        else:
+            self.runs.clear()
+        if not closed:
+            return iter(())
         out = pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start, unit="ms")],
-                "session_end": [pd.Timestamp(last, unit="ms")],
-                "n_events": [n],
-                "sum_value": [round(total, 4)],
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _, _ in closed],
+                "n_events": [n for _, _, n, _ in closed],
+                "sum_value": [round(t, 4) for _, _, _, t in closed],
             }
         )
         return iter((out,))

@@ -119,3 +119,130 @@ def test_real_inventory_plan_and_rewrite(spark, tmp_path):
         (r["pt"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Property tests (VERDICT r7 item 8): random write/delete/tombstone churn →
+# the plan's PROVABLE invariants hold (see plan_bins docstring), the
+# plan→rewrite loop converges in one pass, and no row is lost.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_inventories = st.dictionaries(
+    st.sampled_from(["p0", "p1", "p2"]),
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=24),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(sizes_by_part=_inventories, target=st.integers(min_value=1, max_value=250))
+def test_plan_invariants_hold_under_random_inventories(
+    spark, sizes_by_part, target
+):
+    """For ANY inventory (random churn leaves an arbitrary size sequence):
+    (a) every file lands in exactly one bin — nothing lost or duplicated;
+    (b) bins are non-decreasing in file order; (c) per-partition output
+    file count ≤ total div target + 1; (d) every bin < target + its own
+    largest file; (e) re-planning the rewritten bins is a fixpoint (each
+    output file its own bin) — compaction never churns."""
+    inv = _inventory(spark, sizes_by_part)
+    plan = compaction.plan_bins(inv, ["part"], target_bytes=target)
+    rows = plan.collect()
+    # (a) conservation: same (part, file_id, size) multiset, bin non-null
+    got = sorted((r["part"], r["file_id"], r["size_bytes"]) for r in rows)
+    want = sorted(
+        (p, i, s) for p, ss in sizes_by_part.items() for i, s in enumerate(ss)
+    )
+    assert got == want
+    assert all(r["bin"] is not None and r["bin"] >= 0 for r in rows)
+    by_part: dict = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r)
+    for part, prows in by_part.items():
+        prows.sort(key=lambda r: r["file_id"])
+        bins = [r["bin"] for r in prows]
+        # (b) order-preserving
+        assert bins == sorted(bins), (part, bins)
+        total = sum(r["size_bytes"] for r in prows)
+        n_bins = len(set(bins))
+        # (c) the count bound that kills the small-files problem
+        assert n_bins <= total // target + 1, (part, n_bins, total, target)
+        # (d) bounded overshoot: bin < target + its largest member
+        agg: dict = {}
+        for r in prows:
+            agg.setdefault(r["bin"], []).append(r["size_bytes"])
+        for b, ss in agg.items():
+            assert sum(ss) < target + max(ss), (part, b, ss, target)
+        # (e) one-pass fixpoint: rewritten files (one per bin, in bin
+        # order) re-plan to one bin each
+        rewritten = [sum(agg[b]) for b in sorted(agg)]
+        re_inv = _inventory(spark, {part: rewritten})
+        re_plan = compaction.plan_bins(re_inv, ["part"], target_bytes=target)
+        re_bins = [r["bin"] for r in re_plan.collect()]
+        assert len(set(re_bins)) == len(rewritten), (part, rewritten, re_bins)
+
+
+def test_rewrite_after_tombstone_churn_loses_no_row(spark, tmp_path):
+    """E2E churn: randomized (seeded) write/overwrite/delete sequence on a
+    partitioned table — delete via tombstone filter-and-rewrite of single
+    files — then plan+compact each partition; the surviving row multiset
+    is identical and the output file count meets the plan."""
+    import random
+
+    rng = random.Random(8)
+    path = str(tmp_path / "tbl")
+    # initial load: many small files across two partitions
+    for batch in range(6):
+        spark.createDataFrame(
+            [
+                (rng.choice(["a", "b"]), batch * 100 + i, rng.randint(0, 9))
+                for i in range(rng.randint(5, 30))
+            ],
+            "pt string, k int, v int",
+        ).coalesce(1).write.mode("append").partitionBy("pt").parquet(path)
+    # tombstone churn: drop a random v-value by rewriting one random file
+    # (filter-and-rewrite, the parquet-level delete) — twice
+    for _ in range(2):
+        inv = compaction.inventory(spark.read.parquet(path), ["pt"]).collect()
+        victim = rng.choice(inv)
+        dead_v = rng.randint(0, 9)
+        kept = spark.read.parquet(victim["file_id"]).where(F.col("v") != dead_v)
+        kept_rows = kept.collect()
+        spark.createDataFrame(
+            kept_rows or [], "k int, v int"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+        import shutil
+        import glob as _glob
+        import os
+
+        local = victim["file_id"].replace("file:", "")
+        os.remove(local)
+        src = _glob.glob(str(tmp_path / "one" / "part-*.parquet"))
+        if kept_rows and src:
+            shutil.copy(src[0], local)
+    before = sorted(
+        (r["pt"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    inv = compaction.inventory(spark.read.parquet(path), ["pt"])
+    stats = inv.groupBy("pt").agg(
+        F.sum("size_bytes").alias("tot"), F.max("size_bytes").alias("mx")
+    ).collect()
+    target = max(int(min(r["mx"] for r in stats)) * 2, 1)
+    plan = compaction.plan_bins(inv, ["pt"], target_bytes=target)
+    for part in ("pt=a", "pt=b"):
+        prows = [
+            r.asDict()
+            for r in plan.where(F.col("pt") == part).collect()
+        ]
+        if not prows:
+            continue
+        n = compaction.compact_partition_by_plan(spark, f"{path}/{part}", prows)
+        assert n == len({r["bin"] for r in prows})
+    after = sorted(
+        (r["pt"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before

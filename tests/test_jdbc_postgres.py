@@ -1,0 +1,168 @@
+"""PG-dialect contract tests for S1/S3/S6 (VERDICT r7 item 6) — the
+Postgres specifics the embedded-Derby round-trip can't encode:
+
+- JSONB ``raw_data`` round-trip (reference `mongo_postgres_cdc.py:261`
+  stores the full message as JSONB);
+- ``ON CONFLICT`` upsert parity: the reference's
+  `mongo_postgres_cdc.py:359-380` INSERT … ON CONFLICT (pk) DO UPDATE
+  must produce the same final table state as this engine's
+  ``upsert_parquet`` LWW semantics over the same event sequence;
+- TEXT type width: Spark's PG dialect maps StringType → TEXT, so long
+  strings must survive unclipped (Derby's default VARCHAR would not).
+
+GATED: runs only when ``SPARK_GRAFT_PG_URL`` points at a reachable
+Postgres (``jdbc:postgresql://host:port/db``) AND the PostgreSQL JDBC
+driver is on the Spark classpath (launch with
+``--jars postgresql-<ver>.jar`` or ``--packages org.postgresql:postgresql``).
+Optional ``SPARK_GRAFT_PG_USER`` / ``SPARK_GRAFT_PG_PASSWORD``.  The CI
+container has no Postgres and no network, so the suite skips there; the
+wiring is proven wherever a PG exists (testcontainers-style gating, the
+same pattern as the protobuf-gated TWS stream test).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+    JdbcConfig,
+    read_table,
+    write_append,
+)
+
+PG_URL = os.environ.get("SPARK_GRAFT_PG_URL", "")
+
+pytestmark = pytest.mark.skipif(
+    not PG_URL, reason="set SPARK_GRAFT_PG_URL=jdbc:postgresql://… to run"
+)
+
+
+@pytest.fixture()
+def cfg():
+    return JdbcConfig(
+        url=PG_URL,
+        user=os.environ.get("SPARK_GRAFT_PG_USER", ""),
+        password=os.environ.get("SPARK_GRAFT_PG_PASSWORD", ""),
+        driver="org.postgresql.Driver",
+    )
+
+
+@pytest.fixture()
+def pg_exec(spark, cfg):
+    """Server-side SQL executor over the same JDBC driver (py4j
+    DriverManager) — for DDL and the reference's ON CONFLICT statement,
+    which Spark's JDBC writer cannot emit."""
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    if cfg.user:
+        props.setProperty("user", cfg.user)
+        props.setProperty("password", cfg.password)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+    st = conn.createStatement()
+    yield st.execute
+    st.close()
+    conn.close()
+
+
+def test_jsonb_raw_data_round_trip(spark, cfg, pg_exec):
+    """`mongo_postgres_cdc.py:261`: raw_data lands as JSONB.  Write the
+    normalizer's (pk, raw_data) shape into a JSONB column via
+    createTableColumnTypes, read it back through S1, and verify the JSON
+    survives semantically (PG normalizes JSONB key order/whitespace, so
+    compare parsed values, not bytes)."""
+    pg_exec("DROP TABLE IF EXISTS sg_jsonb_rt")
+    docs = [("k1", {"a": 1, "b": {"c": [1, 2, 3]}}), ("k2", {"x": None, "y": "züß"})]
+    df = spark.createDataFrame(
+        [(k, json.dumps(v)) for k, v in docs], "pk string, raw_data string"
+    )
+    (
+        df.write.format("jdbc")
+        .mode("overwrite")
+        .option("url", cfg.url)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+        .option("driver", cfg.driver)
+        .option("dbtable", "sg_jsonb_rt")
+        .option("createTableColumnTypes", "pk VARCHAR(32), raw_data JSONB")
+        .option("stringtype", "unspecified")  # let PG cast text → jsonb
+        .save()
+    )
+    back = {
+        r["pk"]: json.loads(r["raw_data"])
+        for r in read_table(spark, cfg, "sg_jsonb_rt").collect()
+    }
+    assert back == dict(docs)
+    # and the server can INDEX into it — proof it landed as jsonb, not text
+    pg_exec("SELECT raw_data->'b'->'c'->0 FROM sg_jsonb_rt")
+
+
+def test_on_conflict_parity_with_upsert_parquet(spark, cfg, pg_exec, tmp_path):
+    """The reference upsert (`mongo_postgres_cdc.py:359-380`) and this
+    engine's S6 LWW upsert must converge to the SAME final state for the
+    same ordered event sequence — including a tombstone."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.upsert import (
+        read_upserted,
+        upsert_parquet,
+    )
+
+    events = [  # (seq, pk, name, score, deleted)
+        (1, "u1", "a", 10, False),
+        (2, "u2", "b", 20, False),
+        (3, "u1", "a2", 11, False),  # update wins
+        (4, "u3", "c", 30, False),
+        (5, "u2", None, None, True),  # tombstone
+    ]
+    # reference semantics, server-side
+    pg_exec("DROP TABLE IF EXISTS sg_upsert")
+    pg_exec(
+        "CREATE TABLE sg_upsert (pk VARCHAR(16) PRIMARY KEY, name TEXT, score BIGINT)"
+    )
+    for _seq, pk, name, score, deleted in events:
+        if deleted:
+            pg_exec(f"DELETE FROM sg_upsert WHERE pk = '{pk}'")
+        else:
+            pg_exec(
+                f"INSERT INTO sg_upsert VALUES ('{pk}', '{name}', {score}) "
+                "ON CONFLICT (pk) DO UPDATE SET name = EXCLUDED.name, "
+                "score = EXCLUDED.score"
+            )
+    want = {
+        (r["pk"], r["name"], r["score"])
+        for r in read_table(spark, cfg, "sg_upsert").collect()
+    }
+    # engine semantics, one set-oriented batch
+    path = str(tmp_path / "tbl")
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            events, "seq long, pk string, name string, score long, _deleted boolean"
+        ),
+        path,
+        key="pk",
+        order_cols=["seq"],
+    )
+    got = {
+        (r["pk"], r["name"], r["score"])
+        for r in read_upserted(spark, path, delete_col="_deleted")
+        .select("pk", "name", "score")
+        .collect()
+    }
+    assert got == want == {("u1", "a2", 11), ("u3", "c", 30)}
+
+
+def test_text_columns_survive_long_strings(spark, cfg, pg_exec):
+    """StringType → TEXT under the PG dialect: a 100k-char document must
+    round-trip unclipped (the reference stores full documents/messages in
+    text columns)."""
+    pg_exec("DROP TABLE IF EXISTS sg_text_width")
+    body = "x" * 100_000 + "Ω"
+    write_append(
+        spark.createDataFrame([("d1", body)], "pk string, body string"),
+        cfg,
+        "sg_text_width",
+    )
+    back = read_table(spark, cfg, "sg_text_width").collect()
+    assert len(back) == 1 and back[0]["body"] == body and len(back[0]["body"]) == 100_001

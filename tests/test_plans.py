@@ -506,3 +506,68 @@ def test_plans_md_fingerprint_matches_working_tree():
         f"working tree is {current} — the plan audit is stale; regenerate "
         "with `python tools/plan_audit.py --write`"
     )
+
+
+# Queries REVIEWED as safe to move data to a single partition: every entry
+# here has a global (unpartitioned) Window/sort whose input is structurally
+# bounded — an aggregate over a low-cardinality key (day buckets, ≤ k-row
+# sketches) or an explicit limit — never raw fixture-scale rows.  A new
+# query that introduces a global window WITHOUT being reviewed and listed
+# here fails test_global_windows_are_bounded (VERDICT r7 item 3: the
+# invariant held by construction but was unguarded against the next
+# contributor).
+GLOBAL_WINDOW_ALLOWLIST = {
+    # sweep-line two-phase prefix sum: the only global window ranks the
+    # one-row-per-bucket offset relation (operators/intervals.py)
+    "session_concurrency_peaks",
+    # KMV set-op estimator: global rank over the ≤ 2k-row merged sketch
+    # (operators/kmv.py — sketches are ≤ k rows/group by construction)
+    "kmv_cohort_overlap",
+    "kmv_cohort_overlap_sketch",
+    # gaps-and-islands over per-day revenue: input is one row per day
+    # (groupBy date of a 7-year fixture → ≤ ~2.6k rows at any SF)
+    "daily_revenue_interpolated",
+}
+
+
+def _logical_nodes(plan):
+    """Depth-first walk of a Catalyst logical plan via py4j."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        yield node
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+
+
+def test_global_windows_are_bounded(spark):
+    """Walk EVERY registered query's optimized logical plan; for each
+    Window with an empty partition spec, require (a) the query is in the
+    reviewed allowlist and (b) the window's input subtree contains an
+    Aggregate or Limit — i.e. the single partition receives a grouped /
+    truncated relation, never the raw scan."""
+    q, _ = registry()
+    offenders, unbounded = [], []
+    for name, fn in sorted(q.items()):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        for node in _logical_nodes(plan):
+            if node.nodeName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            if name not in GLOBAL_WINDOW_ALLOWLIST:
+                offenders.append(name)
+            kid_names = {
+                k.nodeName() for k in _logical_nodes(node.children().apply(0))
+            }
+            if not kid_names & {"Aggregate", "GlobalLimit", "Deduplicate"}:
+                unbounded.append((name, sorted(kid_names)))
+    assert not offenders, (
+        f"unreviewed global (single-partition) windows in: {sorted(set(offenders))} — "
+        "either repartition the window or review the input cardinality and "
+        "extend GLOBAL_WINDOW_ALLOWLIST"
+    )
+    assert not unbounded, (
+        f"global windows whose input subtree has no Aggregate/Limit: {unbounded}"
+    )
