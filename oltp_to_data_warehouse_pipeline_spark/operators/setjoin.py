@@ -44,14 +44,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oltp_to_data_warehouse_pipeline_spark.operators.dedup import word_shingles
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
-    """(doc, tok) — distinct by construction (word_shingles dedups)."""
-    return df.select(
+    """(doc, tok, h) — distinct by construction (word_shingles dedups).
+
+    The input is spread to core count first: shingling is the CPU-heavy
+    narrow map, and a compact single-split parquet input would run it on
+    one task (measured 1.37 s → 0.30 s at sf0.1; a 100 TB scan already
+    has enough splits, so the gate adds nothing there).
+
+    ``h = xxhash64(tok)`` rides along from birth: every downstream
+    aggregation/join keys on the 8-byte hash instead of the ~25-byte
+    shingle string (the `_posting_pair_counts` precedent — cross-shingle
+    collision odds ~n²/2⁶⁵, negligible against any corpus this runs on);
+    the string itself is kept ONLY for the (df, shingle) prefix ordering,
+    which the oracle replays lexicographically."""
+    return ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, shingle_n)).alias("tok"),
-    )
+    ).withColumn("h", F.xxhash64("tok"))
 
 
 def _pin(
@@ -101,26 +114,35 @@ def _prefix(tok: DataFrame, threshold: float) -> DataFrame:
     The ceiling is exact-integer (:func:`threshold_fraction`), never a
     float product."""
     num, den = threshold_fraction(threshold)
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    w_rank = Window.partitionBy("doc").orderBy(F.col("__df").asc(), F.col("tok").asc())
+    # df per hashed shingle; the tok string tags along through the agg (one
+    # value per h modulo the documented collision odds) purely so the rank
+    # can order by the STRING — the order the oracle replays.
+    dfreq = tok.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__df"), F.first("tok").alias("__tok")
+    )
+    w_rank = Window.partitionBy("doc").orderBy(
+        F.col("__df").asc(), F.col("__tok").asc()
+    )
     w_doc = Window.partitionBy("doc")
     ranked = (
-        tok.join(dfreq, "tok")
+        tok.select("doc", "h")
+        .join(dfreq, "h")
         .withColumn("__rn", F.row_number().over(w_rank))
         .withColumn("__n", F.count(F.lit(1)).over(w_doc))
     )
     ceil_tn = F.expr(f"({num} * __n + {den} - 1) div {den}")
     return ranked.where(F.col("__rn") <= F.col("__n") - ceil_tn + 1).select(
-        "doc", "tok"
+        "doc", "h"
     )
 
 
 def _candidates(prefix: DataFrame) -> DataFrame:
     """Distinct ``(doc_a, doc_b)`` pairs sharing a prefix posting — the
-    quadratic stage the prefix filter exists to bound."""
+    quadratic stage the prefix filter exists to bound.  Equi-join on the
+    8-byte shingle hash (collision odds documented in :func:`_tokens`)."""
     return (
         prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
+        .join(prefix.alias("b"), "h")
         .where(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
@@ -132,8 +154,8 @@ def _verify_jaccard(tok: DataFrame, cand: DataFrame, threshold: float) -> DataFr
     candidate relation: the full-set intersection count from two
     token-keyed joins restricted to candidate docs."""
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    ta = tok.select(F.col("doc").alias("doc_a"), F.col("tok").alias("__t"))
-    tb = tok.select(F.col("doc").alias("doc_b"), F.col("tok").alias("__t"))
+    ta = tok.select(F.col("doc").alias("doc_a"), F.col("h").alias("__t"))
+    tb = tok.select(F.col("doc").alias("doc_b"), F.col("h").alias("__t"))
     inter = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "__t"])
