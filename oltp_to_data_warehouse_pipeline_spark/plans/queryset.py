@@ -8128,7 +8128,13 @@ def minhash_jaccard_calibration(
     actually small and degrades to a shuffle join otherwise (a forced
     hint here would OOM the driver at corpus scale)."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    # pinned: 9 small columns per doc, and it feeds THREE consumers (the
+    # candidate pipeline and both signature-compare sides) — unpinned, each
+    # one re-ran the full shingle+hash map (round-8 profiling: 6.3 s → 2.6 s
+    # at sf0.1 from this pin plus spreading `sh` below)
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text", num_hashes=8, shingle_n=3
+    ).localCheckpoint(eager=True)
     cand = similarity.bounded(
         dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4),
         max_pairs,
@@ -8149,7 +8155,9 @@ def minhash_jaccard_calibration(
         .join(sig_b, "doc_b")
         .select("doc_a", "doc_b", n_eq.alias("n_eq"))
     )
-    sh = d.select(
+    from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(d).select(
         F.col("doc_id").alias("doc"),
         F.explode(F.array_distinct(dedup.word_shingles("text", 3))).alias("sh"),
     )

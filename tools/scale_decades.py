@@ -1,25 +1,32 @@
-"""Two-decade scaling study for the three worst round-6 10x scalers
-(round-6 verdict item 4): time doc_winnowing_fingerprints,
-embedding_near_dup_lsh and embedding_quantize_int8 at 1x (sf0.1), 10x
-(/tmp/scale_sf1) and 100x (/tmp/scale_sf10, corpus tables only) and print
-the per-decade wall ratios plus the stage-level shuffle evidence.
+"""Two-decade scaling study (round-6 verdict item 4, extended per round-7
+item 4): time the operators with super-unit 10x ratios or unmeasured scale
+claims at 1x (sf0.1), 10x (/tmp/scale_sf1) and 100x (/tmp/scale_sf10) and
+print the per-decade wall ratios plus the stage-level shuffle evidence.
 
-The claim under test: these queries' super-unit 10x ratios are CPU
-saturation of idle cores (embarrassingly parallel work filling local[32]),
-NOT shuffle growth — so the second decade, where the cores are already
-saturated, must come in at <= ~10x per 10x data (data-proportional), and
-the shuffle-bytes-per-input-row must stay flat.
+The claim under test: super-unit 10x ratios are CPU saturation of idle
+cores (embarrassingly parallel work filling local[32]), NOT shuffle growth
+— so the second decade, where the cores are already saturated, must come
+in at <= ~10x per 10x data (data-proportional), and the
+shuffle-bytes-per-input-row must stay flat.
+
+Round-8 additions (round-7 verdict item 4): the prefix-filtered SSJoin
+(plus its audit row per scale, which quantifies the claimed pair-expansion
+shrink), the KMV merge rollup, the sweep-line concurrency operator, and
+the auto-banded ANN path that replaced the fixed-band quadratic one.
 
 Protocol matches bench.py: noop sink, min-of-k wall per scale, persisted
 intermediates dropped between runs; shuffle volume read from the
 lineage-scoped Spark status API for one representative run.
 
-Usage: python tools/scale_decades.py [k]   (default min-of-3)
+Usage: python tools/scale_decades.py [k] [only,names]
+(default min-of-3, all QUERIES; 100x runs only when the fixture has the
+query's tables — build them with tools/make_scale_fixture.py)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -35,11 +42,26 @@ QUERIES = [
     "doc_winnowing_fingerprints",
     "embedding_near_dup_lsh",
     "embedding_quantize_int8",
+    "prefix_filter_near_pairs",
+    "kmv_rolling_7d_users",
+    "session_concurrency_peaks",
+    "embedding_near_dup_auto",
 ]
+#: tables each query needs present in a fixture dir (gate for 100x)
+NEEDS = {
+    "doc_winnowing_fingerprints": ["documents"],
+    "embedding_near_dup_lsh": ["embeddings"],
+    "embedding_quantize_int8": ["embeddings"],
+    "prefix_filter_near_pairs": ["documents"],
+    "kmv_rolling_7d_users": ["events"],
+    "session_concurrency_peaks": ["events"],
+    "embedding_near_dup_auto": ["embeddings"],
+}
 
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
     from oltp_to_data_warehouse_pipeline_spark.plans.queryset import registry
     from oltp_to_data_warehouse_pipeline_spark.session import get_spark
@@ -87,12 +109,25 @@ def main() -> None:
                 pass
         return {"shuffle_write_mb": round(sw / 1e6, 1), "shuffle_read_mb": round(sr / 1e6, 1)}
 
-    out: dict = {}
+    def has_tables(name: str, sf_dir: str) -> bool:
+        return all(
+            os.path.exists(f"{sf_dir}/{t}.parquet") for t in NEEDS.get(name, [])
+        )
+
+    prior: dict = {}
+    if Path("SCALE_DECADES.json").exists():  # extend, don't clobber
+        prior = json.loads(Path("SCALE_DECADES.json").read_text())
+    out: dict = dict(prior)
     for name in QUERIES:
+        if only is not None and name not in only:
+            continue
         out[name] = {}
         run(name, SCALES[0][1])  # warm: codegen etc.
         drop_persisted()
         for label, sf_dir in SCALES:
+            if not has_tables(name, sf_dir):
+                print(f"skip {name}@{label}: fixture lacks {NEEDS[name]}", flush=True)
+                continue
             best = float("inf")
             for _ in range(k):
                 t0 = time.time()
@@ -102,9 +137,30 @@ def main() -> None:
             stats = shuffle_stats(name, sf_dir)
             drop_persisted()
             out[name][label] = {"sec": round(best, 2), **stats}
-        r10 = out[name]["10x"]["sec"] / out[name]["1x"]["sec"]
-        r100 = out[name]["100x"]["sec"] / out[name]["10x"]["sec"]
-        out[name]["decade_ratios"] = {"1x->10x": round(r10, 2), "10x->100x": round(r100, 2)}
+        ratios = {}
+        if "1x" in out[name] and "10x" in out[name]:
+            ratios["1x->10x"] = round(out[name]["10x"]["sec"] / out[name]["1x"]["sec"], 2)
+        if "10x" in out[name] and "100x" in out[name]:
+            ratios["10x->100x"] = round(out[name]["100x"]["sec"] / out[name]["10x"]["sec"], 2)
+        out[name]["decade_ratios"] = ratios
+        # the prefix filter's headline claim is the PAIR-EXPANSION shrink;
+        # record the audit row (postings with/without prefix, candidates,
+        # survivors) per scale so the claim is measured, not asserted
+        if name == "prefix_filter_near_pairs":
+            for label, sf_dir in SCALES:
+                if not has_tables(name, sf_dir):
+                    continue
+                row = queries["prefix_filter_audit"](spark, sf_dir).first()
+                drop_persisted()
+                pa, pp = row["postings_all"], row["postings_prefix"]
+                out[name].setdefault("audit", {})[label] = {
+                    "postings_all": pa,
+                    "postings_prefix": pp,
+                    "n_candidates": row["n_candidates"],
+                    "n_pairs": row["n_pairs"],
+                    # pair expansion scales ~ (postings)^2 per shingle bucket
+                    "expansion_shrink_proxy": round((pa / pp) ** 2, 1) if pp else None,
+                }
         print(json.dumps({name: out[name]}), flush=True)
 
     Path("SCALE_DECADES.json").write_text(json.dumps(out, indent=2) + "\n")
