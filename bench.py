@@ -104,6 +104,16 @@ HEADLINE = [
     "kmv_cohort_overlap_sketch",
     "orders_compaction_plan",
     "daily_revenue_interpolated",
+    # round-8 additions: the clustering/graph/ANN operators that were
+    # registry-only — an LLM-data engine's dedup story ends in CLUSTERS,
+    # not pairs, so the end-to-end semantic/lexical dedup paths and the
+    # iterative pagerank belong in the headline set (round-8 profiling
+    # also fixed semantic_dedup_clusters 46.8s -> 5.9s; benching it keeps
+    # that class of regression visible).
+    "semantic_dedup_clusters",
+    "near_dup_clusters",
+    "brand_pagerank",
+    "embedding_near_dup_auto",
 ]
 
 
