@@ -4614,34 +4614,54 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation: quartile
-    scores via ntile over the per-customer rollup, concatenated into the
-    classic 3-digit segment code.  All corpus-proportional work is the keyed
-    aggregate; the three unpartitioned ntile windows run over the
-    customer-sized relation (ties broken by custkey so quartile boundaries
-    are deterministic in both engines)."""
+    scores over the per-customer rollup, concatenated into the classic
+    3-digit segment code.  All corpus-proportional work is the keyed
+    aggregate; the three quartile scores are EXACT ntile(4) computed from
+    two-phase global ranks (:mod:`operators.ordered` — the customer
+    rollup grows with the data, so the old three unpartitioned ntile
+    windows were 10⁹-key hazards), ties broken by custkey so quartile
+    boundaries stay deterministic in both engines."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import ordered
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), F.col("custkey")))
-    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("custkey")))
-    return base.select(
-        "custkey",
-        "frequency",
-        "monetary",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
-    ).withColumn(
-        "segment",
-        F.concat(
-            F.col("r_score").cast("string"),
-            F.col("f_score").cast("string"),
-            F.col("m_score").cast("string"),
-        ),
+    # DESC orders become ASC on negated numeric band keys; dates band on
+    # their (monotone) day number
+    scored = ordered.global_order_stats(
+        base,
+        key=-F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+        tiebreaks=[F.col("custkey")],
+        rank_col="__rr",
+    )
+    scored = ordered.global_order_stats(
+        scored, key=-F.col("frequency"), tiebreaks=[F.col("custkey")], rank_col="__rf"
+    )
+    scored = ordered.global_order_stats(
+        scored, key=-F.col("monetary"), tiebreaks=[F.col("custkey")], rank_col="__rm"
+    )
+    tot_rel = base.agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
+    return (
+        scored.crossJoin(F.broadcast(tot_rel))
+        .select(
+            "custkey",
+            "frequency",
+            "monetary",
+            ordered.ntile_from_rank(F.col("__rr"), F.col("__k"), 4).alias("r_score"),
+            ordered.ntile_from_rank(F.col("__rf"), F.col("__k"), 4).alias("f_score"),
+            ordered.ntile_from_rank(F.col("__rm"), F.col("__k"), 4).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
     )
 
 
@@ -5551,23 +5571,30 @@ def revenue_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this engine targets (and a 0.8*total float threshold
     rounds half-up through DuckDB's DECIMAL but truncates through Spark's
     double->bigint cast - boundary customers would flip between engines).
-    Only the reported share division touches floats.  The ranking window
-    runs over the CUSTOMER rollup (dim-scale,
-    ≪ fact) — the global-order window never sees raw order rows."""
+    Only the reported share division touches floats.  The running sum is
+    the TWO-PHASE decomposition (:mod:`operators.ordered`): the customer
+    rollup grows with the data, so the old single-partition ordered window
+    was a 10⁹-key hazard — now per-band running sums + a ≤ n_bands-row
+    offset relation, bit-identical output (exact integer cents)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import ordered
+
     o = load_table(spark, sf_dir, "orders")
     cr = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.round(F.round(F.sum("o_totalprice"), 2) * 100)
         .cast("bigint")
         .alias("cents")
     )
-    run = (
-        Window.orderBy(F.desc("cents"), "custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ordered.global_order_stats(
+        cr,
+        key=-F.col("cents"),  # revenue DESC
+        tiebreaks=[F.col("custkey")],
+        rank_col="__r",
+        running={"__cum": F.col("cents")},
     )
-    total = Window.partitionBy()
-    cum = F.sum("cents").over(run)
-    tot = F.sum("cents").over(total)
-    return cr.select(
+    tot_rel = cr.agg(F.sum("cents").alias("__tot"))
+    cum = F.col("__cum")
+    tot = F.col("__tot")
+    return ranked.crossJoin(F.broadcast(tot_rel)).select(
         "custkey",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(cum.cast("double") / tot, 4).alias("cum_share"),
@@ -7778,20 +7805,23 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0 = perfectly even, →1 = a few power users generate everything) — the
     one-number answer to "how concentrated is our activity?", computed by
     the ranked-sum identity G = 2·Σ(rᵢ·nᵢ)/(k·Σn) − (k+1)/k.  One
-    aggregate per user, one rank window over the (small) per-user rollup,
-    one scalar fold."""
+    aggregate per user; the exact rank comes from the two-phase
+    decomposition (:mod:`operators.ordered`) — the per-user rollup grows
+    with the data, so no data-sized relation crosses a single partition —
+    then one scalar fold."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import ordered
+
     e = load_table(spark, sf_dir, "events")
     uc = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    r = F.row_number().over(Window.orderBy("n", "user_id"))
-    k = F.count(F.lit(1)).over(Window.partitionBy())
-    total = F.sum("n").over(Window.partitionBy())
-    ranked = uc.select("n", r.alias("r"), k.alias("k"), total.alias("total"))
+    ranked = ordered.global_order_stats(
+        uc, key=F.col("n"), tiebreaks=[F.col("user_id")], rank_col="r"
+    )
     return ranked.agg(
-        F.max("k").cast("bigint").alias("n_users"),
-        F.round(F.max("total").cast("double") / F.max("k"), 4).alias("mean_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 4).alias("mean_events"),
         F.round(
-            (2.0 * F.sum(F.col("r") * F.col("n")) / (F.max("k") * F.max("total")))
-            - (F.max("k").cast("double") + 1) / F.max("k"),
+            (2.0 * F.sum(F.col("r") * F.col("n")) / (F.count(F.lit(1)) * F.sum("n")))
+            - (F.count(F.lit(1)).cast("double") + 1) / F.count(F.lit(1)),
             4,
         ).alias("gini"),
     )
@@ -8634,10 +8664,13 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision-grade companion: the number a table owner looks at before
     paying the re-layout shuffle (`sources.files.write_zordered`).
 
-    Scale: two global range-sorts for the ntile simulation (this is an
-    audit that would run on a SAMPLE at 100 TB — the real layout writer
-    range-partitions once); everything after the file assignment is a
-    128-row bounding-box relation.  Integer arithmetic end to end."""
+    Scale: the two file assignments are EXACT ntile(64) from two-phase
+    global ranks (:mod:`operators.ordered`) — no data-sized relation
+    crosses a single partition even though the simulation covers every
+    order row (it would still run on a sample at 100 TB; now it doesn't
+    HAVE to); everything after the file assignment is a 128-row
+    bounding-box relation.  Integer arithmetic end to end."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import ordered
     from oltp_to_data_warehouse_pipeline_spark.operators.layout import with_zvalue
 
     o = load_table(spark, sf_dir, "orders")
@@ -8657,11 +8690,21 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dy").alias("__max_dy"),
     ).localCheckpoint(eager=True)
     z = with_zvalue(base, ["ck", "dy"], bits=16, out_col="zval", bounds=bounds)
-    files = z.select(
+    ranked = ordered.global_order_stats(
+        z, key=F.col("ck"), tiebreaks=[F.col("dy"), F.col("ok")], rank_col="__rs"
+    )
+    ranked = ordered.global_order_stats(
+        ranked,
+        key=F.col("zval"),
+        tiebreaks=[F.col("ck"), F.col("dy"), F.col("ok")],
+        rank_col="__rz",
+    )
+    tot_rel = base.agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
+    files = ranked.crossJoin(F.broadcast(tot_rel)).select(
         "ck",
         "dy",
-        F.ntile(64).over(Window.orderBy("ck", "dy", "ok")).alias("f_s"),
-        F.ntile(64).over(Window.orderBy("zval", "ck", "dy", "ok")).alias("f_z"),
+        ordered.ntile_from_rank(F.col("__rs"), F.col("__k"), 64).alias("f_s"),
+        ordered.ntile_from_rank(F.col("__rz"), F.col("__k"), 64).alias("f_z"),
     )
     melt = files.select(
         F.explode(

@@ -524,9 +524,33 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # (operators/kmv.py — sketches are ≤ k rows/group by construction)
     "kmv_cohort_overlap",
     "kmv_cohort_overlap_sketch",
-    # gaps-and-islands over per-day revenue: input is one row per day
-    # (groupBy date of a 7-year fixture → ≤ ~2.6k rows at any SF)
+    # per-DAY rollups: one row per calendar day regardless of data volume
+    # (the fixture spans ~7 years → ≤ ~2.6k rows at any SF)
     "daily_revenue_interpolated",
+    "daily_active_users",
+    "daily_order_backlog",
+    "daily_revenue_ewma",
+    "daily_revenue_ma7",
+    # per-YEAR rollup (7 rows)
+    "yearly_revenue_growth",
+    # bounded enumerations: 20 mixture weights / ≤ vocab-comparison 8 rows
+    # / top-1000 GlobalLimit / 4 histogram buckets / 3 funnel stages /
+    # 25 segment×priority cells / 100 bootstrap replicas (generated)
+    "corpus_mixture_plan",
+    "corpus_vocab_growth",
+    "corpus_zipf_slope",
+    "doc_length_histogram",
+    "event_funnel",
+    "segment_priority_chi2",
+    "order_value_bootstrap_ci",
+    # two-phase order statistics (operators/ordered.py): the one global
+    # window left ranks the ≤ n_bands-row band-totals relation — the
+    # data-sized windows these queries used to run were the round-8
+    # hazards this test was built to catch (fixed same round)
+    "revenue_pareto_customers",
+    "user_activity_gini",
+    "customer_rfm_segments",
+    "zorder_skipping_gain",
 }
 
 
