@@ -9549,6 +9549,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # NB: insertion shifts positions — name queries, never count offsets,
     # when reasoning about the 50-name window.
     "embedding_near_dup_auto",
+    "kmv_daily_users_sketch",
+    "kmv_cohort_overlap_sketch",
     # ROUND 7 WINDOW (kept near the front one more round while young).
     "kmv_daily_users",
     "kmv_rolling_7d_users",

@@ -221,6 +221,13 @@ def test_rewrite_after_tombstone_churn_loses_no_row(spark, tmp_path):
 
         local = victim["file_id"].replace("file:", "")
         os.remove(local)
+        # Hadoop's LocalFS keeps a .<name>.crc sidecar; swapping the file
+        # content under the same name with the old sidecar present fails
+        # the read with ChecksumException — a real tombstone writer goes
+        # through the FileSystem API, which rewrites it
+        crc = os.path.join(os.path.dirname(local), "." + os.path.basename(local) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
         src = _glob.glob(str(tmp_path / "one" / "part-*.parquet"))
         if kept_rows and src:
             shutil.copy(src[0], local)
