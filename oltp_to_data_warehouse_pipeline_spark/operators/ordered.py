@@ -56,11 +56,26 @@ def split_points(
     return sorted({float(v) for v in vals if v is not None})
 
 
-def with_band(df: DataFrame, key: Column, n_bands: int = 64) -> DataFrame:
+def with_band(
+    df: DataFrame,
+    key: Column,
+    n_bands: int = 64,
+    splits: list[float] | None = None,
+) -> DataFrame:
     """Adds ``__band`` (int, ascending with ``key``): the count of split
     points strictly below the row's key — a pure codegen'd comparison sum,
-    no join.  Equal keys always share a band."""
-    splits = split_points(df, key, n_bands)
+    no join.  Equal keys always share a band.
+
+    ``splits``: precomputed split values — pass them when the key domain
+    is known (scaled integer grids, pinned bounds rows) or when several
+    rank passes can share ONE ``percentile_approx`` aggregation; each
+    omitted call otherwise costs a synchronous aggregation job over the
+    full upstream pipeline (round-8: the z-order simulation paid that
+    twice, 1.2 s → 6.9 s, fixed by deriving splits from its already-pinned
+    bounds).  ANY split values give correct results — they only shape the
+    distribution — but equal-depth ones bound the per-band row count."""
+    if splits is None:
+        splits = split_points(df, key, n_bands)
     band = F.lit(0)
     for s in splits:
         band = band + (key > F.lit(s)).cast("int")
@@ -74,6 +89,7 @@ def global_order_stats(
     rank_col: str = "rank",
     running: dict[str, Column] | None = None,
     n_bands: int = 64,
+    splits: list[float] | None = None,
 ) -> DataFrame:
     """``df`` plus an EXACT global ``rank_col`` (row_number) — and, for
     each ``running`` entry, an exact global running sum including the
@@ -83,7 +99,7 @@ def global_order_stats(
     only global window ranks the ≤ ``n_bands``-row band-totals relation.
     """
     running = running or {}
-    b = with_band(df, key, n_bands)
+    b = with_band(df, key, n_bands, splits=splits)
     order = [key.asc()] + [t.asc() for t in tiebreaks]
     w = Window.partitionBy("__band").orderBy(*order)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

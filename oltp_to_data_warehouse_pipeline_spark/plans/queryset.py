@@ -3109,9 +3109,13 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-doc dedup happens in the array domain (array_distinct) before
     explode — the shuffle carries each (doc, bigram) once; the final top-20
-    is TakeOrderedAndProject (per-partition heaps), no global sort.
+    is TakeOrderedAndProject (per-partition heaps), no global sort.  The
+    input spreads to core count first: the tokenize+ngram map is the
+    CPU-heavy stage and the fixture parquet is a single split.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     b = d.select(
         F.explode(F.array_distinct(text.word_ngrams(text.tokens("text"), 2))).alias("bigram")
     )
@@ -4630,18 +4634,29 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
     # DESC orders become ASC on negated numeric band keys; dates band on
-    # their (monotone) day number
+    # their (monotone) day number.  ONE percentile aggregation serves all
+    # three rank passes (each omitted splits= would cost its own
+    # synchronous job over the rollup).
+    kr = -F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date"))
+    kf, km = -F.col("frequency"), -F.col("monetary")
+    qarr = F.array(*[F.lit(i / 32) for i in range(1, 32)])
+    sp = base.select(
+        F.percentile_approx(kr, qarr, F.lit(10_000)).alias("r"),
+        F.percentile_approx(kf, qarr, F.lit(10_000)).alias("f"),
+        F.percentile_approx(km, qarr, F.lit(10_000)).alias("m"),
+    ).first()
+    tidy = lambda vs: sorted({float(v) for v in (vs or []) if v is not None})  # noqa: E731
     scored = ordered.global_order_stats(
-        base,
-        key=-F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
-        tiebreaks=[F.col("custkey")],
-        rank_col="__rr",
+        base, key=kr, tiebreaks=[F.col("custkey")], rank_col="__rr",
+        splits=tidy(sp["r"]),
     )
     scored = ordered.global_order_stats(
-        scored, key=-F.col("frequency"), tiebreaks=[F.col("custkey")], rank_col="__rf"
+        scored, key=kf, tiebreaks=[F.col("custkey")], rank_col="__rf",
+        splits=tidy(sp["f"]),
     )
     scored = ordered.global_order_stats(
-        scored, key=-F.col("monetary"), tiebreaks=[F.col("custkey")], rank_col="__rm"
+        scored, key=km, tiebreaks=[F.col("custkey")], rank_col="__rm",
+        splits=tidy(sp["m"]),
     )
     tot_rel = base.agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
     return (
@@ -5680,11 +5695,14 @@ def semantic_only_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass after lexical dedup has collapsed the literal copies.
 
     Shape: the pair source is the embedding near-dup operator (LSH-banded
-    at scale; the bounded exact path here, where the fixture is small), and
-    the text-fingerprint relation joins in by document id — two broadcast
-    hash joins of an id→32-byte-hash projection, never the text itself."""
+    at scale; the bounded exact path here, where the fixture is small —
+    physically the BLOCKED variant: matmul prefilter + the same HOF
+    verify, bit-identical and ~20× faster than the interpreted all-pairs),
+    and the text-fingerprint relation joins in by document id — two
+    broadcast hash joins of an id→32-byte-hash projection, never the text
+    itself."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs(emb, threshold=_NEAR_DUP_T)
+    pairs = similarity.cosine_near_dup_pairs_blocked(emb, threshold=_NEAR_DUP_T)
     d = load_table(spark, sf_dir, "documents")
     fp = d.select(F.col("doc_id"), F.md5(F.lower(F.trim("text"))).alias("fp"))
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
@@ -8664,13 +8682,16 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision-grade companion: the number a table owner looks at before
     paying the re-layout shuffle (`sources.files.write_zordered`).
 
-    Scale: the two file assignments are EXACT ntile(64) from two-phase
-    global ranks (:mod:`operators.ordered`) — no data-sized relation
-    crosses a single partition even though the simulation covers every
-    order row (it would still run on a sample at 100 TB; now it doesn't
-    HAVE to); everything after the file assignment is a 128-row
-    bounding-box relation.  Integer arithmetic end to end."""
-    from oltp_to_data_warehouse_pipeline_spark.operators import ordered
+    Scale: this is an AUDIT — at 100 TB it runs on a sample, and that
+    contract is STRUCTURAL, not a docstring plea: the simulation input
+    passes through ``similarity.bounded`` (refuses > max_rows with the
+    standard pass-a-sample error; the plan shows a GlobalLimit feeding
+    the windows), so the two ntile(64) single-partition sorts can only
+    ever see a bounded relation.  Production-grade whole-table order
+    statistics live in :mod:`operators.ordered` (used by the pareto/gini/
+    RFM queries); an audit of 64 file boxes gains nothing from them.
+    Everything after the file assignment is a 128-row bounding-box
+    relation.  Integer arithmetic end to end."""
     from oltp_to_data_warehouse_pipeline_spark.operators.layout import with_zvalue
 
     o = load_table(spark, sf_dir, "orders")
@@ -8689,22 +8710,19 @@ def zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").alias("__min_dy"),
         F.max("dy").alias("__max_dy"),
     ).localCheckpoint(eager=True)
-    z = with_zvalue(base, ["ck", "dy"], bits=16, out_col="zval", bounds=bounds)
-    ranked = ordered.global_order_stats(
-        z, key=F.col("ck"), tiebreaks=[F.col("dy"), F.col("ok")], rank_col="__rs"
+    # structural sample bound: refuses (never truncates) oversized input,
+    # and the materialized probe doubles as the pin for the two window
+    # consumers (the z projection would otherwise recompute per sort)
+    z = similarity.bounded(
+        with_zvalue(base, ["ck", "dy"], bits=16, out_col="zval", bounds=bounds),
+        1_000_000,
+        "zorder_skipping_gain",
     )
-    ranked = ordered.global_order_stats(
-        ranked,
-        key=F.col("zval"),
-        tiebreaks=[F.col("ck"), F.col("dy"), F.col("ok")],
-        rank_col="__rz",
-    )
-    tot_rel = base.agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
-    files = ranked.crossJoin(F.broadcast(tot_rel)).select(
+    files = z.select(
         "ck",
         "dy",
-        ordered.ntile_from_rank(F.col("__rs"), F.col("__k"), 64).alias("f_s"),
-        ordered.ntile_from_rank(F.col("__rz"), F.col("__k"), 64).alias("f_z"),
+        F.ntile(64).over(Window.orderBy("ck", "dy", "ok")).alias("f_s"),
+        F.ntile(64).over(Window.orderBy("zval", "ck", "dy", "ok")).alias("f_z"),
     )
     melt = files.select(
         F.explode(
