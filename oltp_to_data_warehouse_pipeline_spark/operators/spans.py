@@ -1,0 +1,203 @@
+"""Cross-document duplicated-SPAN detection — exact substring dedup at
+the span grain (Lee et al. ACL'22 "Deduplicating Training Data Makes
+Language Models Better"), the pass that removes REPEATED PASSAGES a
+document-grain near-dup never sees and a fixed-chunk dedup
+(`chunk_dedup_reassemble`) only catches when the passage happens to
+align with a chunk boundary.
+
+The suffix-array formulation of the paper is inherently sequential
+(one global sorted suffix order); the distributed re-expression here is
+position-aware shingle matching + gaps-and-islands merging, which is
+Spark-shaped end to end:
+
+1. **Positional shingles** — every ``n``-token shingle of every doc with
+   its token offset: ``(doc, pos, md5(shingle))``.  A narrow generator
+   (sequence + slice), no shuffle; hashes at the source so downstream
+   joins move 32-byte keys, never text.
+2. **Match candidates** — self-join postings on the shingle hash.  Only
+   shingles with document frequency in ``[2, max_df]`` enter: df < 2
+   cannot form a pair (lossless skip), df > max_df is the boilerplate
+   tail that drives the Σ df² pair expansion (LOSSY, like
+   `ngram_jaccard_pairs_capped`'s cap — a passage duplicated across more
+   than ``max_df`` documents gets its shingles dropped; the bound is
+   what makes the join affordable at corpus scale, and the audit column
+   of :func:`duplicated_span_pairs` counts the capped shingles so the
+   loss is observable, not silent).
+3. **Island merge** — two docs sharing consecutive shingles at a fixed
+   alignment form ONE maximal span: for a pair at positions (pa, pb),
+   the alignment is ``off = pa − pb``; within (doc_a, doc_b, off) a run
+   of consecutive ``pa`` values is one island (``pa − row_number`` is
+   constant on it — the classic gaps-and-islands key), and the merged
+   span is ``[min pa, max pa + n − 1]``, length ``max pa − min pa + n``
+   tokens.  The window partitions by (doc_a, doc_b, off) — millions of
+   small independent partitions, never a global order.
+
+Shuffle inventory: one token-keyed df aggregation (map-side combinable),
+one hash-keyed self-join bounded by Σ df² ≤ postings · max_df, one
+(doc_a, doc_b, off)-keyed window.  All keys are fixed-width; nothing is
+ever data-sized per partition beyond a single document's shingle count.
+
+Reference parity: the reference pipeline dedups at whole-row grain only
+(spark_etl.py dropDuplicates); this module is part of the LLM-curation
+extension surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.functions import text
+from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """``(doc, pos, sh)`` — every shingle WITH its 1-based token offset
+    (near-dup operators dedup shingles per doc; spans need the positions).
+    Input is spread to core count first: the md5 fan-out is the CPU-heavy
+    narrow map and a single-row-group fixture file would hash on one task
+    (no-op at real scale where the scan already has ≥ cores splits)."""
+    return ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(text.shingle_hashes(text_col, shingle_n)).alias("p", "sh"),
+    ).select("doc", (F.col("p") + 1).cast("bigint").alias("pos"), "sh")
+
+
+def duplicated_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_len: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Maximal cross-document duplicated spans of ≥ ``min_len`` tokens.
+
+    Output: one row per (doc_a, doc_b, alignment) maximal span —
+    ``doc_a < doc_b``, ``a_start``/``b_start`` 1-based token offsets of
+    the span in each doc, ``span_len`` in tokens.  Overlapping spans at
+    DIFFERENT alignments are reported separately by design (each is a
+    real repeat; the excision report merges them per doc).
+
+    ``max_df`` caps the posting-list length that may enter the pair
+    expansion (see module docstring — lossy above the cap, deterministic
+    on both engines so the differential gate replays it exactly).
+    """
+    sh = positional_shingles(df, id_col, text_col, shingle_n)
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    kept = sh.join(
+        freq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("sh"),
+        "sh",
+    )
+    a = kept.select(
+        F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "sh"
+    )
+    b = kept.select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "sh"
+    )
+    pairs = a.join(b, "sh").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("off")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    runs = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "off", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            (F.max("pa") - F.min("pa") + F.lit(shingle_n))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("a_start").cast("bigint").alias("a_start"),
+            (F.col("a_start") - F.col("off")).cast("bigint").alias("b_start"),
+            "span_len",
+        )
+    )
+
+
+def span_excision_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_len: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Per-document excision audit under FIRST-OCCURRENCE-WINS: for every
+    doc that repeats a span of an earlier doc (lower id), merge its
+    flagged intervals and report how much of it survives excision.
+
+    Interval merge is the windowed running-max form — an interval starts
+    a new island iff its start exceeds every prior interval's end (per
+    doc; the window partitions by doc, so it parallelizes across docs and
+    its width is one doc's span count).  Token math on merged islands is
+    exact: flagged = Σ (island_end − island_start + 1).
+
+    Output: ``doc_id, n_spans, tokens_flagged, doc_tokens,
+    retention_pct`` — one row per flagged doc.
+    """
+    spans = duplicated_span_pairs(
+        df, id_col, text_col, shingle_n, min_len, max_df
+    )
+    iv = spans.select(
+        F.col("doc_b").alias("doc"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len") - 1).alias("e"),
+    ).distinct()
+    wprev = (
+        Window.partitionBy("doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = iv.withColumn("prev_max_e", F.max("e").over(wprev)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wrun = (
+        Window.partitionBy("doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        islanded.withColumn("island", F.sum("is_new").over(wrun))
+        .groupBy("doc", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.col("me") - F.col("ms") + 1).cast("bigint").alias(
+                "tokens_flagged"
+            ),
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(text.tokens(text_col)).cast("bigint").alias("doc_tokens"),
+    )
+    return (
+        merged.join(toks, "doc")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_spans",
+            "tokens_flagged",
+            "doc_tokens",
+            (
+                F.round(
+                    F.lit(100.0)
+                    * (F.col("doc_tokens") - F.col("tokens_flagged"))
+                    / F.col("doc_tokens"),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("retention_pct"),
+        )
+    )

@@ -9553,6 +9553,124 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 8b: duplicated-span detection (exact substring dedup, span grain)
+# ---------------------------------------------------------------------------
+
+# The span detector's shared CTE prefix: positional 3-token shingles with
+# document frequencies, capped at df ∈ [2, 20] (module docstring in
+# operators/spans.py explains the losslessness of the lower bound and the
+# documented lossiness of the upper), then the alignment-grouped
+# gaps-and-islands merge.  1-based positions on both engines.
+_SPAN_CTE = f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+2], ' ')) AS sh
+      FROM tok, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+    freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    kept AS (SELECT s.* FROM sh s JOIN freq USING (sh)
+             WHERE df BETWEEN 2 AND 20),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+             a.pos - b.pos AS offs
+      FROM kept a JOIN kept b USING (sh) WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, offs, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, offs
+                                     ORDER BY pa) AS grp
+      FROM prs),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS BIGINT) AS a_start,
+             CAST(min(pa) - offs AS BIGINT) AS b_start,
+             CAST(max(pa) - min(pa) + 3 AS BIGINT) AS span_len
+      FROM runs GROUP BY doc_a, doc_b, offs, grp
+      HAVING max(pa) - min(pa) + 3 >= 8)
+"""
+
+
+@query(
+    "dup_span_pairs",
+    _SPAN_CTE + """
+    SELECT doc_a, doc_b, a_start, b_start, span_len FROM spans
+    """,
+)
+def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, span grain (Lee et al. ACL'22): every
+    maximal cross-document duplicated passage of ≥ 8 tokens, located by
+    (doc, token offset) on both sides.  Catches the repeated-passage
+    duplication that document-grain near-dup (Jaccard over the WHOLE doc)
+    dilutes away and fixed 16-token chunking (`chunk_dedup_reassemble`)
+    only sees when the passage aligns with a chunk boundary — here a
+    93-token passage pasted mid-document is one row with its exact
+    coordinates.
+
+    Scale: position-aware shingle postings self-join on md5 keys with the
+    df ∈ [2, max_df] gate — pair expansion bounded by postings · max_df,
+    never Σ df² over boilerplate; the island merge windows on
+    (doc_a, doc_b, alignment), millions of tiny independent partitions.
+    See operators/spans.py for the full shuffle inventory."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return spans.duplicated_span_pairs(
+        d, "doc_id", "text", shingle_n=3, min_len=8, max_df=20
+    )
+
+
+@query(
+    "dup_span_excision",
+    _SPAN_CTE + """
+    , iv AS (
+      SELECT DISTINCT doc_b AS doc, b_start AS s,
+             b_start + span_len - 1 AS e
+      FROM spans),
+    isl AS (
+      SELECT doc, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (PARTITION BY doc ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv),
+    runs2 AS (
+      SELECT doc, s, e,
+             sum(is_new) OVER (PARTITION BY doc ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+      FROM isl),
+    merged AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(me - ms + 1) AS BIGINT) AS tokens_flagged
+      FROM (SELECT doc, island, min(s) AS ms, max(e) AS me
+            FROM runs2 GROUP BY doc, island)
+      GROUP BY doc),
+    dtok AS (SELECT doc_id AS doc, CAST(len(t) AS BIGINT) AS doc_tokens
+             FROM tok)
+    SELECT m.doc AS doc_id, n_spans, tokens_flagged, doc_tokens,
+           round(100.0 * (doc_tokens - tokens_flagged) / doc_tokens, 2) + 0.0
+             AS retention_pct
+    FROM merged m JOIN dtok USING (doc)
+    """,
+)
+def dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain excision audit under first-occurrence-wins: for each
+    doc repeating a passage of an earlier doc, merge its flagged
+    intervals (windowed running-max island merge, per-doc partitions) and
+    report exact flagged-token counts + retention — the surgical variant
+    of dedup that keeps the document and removes only the repeated spans,
+    with the decision grounded in `dup_span_pairs`' coordinates."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return spans.span_excision_report(
+        d, "doc_id", "text", shingle_n=3, min_len=8, max_df=20
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -9566,6 +9684,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # est_union clamp + n_common coalesce this round.
     # NB: insertion shifts positions — name queries, never count offsets,
     # when reasoning about the 50-name window.
+    "dup_span_pairs",
+    "dup_span_excision",
     "embedding_near_dup_auto",
     "kmv_daily_users_sketch",
     "kmv_cohort_overlap_sketch",

@@ -1,0 +1,129 @@
+"""Duplicated-span detection: planted-passage recovery, maximality,
+alignment separation, the df cap's observable lossiness, and the
+excision report's interval-merge arithmetic."""
+
+from __future__ import annotations
+
+from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _span_rows(df):
+    return sorted(
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["span_len"])
+        for r in df.collect()
+    )
+
+
+def test_planted_passage_exact_coordinates(spark):
+    """A 10-token passage pasted at different offsets in two docs comes
+    back as ONE maximal span with exact 1-based coordinates."""
+    passage = " ".join(f"p{i}" for i in range(10))
+    d = _docs(
+        spark,
+        [
+            (1, "a1 a2 a3 " + passage + " a4 a5"),
+            (2, "b1 " + passage + " b2 b3 b4 b5 b6"),
+        ],
+    )
+    got = _span_rows(
+        spans.duplicated_span_pairs(d, "doc_id", "text", 3, min_len=8)
+    )
+    assert got == [(1, 2, 4, 2, 10)]
+
+
+def test_maximality_no_fragment_rows(spark):
+    """A k-shingle run of a long passage must merge into one row — never
+    one row per matching shingle."""
+    passage = " ".join(f"w{i}" for i in range(20))
+    d = _docs(spark, [(1, passage + " x1 x2"), (2, "y1 y2 y3 " + passage)])
+    got = _span_rows(
+        spans.duplicated_span_pairs(d, "doc_id", "text", 3, min_len=8)
+    )
+    assert got == [(1, 2, 1, 4, 20)]
+
+
+def test_two_alignments_two_rows(spark):
+    """The same passage repeated TWICE in one doc matches an earlier
+    single occurrence at two alignments — two rows, one per repeat."""
+    p = " ".join(f"q{i}" for i in range(8))
+    d = _docs(spark, [(1, p), (2, p + " gap1 gap2 " + p)])
+    got = _span_rows(
+        spans.duplicated_span_pairs(d, "doc_id", "text", 3, min_len=8)
+    )
+    assert got == [(1, 2, 1, 1, 8), (1, 2, 1, 11, 8)]
+
+
+def test_below_min_len_dropped(spark):
+    p = " ".join(f"s{i}" for i in range(6))
+    d = _docs(spark, [(1, p + " a b c"), (2, "d e f " + p)])
+    out = spans.duplicated_span_pairs(d, "doc_id", "text", 3, min_len=8)
+    assert out.count() == 0
+
+
+def test_max_df_cap_drops_boilerplate(spark):
+    """A passage shared by MORE than max_df docs is (documented-lossy)
+    dropped; one shared by fewer survives."""
+    p = " ".join(f"c{i}" for i in range(10))
+    rows = [(i, f"u{i} " + p) for i in range(1, 12)]  # 11 docs share it
+    d = _docs(spark, rows)
+    # 11 docs x 8 postings per 3-shingle of a 10-token passage => df=11
+    lossy = spans.duplicated_span_pairs(
+        d, "doc_id", "text", 3, min_len=8, max_df=10
+    )
+    assert lossy.count() == 0
+    full = spans.duplicated_span_pairs(
+        d, "doc_id", "text", 3, min_len=8, max_df=11
+    )
+    assert full.count() == 55  # all C(11,2) pairs
+
+
+def test_excision_merges_overlapping_intervals(spark):
+    """Two overlapping flagged spans in one doc count their UNION of
+    tokens, not the sum."""
+    a = " ".join(f"a{i}" for i in range(12))  # doc 1: tokens 1..12
+    b = " ".join(f"a{i}" for i in range(8))  # prefix, tokens 1..8
+    c = " ".join(f"a{i}" for i in range(4, 12))  # suffix, tokens 5..12
+    # doc 3 contains BOTH the prefix (at 1..8) and suffix (at 9..16 of its
+    # own coordinates) => two spans vs doc1 overlapping? Construct doc3 as
+    # the full 12-token sequence so spans vs doc1 (1..12) and vs doc2
+    # (1..8) and vs docC (5..12) overlap inside doc3.
+    d = _docs(spark, [(1, a), (2, b), (3, c), (4, a + " z1 z2")])
+    rep = {
+        r["doc_id"]: r
+        for r in spans.span_excision_report(
+            d, "doc_id", "text", 3, min_len=8
+        ).collect()
+    }
+    # doc 4 repeats doc1's full 12 tokens, doc2's 8-prefix, doc3's 8-suffix:
+    # merged interval is 1..12 => 12 tokens flagged of its 14.
+    assert rep[4]["tokens_flagged"] == 12
+    assert rep[4]["n_spans"] == 1
+    assert rep[4]["doc_tokens"] == 14
+    assert abs(rep[4]["retention_pct"] - round(100.0 * 2 / 14, 2)) < 1e-9
+    # doc 3 (suffix) repeats doc1[5..12] and doc2 only overlaps 4 tokens
+    # (below min_len) => one span of 8, flagged 8 of 8.
+    assert rep[3]["tokens_flagged"] == 8
+    # doc 1 is the FIRST occurrence — never flagged.
+    assert 1 not in rep
+
+
+def test_excision_disjoint_intervals_sum(spark):
+    p1 = " ".join(f"m{i}" for i in range(8))
+    p2 = " ".join(f"n{i}" for i in range(8))
+    d = _docs(
+        spark,
+        [(1, p1), (2, p2), (3, p1 + " mid1 mid2 mid3 " + p2)],
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in spans.span_excision_report(
+            d, "doc_id", "text", 3, min_len=8
+        ).collect()
+    }
+    assert rep[3]["n_spans"] == 2
+    assert rep[3]["tokens_flagged"] == 16
+    assert rep[3]["doc_tokens"] == 19
