@@ -9671,6 +9671,108 @@ def dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 8b: mergeable quantile sketch (bottom-k row sample, qsketch.py)
+# ---------------------------------------------------------------------------
+
+_QS_K = 256
+_QS_H = _DUCK_FOLD.format(expr="'qs|' || CAST(o_orderkey AS VARCHAR)")
+
+
+def _qs_pick(p: float, v: str = "v") -> str:
+    """Type-1 sample quantile pick: value at rank 1 + floor(p·(m−1))."""
+    return (
+        f"max(CASE WHEN rk = 1 + CAST(floor({p} * (m - 1)) AS BIGINT) "
+        f"THEN {v} END)"
+    )
+
+
+@query(
+    "qsketch_price_quantiles",
+    f"""
+    WITH rows_ AS (
+      SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+               CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+             strftime(o_orderdate, '%Y-%m') AS mth,
+             {_QS_H} AS h, o_totalprice AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    msk AS (SELECT qtr, mth, h, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY qtr, mth
+                                     ORDER BY h, v) AS r
+        FROM rows_) WHERE r <= {_QS_K}),
+    qsk AS (SELECT qtr, h, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY qtr ORDER BY h, v) AS r
+        FROM msk) WHERE r <= {_QS_K}),
+    est AS (
+      SELECT qtr, CAST(max(m) AS BIGINT) AS m,
+             {_qs_pick(0.5)} AS q50, {_qs_pick(0.9)} AS q90,
+             {_qs_pick(0.99)} AS q99
+      FROM (SELECT qtr, v,
+                   row_number() OVER (PARTITION BY qtr ORDER BY v, h) AS rk,
+                   count(*) OVER (PARTITION BY qtr) AS m
+            FROM qsk)
+      GROUP BY qtr),
+    ex AS (
+      SELECT qtr, {_qs_pick(0.5)} AS q50_exact, {_qs_pick(0.9)} AS q90_exact,
+             {_qs_pick(0.99)} AS q99_exact
+      FROM (SELECT qtr, v,
+                   row_number() OVER (PARTITION BY qtr ORDER BY v, h) AS rk,
+                   count(*) OVER (PARTITION BY qtr) AS m
+            FROM rows_)
+      GROUP BY qtr)
+    SELECT est.qtr AS qtr, m, q50, q90, q99, q50_exact, q90_exact, q99_exact
+    FROM est JOIN ex USING (qtr)
+    """,
+)
+def qsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly order-price quantiles served by MERGING stored per-month
+    bottom-k row samples (operators/qsketch.py) — the quantile analogue of
+    `kmv_rolling_7d_users`: arbitrary-window order statistics without
+    re-shuffling raw values per window, in a sketch that is a plain
+    relation (storable, SQL-mergeable, engine-replayable — none of which
+    holds for approx_percentile's opaque summary).
+
+    Spark builds month sketches with the scan-side count-sized hash
+    threshold (expected 4k rows per month enter the rank; under-k groups
+    rescued — structural equality with the plain form) and merges them to
+    quarters; the oracle replays sketch-from-raw.  Their equality is the
+    bottom-k merge theorem holding over the real fold.  The *_exact
+    columns are the audit half (full per-quarter rank — re-aggregates raw
+    rows by design, dropped at 100 TB); they also exhibit the DKW
+    sampling error the unit suite bounds."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+
+    o = load_table(spark, sf_dir, "orders")
+    dated = o.select(
+        F.concat(
+            F.year("o_orderdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    sk = qsketch.qsample_sketch(
+        dated, "o_orderkey", "o_totalprice", ["qtr", "mth"], k=_QS_K
+    )
+    merged = qsketch.qsample_merge(sk, ["qtr"], k=_QS_K)
+    probs = {"q50": 0.5, "q90": 0.9, "q99": 0.99}
+    est = qsketch.qsample_quantiles(merged, ["qtr"], probs)
+    raw = dated.where(F.col("o_totalprice").isNotNull()).select(
+        "qtr",
+        qsketch.qs_hash("o_orderkey").alias("h"),
+        F.col("o_totalprice").alias("v"),
+    )
+    exact = qsketch.qsample_quantiles(raw, ["qtr"], probs).select(
+        "qtr",
+        F.col("q50").alias("q50_exact"),
+        F.col("q90").alias("q90_exact"),
+        F.col("q99").alias("q99_exact"),
+    )
+    return est.join(exact, "qtr")
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -9686,6 +9788,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # when reasoning about the 50-name window.
     "dup_span_pairs",
     "dup_span_excision",
+    "qsketch_price_quantiles",
     "embedding_near_dup_auto",
     "kmv_daily_users_sketch",
     "kmv_cohort_overlap_sketch",
