@@ -114,6 +114,13 @@ HEADLINE = [
     "near_dup_clusters",
     "brand_pagerank",
     "embedding_near_dup_auto",
+    # round-8b additions: span-grain exact substring dedup and the
+    # mergeable quantile sketch (sketch-only path benched; the audited
+    # twin qsketch_price_quantiles stays oracle-gated — same split as the
+    # KMV variants above).
+    "dup_span_pairs",
+    "dup_span_excision",
+    "qsketch_price_quantiles_sketch",
 ]
 
 

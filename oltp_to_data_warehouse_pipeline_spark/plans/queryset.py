@@ -9773,6 +9773,61 @@ def qsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "qtr")
 
 
+@query(
+    "qsketch_price_quantiles_sketch",
+    f"""
+    WITH rows_ AS (
+      SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+               CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+             strftime(o_orderdate, '%Y-%m') AS mth,
+             {_QS_H} AS h, o_totalprice AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    msk AS (SELECT qtr, mth, h, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY qtr, mth
+                                     ORDER BY h, v) AS r
+        FROM rows_) WHERE r <= {_QS_K}),
+    qsk AS (SELECT qtr, h, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY qtr ORDER BY h, v) AS r
+        FROM msk) WHERE r <= {_QS_K})
+    SELECT qtr, CAST(max(m) AS BIGINT) AS m,
+           {_qs_pick(0.5)} AS q50, {_qs_pick(0.9)} AS q90,
+           {_qs_pick(0.99)} AS q99
+    FROM (SELECT qtr, v,
+                 row_number() OVER (PARTITION BY qtr ORDER BY v, h) AS rk,
+                 count(*) OVER (PARTITION BY qtr) AS m
+          FROM qsk)
+    GROUP BY qtr
+    """,
+)
+def qsketch_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`qsketch_price_quantiles` WITHOUT the exact audit half — the
+    variant that ships at 100 TB (the audit re-ranks every raw row per
+    quarter by design; the sketch path's only raw-data pass is the
+    scan-side threshold filter).  Benchmarked in bench.py in place of the
+    audited twin, which stays oracle-gated (the kmv_daily_users_sketch
+    precedent)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+
+    o = load_table(spark, sf_dir, "orders")
+    dated = o.select(
+        F.concat(
+            F.year("o_orderdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    sk = qsketch.qsample_sketch(
+        dated, "o_orderkey", "o_totalprice", ["qtr", "mth"], k=_QS_K
+    )
+    merged = qsketch.qsample_merge(sk, ["qtr"], k=_QS_K)
+    return qsketch.qsample_quantiles(
+        merged, ["qtr"], {"q50": 0.5, "q90": 0.9, "q99": 0.99}
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -9789,6 +9844,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dup_span_pairs",
     "dup_span_excision",
     "qsketch_price_quantiles",
+    "qsketch_price_quantiles_sketch",
     "embedding_near_dup_auto",
     "kmv_daily_users_sketch",
     "kmv_cohort_overlap_sketch",

@@ -46,6 +46,10 @@ QUERIES = [
     "kmv_rolling_7d_users",
     "session_concurrency_peaks",
     "embedding_near_dup_auto",
+    # round-8b: span-grain substring dedup + mergeable quantile sketch
+    "dup_span_pairs",
+    "dup_span_excision",
+    "qsketch_price_quantiles_sketch",
 ]
 #: tables each query needs present in a fixture dir (gate for 100x)
 NEEDS = {
@@ -56,6 +60,9 @@ NEEDS = {
     "kmv_rolling_7d_users": ["events"],
     "session_concurrency_peaks": ["events"],
     "embedding_near_dup_auto": ["embeddings"],
+    "dup_span_pairs": ["documents"],
+    "dup_span_excision": ["documents"],
+    "qsketch_price_quantiles_sketch": ["orders"],
 }
 
 
