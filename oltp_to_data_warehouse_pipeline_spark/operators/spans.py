@@ -20,8 +20,8 @@ Spark-shaped end to end:
    tail that drives the Σ df² pair expansion (LOSSY, like
    `ngram_jaccard_pairs_capped`'s cap — a passage duplicated across more
    than ``max_df`` documents gets its shingles dropped; the bound is
-   what makes the join affordable at corpus scale, and the audit column
-   of :func:`duplicated_span_pairs` counts the capped shingles so the
+   what makes the join affordable at corpus scale, and
+   :func:`span_df_cap_audit` counts the capped shingles/postings so the
    loss is observable, not silent).
 3. **Island merge** — two docs sharing consecutive shingles at a fixed
    alignment form ONE maximal span: for a pair at positions (pa, pb),
@@ -121,30 +121,15 @@ def duplicated_span_pairs(
     )
 
 
-def span_excision_report(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    min_len: int = 8,
-    max_df: int = 20,
-) -> DataFrame:
-    """Per-document excision audit under FIRST-OCCURRENCE-WINS: for every
-    doc that repeats a span of an earlier doc (lower id), merge its
-    flagged intervals and report how much of it survives excision.
+def merged_flagged_intervals(spans: DataFrame) -> DataFrame:
+    """``(doc, ms, me)`` — each flagged doc's disjoint merged intervals
+    under FIRST-OCCURRENCE-WINS (``doc_b``, the higher id, is the
+    duplicate side).
 
     Interval merge is the windowed running-max form — an interval starts
     a new island iff its start exceeds every prior interval's end (per
     doc; the window partitions by doc, so it parallelizes across docs and
-    its width is one doc's span count).  Token math on merged islands is
-    exact: flagged = Σ (island_end − island_start + 1).
-
-    Output: ``doc_id, n_spans, tokens_flagged, doc_tokens,
-    retention_pct`` — one row per flagged doc.
-    """
-    spans = duplicated_span_pairs(
-        df, id_col, text_col, shingle_n, min_len, max_df
-    )
+    its width is one doc's span count)."""
     iv = spans.select(
         F.col("doc_b").alias("doc"),
         F.col("b_start").alias("s"),
@@ -167,10 +152,35 @@ def span_excision_report(
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = (
+    return (
         islanded.withColumn("island", F.sum("is_new").over(wrun))
         .groupBy("doc", "island")
         .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .select("doc", "ms", "me")
+    )
+
+
+def span_excision_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_len: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Per-document excision audit under first-occurrence-wins: merge
+    each flagged doc's intervals (:func:`merged_flagged_intervals`) and
+    report how much of it survives excision.  Token math on merged
+    islands is exact: flagged = Σ (island_end − island_start + 1).
+
+    Output: ``doc_id, n_spans, tokens_flagged, doc_tokens,
+    retention_pct`` — one row per flagged doc.
+    """
+    spans = duplicated_span_pairs(
+        df, id_col, text_col, shingle_n, min_len, max_df
+    )
+    merged = (
+        merged_flagged_intervals(spans)
         .groupBy("doc")
         .agg(
             F.count("*").cast("bigint").alias("n_spans"),
@@ -200,4 +210,98 @@ def span_excision_report(
                 + F.lit(0.0)
             ).alias("retention_pct"),
         )
+    )
+
+
+def span_excised_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_len: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """The excision APPLIED: rebuild every document with its flagged
+    token ranges removed (first-occurrence-wins; unflagged docs pass
+    through whole) — the span-grain sibling of
+    `chunk_dedup_reassemble`'s document stitching.
+
+    Flagged positions come from exploding the merged intervals
+    (``sequence(ms, me)`` — output ∝ flagged tokens, bounded by corpus
+    length); surviving tokens anti-join them on (doc, pos) and stitch
+    back in order via an in-group array sort.  Both shuffles key on
+    (doc, pos)/(doc); nothing is data-sized per partition beyond one
+    document.
+
+    Output: ``doc_id, kept_tokens, rebuilt_md5`` — the md5 stands in for
+    the rebuilt text so the comparison surface stays narrow (the
+    `chunk_dedup_reassemble` convention).  A doc whose EVERY token is
+    flagged (a whole-document copy of an earlier doc) disappears from
+    the output entirely — span dedup subsumes exact-document dedup as
+    its total-overlap case (14 of 500 fixture docs at sf0.01).
+    """
+    spans = duplicated_span_pairs(
+        df, id_col, text_col, shingle_n, min_len, max_df
+    )
+    flagged = (
+        merged_flagged_intervals(spans)
+        .select("doc", F.explode(F.sequence("ms", "me")).alias("pos"))
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(text.tokens(text_col)).alias("p", "tok"),
+    ).select("doc", (F.col("p") + 1).cast("bigint").alias("pos"), "tok")
+    kept = toks.join(flagged, ["doc", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("rebuilt_md5"),
+        )
+        .select(F.col("doc").alias("doc_id"), "kept_tokens", "rebuilt_md5")
+    )
+
+
+def span_df_cap_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_df: int = 20,
+) -> DataFrame:
+    """One-row audit making the df cap's loss OBSERVABLE (the
+    `prefix_filter_audit` convention): how many shingles/postings sat
+    above ``max_df`` (their matches are lost), and the pair-expansion
+    bound Σ df² over the admitted band — the exact row count the
+    candidate self-join will produce before the doc_a < doc_b halving.
+
+    Output: ``distinct_shingles, postings, capped_shingles,
+    capped_postings, pair_expansion`` (all bigint).
+    """
+    sh = positional_shingles(df, id_col, text_col, shingle_n)
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    in_band = (F.col("df") >= 2) & (F.col("df") <= max_df)
+    return freq.agg(
+        F.count("*").cast("bigint").alias("distinct_shingles"),
+        F.sum("df").cast("bigint").alias("postings"),
+        F.sum(F.when(F.col("df") > max_df, 1).otherwise(0))
+        .cast("bigint")
+        .alias("capped_shingles"),
+        F.sum(F.when(F.col("df") > max_df, F.col("df")).otherwise(0))
+        .cast("bigint")
+        .alias("capped_postings"),
+        F.sum(F.when(in_band, F.col("df") * F.col("df")).otherwise(0))
+        .cast("bigint")
+        .alias("pair_expansion"),
     )

@@ -9671,6 +9671,97 @@ def dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dup_span_rewrite",
+    _SPAN_CTE + """
+    , iv AS (
+      SELECT DISTINCT doc_b AS doc, b_start AS s,
+             b_start + span_len - 1 AS e
+      FROM spans),
+    isl AS (
+      SELECT doc, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (PARTITION BY doc ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv),
+    runs2 AS (
+      SELECT doc, s, e,
+             sum(is_new) OVER (PARTITION BY doc ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+      FROM isl),
+    mrg AS (SELECT doc, island, min(s) AS ms, max(e) AS me
+            FROM runs2 GROUP BY doc, island),
+    flag AS (SELECT DISTINCT doc, CAST(u.p AS BIGINT) AS pos
+             FROM mrg, unnest(range(ms, me + 1)) AS u(p)),
+    tokp AS (SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos, t[i] AS tok
+             FROM tok, unnest(range(1, len(t) + 1)) AS u(i)),
+    keptk AS (
+      SELECT tp.* FROM tokp tp
+      WHERE NOT EXISTS (SELECT 1 FROM flag f
+                        WHERE f.doc = tp.doc AND f.pos = tp.pos))
+    SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS rebuilt_md5
+    FROM keptk GROUP BY doc
+    """,
+)
+def dup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span excision APPLIED corpus-wide: every document rebuilt with
+    its flagged token ranges removed (first-occurrence-wins; unflagged
+    docs pass through whole), stitched back in order via an in-group
+    array sort — the span-grain sibling of `chunk_dedup_reassemble`.
+    The md5 of the rebuilt text stands in for the text itself so the
+    comparison surface stays narrow.
+
+    Scale: flagged positions materialize ∝ flagged tokens (bounded by
+    corpus length); the anti-join and the reassembly both key on
+    (doc, pos)/(doc).  See operators/spans.py."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return spans.span_excised_corpus(
+        d, "doc_id", "text", shingle_n=3, min_len=8, max_df=20
+    )
+
+
+@query(
+    "dup_span_cap_audit",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+2], ' ')) AS sh
+      FROM tok, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+    freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+    SELECT CAST(count(*) AS BIGINT) AS distinct_shingles,
+           CAST(sum(df) AS BIGINT) AS postings,
+           CAST(sum(CASE WHEN df > 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS capped_shingles,
+           CAST(sum(CASE WHEN df > 20 THEN df ELSE 0 END) AS BIGINT)
+             AS capped_postings,
+           CAST(sum(CASE WHEN df BETWEEN 2 AND 20 THEN df * df ELSE 0 END)
+                AS BIGINT) AS pair_expansion
+    FROM freq
+    """,
+)
+def dup_span_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit making the span detector's df-cap loss OBSERVABLE
+    (the `prefix_filter_audit` convention): shingles/postings above the
+    cap (whose matches are lost) and the Σ df² pair-expansion bound over
+    the admitted band — the candidate join's exact pre-halving row
+    count.  At sf0.1: 61 of 27 213 shingles capped, pair_expansion
+    2.77 M for 260 k postings (vs 54 k at sf0.01 — linear in corpus, not
+    quadratic, because per-shingle df is bounded by the cap)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return spans.span_df_cap_audit(d, "doc_id", "text", shingle_n=3, max_df=20)
+
+
 # ---------------------------------------------------------------------------
 # Round 8b: mergeable quantile sketch (bottom-k row sample, qsketch.py)
 # ---------------------------------------------------------------------------
@@ -9843,6 +9934,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # when reasoning about the 50-name window.
     "dup_span_pairs",
     "dup_span_excision",
+    "dup_span_rewrite",
+    "dup_span_cap_audit",
     "qsketch_price_quantiles",
     "qsketch_price_quantiles_sketch",
     "embedding_near_dup_auto",

@@ -127,3 +127,44 @@ def test_excision_disjoint_intervals_sum(spark):
     assert rep[3]["n_spans"] == 2
     assert rep[3]["tokens_flagged"] == 16
     assert rep[3]["doc_tokens"] == 19
+
+
+def test_rewrite_removes_flagged_and_drops_full_copies(spark):
+    import hashlib
+
+    a = " ".join(f"a{i}" for i in range(12))
+    d = _docs(
+        spark,
+        [
+            (1, a),                      # first occurrence — untouched
+            (2, a),                      # whole-doc copy — fully excised
+            (3, a + " z1 z2"),           # copy + 2 own tokens
+            (4, "q1 q2 q3 q4"),          # no dups — passes through whole
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in spans.span_excised_corpus(
+            d, "doc_id", "text", 3, min_len=8
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["kept_tokens"] == 12 and out[1]["rebuilt_md5"] == md5(a)
+    assert 2 not in out  # total-overlap case: excised to nothing
+    assert out[3]["kept_tokens"] == 2 and out[3]["rebuilt_md5"] == md5("z1 z2")
+    assert out[4]["kept_tokens"] == 4
+    assert out[4]["rebuilt_md5"] == md5("q1 q2 q3 q4")
+
+
+def test_cap_audit_counts(spark):
+    p = " ".join(f"c{i}" for i in range(5))  # 3 shingles per occurrence
+    d = _docs(spark, [(1, p), (2, p), (3, p), (4, "x y z w v")])
+    row = spans.span_df_cap_audit(
+        d, "doc_id", "text", shingle_n=3, max_df=2
+    ).collect()[0]
+    # 3 distinct passage shingles (df=3 > cap) + 3 unique doc-4 shingles
+    assert row["distinct_shingles"] == 6
+    assert row["postings"] == 12
+    assert row["capped_shingles"] == 3
+    assert row["capped_postings"] == 9
+    assert row["pair_expansion"] == 0  # df=1 shingles are below the >=2 band
