@@ -9451,6 +9451,98 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_t_closeness",
+    """
+    WITH base AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CASE WHEN c_acctbal < 0 THEN 'DEBT'
+                  WHEN c_acctbal < 3000 THEN 'LOW'
+                  WHEN c_acctbal < 7000 THEN 'MID'
+                  ELSE 'HIGH' END AS band
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    grp AS (SELECT nation, segment, band, count(*) AS cnt_g
+            FROM base GROUP BY 1, 2, 3),
+    sizes AS (SELECT nation, segment, count(*) AS size_g
+              FROM base GROUP BY 1, 2),
+    gband AS (SELECT band, count(*) AS cnt_v FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM base),
+    spine AS (SELECT s.nation, s.segment, s.size_g, g.band, g.cnt_v
+              FROM sizes s CROSS JOIN gband g),
+    j AS (SELECT sp.*, coalesce(grp.cnt_g, 0) AS cnt_g
+          FROM spine sp LEFT JOIN grp USING (nation, segment, band))
+    SELECT nation, segment, CAST(max(size_g) AS BIGINT) AS group_size,
+           round(CAST(sum(abs(cnt_g * n - cnt_v * size_g)) AS DOUBLE)
+                 / (2.0 * max(size_g) * max(n)), 6) + 0.0 AS tvd,
+           (5 * sum(abs(cnt_g * n - cnt_v * size_g))
+              > 2 * max(size_g) * max(n)) AS above_t
+    FROM j CROSS JOIN tot GROUP BY 1, 2
+    """,
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the privacy triad with
+    `customer_k_anonymity` / `customer_l_diversity`: a group can be ≥ k
+    AND l-diverse yet still leak if its sensitive-attribute DISTRIBUTION
+    diverges from the table's (an attacker's posterior shifts by the
+    divergence; Li et al., ICDE'07).  Per quasi-identifier group: total
+    variation distance between the group's balance-band distribution and
+    the global one, flagged above t = 0.2.
+
+    TVD runs in EXACT integer arithmetic — Σ_v |cnt_g·n − cnt_v·size_g|
+    over a group×band spine, divided once at the end — so the sum is
+    order-independent and the t-flag is an integer comparison
+    (5·Σ > 2·size·n ⟺ TVD > 0.2): no float-summation or
+    rounding-boundary divergence between engines by construction.
+
+    Scale: one data-sized map-side-combinable aggregate (band counts per
+    group); everything after operates on bounded relations (groups ×
+    bands), with the global band histogram and the 1-row total broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "DEBT")
+        .when(F.col("c_acctbal") < 3000, "LOW")
+        .when(F.col("c_acctbal") < 7000, "MID")
+        .otherwise("HIGH")
+    )
+    base = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        band.alias("band"),
+    )
+    grp = base.groupBy("nation", "segment", "band").agg(
+        F.count(F.lit(1)).alias("cnt_g")
+    )
+    sizes = base.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).alias("size_g")
+    )
+    glob = base.groupBy("band").agg(F.count(F.lit(1)).alias("cnt_v"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    spine = sizes.crossJoin(F.broadcast(glob))
+    j = spine.join(grp, ["nation", "segment", "band"], "left").withColumn(
+        "cnt_g", F.coalesce(F.col("cnt_g"), F.lit(0))
+    )
+    num = F.abs(F.col("cnt_g") * F.col("n") - F.col("cnt_v") * F.col("size_g"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment")
+        .agg(
+            F.max("size_g").cast("bigint").alias("group_size"),
+            (
+                F.round(
+                    F.sum(num).cast("double")
+                    / (F.lit(2.0) * F.max("size_g") * F.max("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("tvd"),
+            (
+                F.lit(5) * F.sum(num) > F.lit(2) * F.max("size_g") * F.max("n")
+            ).alias("above_t"),
+        )
+    )
+
+
+@query(
     "daily_revenue_interpolated",
     """
     WITH daily AS (
@@ -9936,6 +10028,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dup_span_excision",
     "dup_span_rewrite",
     "dup_span_cap_audit",
+    "customer_t_closeness",
     "qsketch_price_quantiles",
     "qsketch_price_quantiles_sketch",
     "embedding_near_dup_auto",

@@ -213,3 +213,60 @@ def test_zipf_flat_corpus_has_zero_slope(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     r = corpus_zipf_slope(spark, d).collect()[0]
     assert abs(r["zipf_slope"]) < 0.01
+
+
+def test_t_closeness_identical_distribution_is_zero(spark, tmp_path):
+    """A group whose sensitive-band mix equals the global mix has TVD 0;
+    validity check for customer_t_closeness (the cross-engine gate only
+    proves agreement)."""
+    import os
+
+    from oltp_to_data_warehouse_pipeline_spark.plans.queryset import (
+        customer_t_closeness,
+    )
+
+    # two groups, both 50% LOW / 50% MID -> both match global exactly
+    rows = []
+    ck = 0
+    for seg in ("S1", "S2"):
+        for bal in (1000.0, 1000.0, 5000.0, 5000.0):
+            rows.append((ck, 0, seg, bal))
+            ck += 1
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    n = spark.createDataFrame([(0, "NOWHERE")], "n_nationkey long, n_name string")
+    d = str(tmp_path)
+    c.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    n.write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+    out = {r["segment"]: r for r in customer_t_closeness(spark, d).collect()}
+    assert out["S1"]["tvd"] == 0.0 and not out["S1"]["above_t"]
+    assert out["S2"]["tvd"] == 0.0 and not out["S2"]["above_t"]
+
+
+def test_t_closeness_concentrated_group_flagged(spark, tmp_path):
+    """Hand-computed TVDs: an all-LOW group vs a DEBT/LOW/MID global is
+    0.5 (flagged); a uniform-thirds group vs the same global is 1/6
+    (under t=0.2)."""
+    import os
+
+    from oltp_to_data_warehouse_pipeline_spark.plans.queryset import (
+        customer_t_closeness,
+    )
+
+    rows = [(i, 0, "A", 1000.0) for i in range(10)]  # 10x LOW
+    rows += [(100 + i, 0, "B", -10.0) for i in range(10)]  # 10x DEBT
+    rows += [(200 + i, 0, "B", 1000.0) for i in range(10)]  # 10x LOW
+    rows += [(300 + i, 0, "B", 5000.0) for i in range(10)]  # 10x MID
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    n = spark.createDataFrame([(0, "NOWHERE")], "n_nationkey long, n_name string")
+    d = str(tmp_path)
+    c.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    n.write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+    out = {r["segment"]: r for r in customer_t_closeness(spark, d).collect()}
+    # global: DEBT 0.25, LOW 0.5, MID 0.25
+    assert out["A"]["tvd"] == 0.5 and out["A"]["above_t"]
+    assert abs(out["B"]["tvd"] - round(1 / 6, 6)) < 1e-12
+    assert not out["B"]["above_t"]
