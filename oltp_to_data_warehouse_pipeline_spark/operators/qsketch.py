@@ -102,15 +102,22 @@ def qsample_sketch(
     (one row per group; ~4k rows per group) exactly as ``kmv_sketch``
     does — without it the kept/audit/rescue branches re-derive them and
     the plan explodes (measured on the KMV twin: ~18 scans → 3).
+
+    NULL keys are excluded alongside NULL values (kmv_sketch's guard): a
+    NULL key hashes to h = NULL, which ascending-sorts FIRST in Spark but
+    is dropped by the prefilter's ``h < t`` — admitting it would break
+    the prefilter/plain structural equality AND diverge from the oracle's
+    NULLS-LAST ordering.
     """
     g = [F.col(c) for c in group_cols]
-    raw = df.where(F.col(value_col).isNotNull()).select(
+    ok = F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    raw = df.where(ok).select(
         *g, qs_hash(key_col).alias("h"), F.col(value_col).alias("v")
     )
     if not prefilter:
         return _bottom_k(raw, group_cols, k)
     thresholds = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(ok)
         .groupBy(*g)
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn(

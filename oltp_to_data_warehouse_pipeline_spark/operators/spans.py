@@ -15,14 +15,16 @@ Spark-shaped end to end:
    (sequence + slice), no shuffle; hashes at the source so downstream
    joins move 32-byte keys, never text.
 2. **Match candidates** — self-join postings on the shingle hash.  Only
-   shingles with document frequency in ``[2, max_df]`` enter: df < 2
-   cannot form a pair (lossless skip), df > max_df is the boilerplate
-   tail that drives the Σ df² pair expansion (LOSSY, like
-   `ngram_jaccard_pairs_capped`'s cap — a passage duplicated across more
-   than ``max_df`` documents gets its shingles dropped; the bound is
-   what makes the join affordable at corpus scale, and
-   :func:`span_df_cap_audit` counts the capped shingles/postings so the
-   loss is observable, not silent).
+   shingles with OCCURRENCE count (postings, not document frequency —
+   the pair expansion the cap bounds is Σ postings², so occurrences are
+   the honest unit; intra-document repetition counts) in
+   ``[2, max_postings]`` enter: a single occurrence cannot form a pair
+   (lossless skip), above the cap is the boilerplate tail that drives
+   the Σ df² blow-up (LOSSY, like `ngram_jaccard_pairs_capped`'s cap —
+   a shingle occurring more than ``max_postings`` times corpus-wide gets
+   its postings dropped; the bound is what makes the join affordable at
+   corpus scale, and :func:`span_df_cap_audit` counts the capped
+   shingles/postings so the loss is observable, not silent).
 3. **Island merge** — two docs sharing consecutive shingles at a fixed
    alignment form ONE maximal span: for a pair at positions (pa, pb),
    the alignment is ``off = pa − pb``; within (doc_a, doc_b, off) a run
@@ -33,7 +35,8 @@ Spark-shaped end to end:
    small independent partitions, never a global order.
 
 Shuffle inventory: one token-keyed df aggregation (map-side combinable),
-one hash-keyed self-join bounded by Σ df² ≤ postings · max_df, one
+one hash-keyed self-join bounded by Σ df² ≤ postings · max_postings,
+one
 (doc_a, doc_b, off)-keyed window.  All keys are fixed-width; nothing is
 ever data-sized per partition beyond a single document's shingle count.
 
@@ -71,7 +74,7 @@ def duplicated_span_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_len: int = 8,
-    max_df: int = 20,
+    max_postings: int = 20,
 ) -> DataFrame:
     """Maximal cross-document duplicated spans of ≥ ``min_len`` tokens.
 
@@ -81,14 +84,15 @@ def duplicated_span_pairs(
     DIFFERENT alignments are reported separately by design (each is a
     real repeat; the excision report merges them per doc).
 
-    ``max_df`` caps the posting-list length that may enter the pair
-    expansion (see module docstring — lossy above the cap, deterministic
-    on both engines so the differential gate replays it exactly).
+    ``max_postings`` caps the posting-list length (occurrence count) that
+    may enter the pair expansion (see module docstring — lossy above the
+    cap, deterministic on both engines so the differential gate replays
+    it exactly).
     """
     sh = positional_shingles(df, id_col, text_col, shingle_n)
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     kept = sh.join(
-        freq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("sh"),
+        freq.where((F.col("df") >= 2) & (F.col("df") <= max_postings)).select("sh"),
         "sh",
     )
     a = kept.select(
@@ -166,7 +170,7 @@ def span_excision_report(
     text_col: str,
     shingle_n: int = 3,
     min_len: int = 8,
-    max_df: int = 20,
+    max_postings: int = 20,
 ) -> DataFrame:
     """Per-document excision audit under first-occurrence-wins: merge
     each flagged doc's intervals (:func:`merged_flagged_intervals`) and
@@ -177,7 +181,7 @@ def span_excision_report(
     retention_pct`` — one row per flagged doc.
     """
     spans = duplicated_span_pairs(
-        df, id_col, text_col, shingle_n, min_len, max_df
+        df, id_col, text_col, shingle_n, min_len, max_postings
     )
     merged = (
         merged_flagged_intervals(spans)
@@ -219,7 +223,7 @@ def span_excised_corpus(
     text_col: str,
     shingle_n: int = 3,
     min_len: int = 8,
-    max_df: int = 20,
+    max_postings: int = 20,
 ) -> DataFrame:
     """The excision APPLIED: rebuild every document with its flagged
     token ranges removed (first-occurrence-wins; unflagged docs pass
@@ -241,12 +245,14 @@ def span_excised_corpus(
     its total-overlap case (14 of 500 fixture docs at sf0.01).
     """
     spans = duplicated_span_pairs(
-        df, id_col, text_col, shingle_n, min_len, max_df
+        df, id_col, text_col, shingle_n, min_len, max_postings
     )
-    flagged = (
-        merged_flagged_intervals(spans)
-        .select("doc", F.explode(F.sequence("ms", "me")).alias("pos"))
-        .distinct()
+    # no distinct needed: merged intervals are DISJOINT per doc by
+    # construction (islands start only when s > prev_max_e), so (doc, pos)
+    # is already unique — a dedup here would add a data-sized exchange for
+    # nothing (review finding)
+    flagged = merged_flagged_intervals(spans).select(
+        "doc", F.explode(F.sequence("ms", "me")).alias("pos")
     )
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -278,11 +284,11 @@ def span_df_cap_audit(
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
-    max_df: int = 20,
+    max_postings: int = 20,
 ) -> DataFrame:
     """One-row audit making the df cap's loss OBSERVABLE (the
     `prefix_filter_audit` convention): how many shingles/postings sat
-    above ``max_df`` (their matches are lost), and the pair-expansion
+    above ``max_postings`` (their matches are lost), and the pair-expansion
     bound Σ df² over the admitted band — the exact row count the
     candidate self-join will produce before the doc_a < doc_b halving.
 
@@ -291,14 +297,14 @@ def span_df_cap_audit(
     """
     sh = positional_shingles(df, id_col, text_col, shingle_n)
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    in_band = (F.col("df") >= 2) & (F.col("df") <= max_df)
+    in_band = (F.col("df") >= 2) & (F.col("df") <= max_postings)
     return freq.agg(
         F.count("*").cast("bigint").alias("distinct_shingles"),
         F.sum("df").cast("bigint").alias("postings"),
-        F.sum(F.when(F.col("df") > max_df, 1).otherwise(0))
+        F.sum(F.when(F.col("df") > max_postings, 1).otherwise(0))
         .cast("bigint")
         .alias("capped_shingles"),
-        F.sum(F.when(F.col("df") > max_df, F.col("df")).otherwise(0))
+        F.sum(F.when(F.col("df") > max_postings, F.col("df")).otherwise(0))
         .cast("bigint")
         .alias("capped_postings"),
         F.sum(F.when(in_band, F.col("df") * F.col("df")).otherwise(0))

@@ -9471,10 +9471,12 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (SELECT sp.*, coalesce(grp.cnt_g, 0) AS cnt_g
           FROM spine sp LEFT JOIN grp USING (nation, segment, band))
     SELECT nation, segment, CAST(max(size_g) AS BIGINT) AS group_size,
-           round(CAST(sum(abs(cnt_g * n - cnt_v * size_g)) AS DOUBLE)
+           round(CAST(sum(abs(CAST(cnt_g AS HUGEINT) * n
+                              - CAST(cnt_v AS HUGEINT) * size_g)) AS DOUBLE)
                  / (2.0 * max(size_g) * max(n)), 6) + 0.0 AS tvd,
-           (5 * sum(abs(cnt_g * n - cnt_v * size_g))
-              > 2 * max(size_g) * max(n)) AS above_t
+           (5 * sum(abs(CAST(cnt_g AS HUGEINT) * n
+                        - CAST(cnt_v AS HUGEINT) * size_g))
+              > 2 * CAST(max(size_g) AS HUGEINT) * max(n)) AS above_t
     FROM j CROSS JOIN tot GROUP BY 1, 2
     """,
 )
@@ -9491,7 +9493,11 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a group×band spine, divided once at the end — so the sum is
     order-independent and the t-flag is an integer comparison
     (5·Σ > 2·size·n ⟺ TVD > 0.2): no float-summation or
-    rounding-boundary divergence between engines by construction.
+    rounding-boundary divergence between engines by construction.  The
+    products run in DECIMAL(38,0) on Spark / HUGEINT on DuckDB: cnt·n
+    exceeds int64 once the table passes ~3·10⁹ rows, and Spark's
+    non-ANSI bigint arithmetic would wrap SILENTLY in exactly the scale
+    regime this plan targets (review finding).
 
     Scale: one data-sized map-side-combinable aggregate (band counts per
     group); everything after operates on bounded relations (groups ×
@@ -9521,7 +9527,11 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = spine.join(grp, ["nation", "segment", "band"], "left").withColumn(
         "cnt_g", F.coalesce(F.col("cnt_g"), F.lit(0))
     )
-    num = F.abs(F.col("cnt_g") * F.col("n") - F.col("cnt_v") * F.col("size_g"))
+    dec = "decimal(19,0)"
+    num = F.abs(
+        F.col("cnt_g").cast(dec) * F.col("n").cast(dec)
+        - F.col("cnt_v").cast(dec) * F.col("size_g").cast(dec)
+    )
     return (
         j.crossJoin(F.broadcast(tot))
         .groupBy("nation", "segment")
@@ -9536,7 +9546,10 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("tvd"),
             (
-                F.lit(5) * F.sum(num) > F.lit(2) * F.max("size_g") * F.max("n")
+                F.lit(5).cast(dec) * F.sum(num)
+                > F.lit(2).cast(dec)
+                * F.max("size_g").cast(dec)
+                * F.max("n").cast(dec)
             ).alias("above_t"),
         )
     )
@@ -9681,6 +9694,34 @@ _SPAN_CTE = f"""
       HAVING max(pa) - min(pa) + 3 >= 8)
 """
 
+# Shared island-merge suffix (review finding: was duplicated verbatim in
+# the excision and rewrite oracles): flagged-doc intervals → windowed
+# running-max islands → disjoint merged intervals ``mrg(doc, ms, me)``.
+_SPAN_MERGE_CTE = """
+    , iv AS (
+      SELECT DISTINCT doc_b AS doc, b_start AS s,
+             b_start + span_len - 1 AS e
+      FROM spans),
+    isl AS (
+      SELECT doc, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (PARTITION BY doc ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv),
+    runs2 AS (
+      SELECT doc, s, e,
+             sum(is_new) OVER (PARTITION BY doc ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+      FROM isl),
+    mrg AS (SELECT doc, island, min(s) AS ms, max(e) AS me
+            FROM runs2 GROUP BY doc, island)
+"""
+
 
 @query(
     "dup_span_pairs",
@@ -9707,39 +9748,17 @@ def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return spans.duplicated_span_pairs(
-        d, "doc_id", "text", shingle_n=3, min_len=8, max_df=20
+        d, "doc_id", "text", shingle_n=3, min_len=8, max_postings=20
     )
 
 
 @query(
     "dup_span_excision",
-    _SPAN_CTE + """
-    , iv AS (
-      SELECT DISTINCT doc_b AS doc, b_start AS s,
-             b_start + span_len - 1 AS e
-      FROM spans),
-    isl AS (
-      SELECT doc, s, e,
-             CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY s, e
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) IS NULL
-                       OR s > max(e) OVER (PARTITION BY doc ORDER BY s, e
-                                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                           AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS is_new
-      FROM iv),
-    runs2 AS (
-      SELECT doc, s, e,
-             sum(is_new) OVER (PARTITION BY doc ORDER BY s, e
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS island
-      FROM isl),
-    merged AS (
+    _SPAN_CTE + _SPAN_MERGE_CTE + """
+    , merged AS (
       SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
              CAST(sum(me - ms + 1) AS BIGINT) AS tokens_flagged
-      FROM (SELECT doc, island, min(s) AS ms, max(e) AS me
-            FROM runs2 GROUP BY doc, island)
-      GROUP BY doc),
+      FROM mrg GROUP BY doc),
     dtok AS (SELECT doc_id AS doc, CAST(len(t) AS BIGINT) AS doc_tokens
              FROM tok)
     SELECT m.doc AS doc_id, n_spans, tokens_flagged, doc_tokens,
@@ -9759,37 +9778,15 @@ def dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return spans.span_excision_report(
-        d, "doc_id", "text", shingle_n=3, min_len=8, max_df=20
+        d, "doc_id", "text", shingle_n=3, min_len=8, max_postings=20
     )
 
 
 @query(
     "dup_span_rewrite",
-    _SPAN_CTE + """
-    , iv AS (
-      SELECT DISTINCT doc_b AS doc, b_start AS s,
-             b_start + span_len - 1 AS e
-      FROM spans),
-    isl AS (
-      SELECT doc, s, e,
-             CASE WHEN max(e) OVER (PARTITION BY doc ORDER BY s, e
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) IS NULL
-                       OR s > max(e) OVER (PARTITION BY doc ORDER BY s, e
-                                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                           AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS is_new
-      FROM iv),
-    runs2 AS (
-      SELECT doc, s, e,
-             sum(is_new) OVER (PARTITION BY doc ORDER BY s, e
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS island
-      FROM isl),
-    mrg AS (SELECT doc, island, min(s) AS ms, max(e) AS me
-            FROM runs2 GROUP BY doc, island),
-    flag AS (SELECT DISTINCT doc, CAST(u.p AS BIGINT) AS pos
-             FROM mrg, unnest(range(ms, me + 1)) AS u(p)),
+    _SPAN_CTE + _SPAN_MERGE_CTE + """
+    , flag AS (SELECT doc, CAST(u.p AS BIGINT) AS pos
+               FROM mrg, unnest(range(ms, me + 1)) AS u(p)),
     tokp AS (SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos, t[i] AS tok
              FROM tok, unnest(range(1, len(t) + 1)) AS u(i)),
     keptk AS (
@@ -9816,7 +9813,7 @@ def dup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return spans.span_excised_corpus(
-        d, "doc_id", "text", shingle_n=3, min_len=8, max_df=20
+        d, "doc_id", "text", shingle_n=3, min_len=8, max_postings=20
     )
 
 
@@ -9851,7 +9848,7 @@ def dup_span_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oltp_to_data_warehouse_pipeline_spark.operators import spans
 
     d = load_table(spark, sf_dir, "documents")
-    return spans.span_df_cap_audit(d, "doc_id", "text", shingle_n=3, max_df=20)
+    return spans.span_df_cap_audit(d, "doc_id", "text", shingle_n=3, max_postings=20)
 
 
 # ---------------------------------------------------------------------------

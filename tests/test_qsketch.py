@@ -94,3 +94,15 @@ def test_null_values_excluded(spark):
     assert sk.count() == 2
     q = qsketch.qsample_quantiles(sk, ["g"], {"q100": 1.0}).collect()[0]
     assert q["m"] == 2 and q["q100"] == 7.0
+
+
+def test_null_keys_excluded_prefilter_parity(spark):
+    """A NULL key hashes to h=NULL (sorts FIRST in Spark, dropped by the
+    prefilter's h < t) — both modes must exclude it or they diverge
+    (review finding)."""
+    rows = [(i, 0, float(i)) for i in range(300)] + [(None, 0, 999.0)]
+    d = spark.createDataFrame(rows, "key long, g int, val double")
+    fast = qsketch.qsample_sketch(d, "key", "val", ["g"], k=8, prefilter=True)
+    plain = qsketch.qsample_sketch(d, "key", "val", ["g"], k=8, prefilter=False)
+    assert _rows(fast) == _rows(plain)
+    assert all(r["v"] != 999.0 for r in plain.collect())

@@ -72,11 +72,11 @@ def test_max_df_cap_drops_boilerplate(spark):
     d = _docs(spark, rows)
     # 11 docs x 8 postings per 3-shingle of a 10-token passage => df=11
     lossy = spans.duplicated_span_pairs(
-        d, "doc_id", "text", 3, min_len=8, max_df=10
+        d, "doc_id", "text", 3, min_len=8, max_postings=10
     )
     assert lossy.count() == 0
     full = spans.duplicated_span_pairs(
-        d, "doc_id", "text", 3, min_len=8, max_df=11
+        d, "doc_id", "text", 3, min_len=8, max_postings=11
     )
     assert full.count() == 55  # all C(11,2) pairs
 
@@ -160,7 +160,7 @@ def test_cap_audit_counts(spark):
     p = " ".join(f"c{i}" for i in range(5))  # 3 shingles per occurrence
     d = _docs(spark, [(1, p), (2, p), (3, p), (4, "x y z w v")])
     row = spans.span_df_cap_audit(
-        d, "doc_id", "text", shingle_n=3, max_df=2
+        d, "doc_id", "text", shingle_n=3, max_postings=2
     ).collect()[0]
     # 3 distinct passage shingles (df=3 > cap) + 3 unique doc-4 shingles
     assert row["distinct_shingles"] == 6
