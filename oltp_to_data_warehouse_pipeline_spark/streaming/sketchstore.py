@@ -27,6 +27,13 @@ the same store, verified by the from-scratch-replay test.
 Serving: :func:`window_estimate` answers "distinct keys in [start, end]"
 from the store alone — a ≤ k·days-row scan with day-partition pruning,
 never the raw events.
+
+The second half of the module is the QUANTILE sibling: per-day bottom-k
+row samples (:mod:`operators.qsketch`) maintained by the same
+merge-overwrite loop, with one extra (d, h, v) dedup that extends the
+ledger-free replay argument from hash SETS to row SAMPLES;
+:func:`window_quantiles` serves arbitrary-window order statistics from
+the store alone.
 """
 
 from __future__ import annotations
@@ -142,4 +149,131 @@ def window_estimate(
     # keep the max so the caller always gets exactly one row
     return est.unionByName(zero).agg(
         F.max("est_distinct").cast("bigint").alias("est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sample store: the qsketch sibling of the KMV store above
+# ---------------------------------------------------------------------------
+
+
+def merge_batch_into_qstore(
+    batch: DataFrame,
+    store_path: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    k: int,
+) -> None:
+    """One micro-batch step for the QUANTILE store: bottom-k row-sample
+    the batch per day (:func:`operators.qsketch.qsample_sketch`), merge
+    with the stored samples of the same days, overwrite those day
+    partitions.
+
+    Replay idempotence differs from the KMV store's in one step: KMV
+    sketches are distinct-hash sets (re-merging a re-delivered batch is a
+    set union with itself), while row samples carry values — so the union
+    dedups on ``(d, h, v)`` BEFORE the re-rank.  Because ``key_col`` is
+    unique per row, a duplicate (h, v) IS the same row re-delivered
+    (modulo the documented ~2⁻⁴⁸ fold-collision odds shared with every
+    md5_fold48 consumer), and the merged bottom-k is unchanged — the same
+    ledger-free convergence argument, with the dedup making it hold over
+    ROWS instead of sets."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+
+    spark = batch.sparkSession
+    days = batch.withColumn("d", F.col(ts_col).cast("date")).where(
+        F.col("d").isNotNull()
+    )
+    pinned = qsketch.qsample_sketch(
+        days, key_col, value_col, ["d"], k=k, prefilter=True
+    ).localCheckpoint(eager=True)
+    try:
+        fresh = pinned
+        if fs.has_data_files(spark, store_path):
+            touched = fresh.select("d").distinct()
+            stored = (
+                spark.read.parquet(store_path)
+                .join(F.broadcast(touched), "d", "left_semi")
+                .select("d", "h", "v")
+            )
+            fresh = qsketch.qsample_merge(
+                fresh.unionByName(stored).dropDuplicates(["d", "h", "v"]),
+                ["d"],
+                k=k,
+            )
+        (
+            fresh.select("h", "v", "d")  # partition column last
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(store_path)
+        )
+    finally:
+        release_checkpoint(pinned)
+
+
+def maintain_qsample_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "event_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    k: int = 256,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Attach the quantile-sample store maintainer to an event stream."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        merge_batch_into_qstore(
+            batch, store_path, key_col, value_col, ts_col, k
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .queryName("qsample-store")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def window_quantiles(
+    spark: SparkSession,
+    store_path: str,
+    start: str,
+    end: str,
+    probs: dict[str, float],
+    k: int = 256,
+) -> DataFrame:
+    """One row ``(m, <probs…>)``: sample quantiles over [start, end],
+    served ENTIRELY from stored day samples — ≤ k rows per day in, one
+    merged sample out, raw data never touched (day-partition pruning on
+    the store scan).  ALWAYS one row: an absent store or an empty range
+    answers m = 0 with NULL quantiles (the dashboard-caller contract of
+    :func:`window_estimate`)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+
+    names = list(probs)
+    empty = spark.createDataFrame(
+        [tuple([0] + [None] * len(names))],
+        "m bigint, " + ", ".join(f"{n} double" for n in names),
+    )
+    if not fs.has_data_files(spark, store_path):
+        return empty
+    sk = (
+        spark.read.parquet(store_path)
+        .where((F.col("d") >= F.lit(start)) & (F.col("d") <= F.lit(end)))
+        .select(F.lit(1).alias("g"), "h", F.col("v").cast("double").alias("v"))
+    )
+    merged = qsketch.qsample_merge(sk, ["g"], k=k)
+    q = qsketch.qsample_quantiles(merged, ["g"], probs).drop("g")
+    # empty range -> no group row; keep the contract with a max-fold over
+    # the union (m=0 row loses to any real sample)
+    return (
+        q.unionByName(empty)
+        .orderBy(F.col("m").desc())
+        .limit(1)
     )
