@@ -269,7 +269,13 @@ def main() -> None:
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps({**out, **detail}, indent=2) + "\n")
 
-    line = json.dumps(out, separators=(",", ":"))
+    # stdout carries per-query timings at 2dp — the 63-name headline set
+    # at 3dp would brush the driver's 2000-char tail window (the contract
+    # test's worst case); BENCH_DETAIL.json above keeps the full 3dp.
+    line = json.dumps(
+        {**out, "queries": {n: round(t, 2) for n, t in timings.items()}},
+        separators=(",", ":"),
+    )
     # Last-resort trim: the dominant line cost is the per-query dict, not
     # the ~45-char scalars — dropping scalars alone could never bring an
     # over-budget line back under the window (round-6 review finding).

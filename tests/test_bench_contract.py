@@ -19,7 +19,9 @@ def _worst_case_line() -> str:
         "metric": "headline_queries_total",
         "value": 9999.999,
         "unit": "sec",
-        "queries": {name: 99.999 for name in bench.HEADLINE},
+        # per-query stdout values are rounded to 2dp (bench.py emit path);
+        # the worst case mirrors that — BENCH_DETAIL keeps 3dp off-line
+        "queries": {name: 99.99 for name in bench.HEADLINE},
         "sf": 0.1,
         "oracle_total": 9999.999,
         "ratio": 99.999,
