@@ -10008,6 +10008,70 @@ def qsketch_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "qsketch_rolling_7d_price",
+    f"""
+    WITH rows_ AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, {_QS_H} AS h, o_totalprice AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    days AS (SELECT DISTINCT d FROM rows_),
+    win AS (
+      SELECT w.d AS target, r.h, r.v
+      FROM rows_ r JOIN days w ON r.d BETWEEN w.d - 6 AND w.d),
+    sk AS (SELECT target, h, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY target ORDER BY h, v) AS r
+        FROM win) WHERE r <= {_QS_K})
+    SELECT strftime(target, '%Y-%m-%d') AS day, CAST(max(m) AS BIGINT) AS m,
+           {_qs_pick(0.5)} AS q50, {_qs_pick(0.9)} AS q90
+    FROM (SELECT target, v,
+                 row_number() OVER (PARTITION BY target ORDER BY v, h) AS rk,
+                 count(*) OVER (PARTITION BY target) AS m
+          FROM sk)
+    GROUP BY target
+    """,
+)
+def qsketch_rolling_7d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day order-price p50/p90 per day, served by MERGING
+    stored per-day bottom-k samples — the quantile twin of
+    `kmv_rolling_7d_users`: each day sketch fans out to the ≤ 7 windows
+    it serves (a bounded explode over a ≤ k-row relation), windows
+    restricted to existing days, re-rank per window.  The oracle takes
+    bottom-k over each window's RAW rows directly; equality is the
+    bottom-k merge theorem per day (a window's true bottom-k is a subset
+    of the union of its days' bottom-k's) holding over the real fold.
+    Sketch-only by design — the exact-audit half lives on the quarterly
+    `qsketch_price_quantiles`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    days = o.select("d").distinct()
+    day_sk = qsketch.qsample_sketch(
+        o, "o_orderkey", "o_totalprice", ["d"], k=_QS_K
+    )
+    fanned = (
+        day_sk.withColumn(
+            "target",
+            F.explode(F.expr("sequence(d, date_add(d, 6), interval 1 day)")),
+        )
+        .join(
+            F.broadcast(days.withColumnRenamed("d", "target")),
+            "target",
+            "left_semi",
+        )
+        .select("target", "h", "v")
+    )
+    merged = qsketch.qsample_merge(fanned, ["target"], k=_QS_K)
+    est = qsketch.qsample_quantiles(merged, ["target"], {"q50": 0.5, "q90": 0.9})
+    return est.select(
+        F.date_format("target", "yyyy-MM-dd").alias("day"),
+        "m",
+        "q50",
+        "q90",
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10028,6 +10092,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_t_closeness",
     "qsketch_price_quantiles",
     "qsketch_price_quantiles_sketch",
+    "qsketch_rolling_7d_price",
     "embedding_near_dup_auto",
     "kmv_daily_users_sketch",
     "kmv_cohort_overlap_sketch",
