@@ -272,10 +272,11 @@ def main() -> None:
     # stdout carries per-query timings at 2dp — the 63-name headline set
     # at 3dp would brush the driver's 2000-char tail window (the contract
     # test's worst case); BENCH_DETAIL.json above keeps the full 3dp.
-    line = json.dumps(
-        {**out, "queries": {n: round(t, 2) for n, t in timings.items()}},
-        separators=(",", ":"),
-    )
+    # Mutate out AFTER the detail write so the trim loop below also
+    # operates on 2dp values (a throwaway rounded copy here would revert
+    # the line to 3dp the moment trimming engages — review finding).
+    out["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    line = json.dumps(out, separators=(",", ":"))
     # Last-resort trim: the dominant line cost is the per-query dict, not
     # the ~45-char scalars — dropping scalars alone could never bring an
     # over-budget line back under the window (round-6 review finding).

@@ -10046,7 +10046,11 @@ def qsketch_rolling_7d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").withColumn(
         "d", F.col("o_orderdate").cast("date")
     )
-    days = o.select("d").distinct()
+    # target days from the NULL-price-filtered rows, matching the oracle's
+    # days CTE: a day whose every order has a NULL price contributes no
+    # sample and must emit no window row either (review finding — latent
+    # on TPC-H where o_totalprice is never NULL)
+    days = o.where(F.col("o_totalprice").isNotNull()).select("d").distinct()
     day_sk = qsketch.qsample_sketch(
         o, "o_orderkey", "o_totalprice", ["d"], k=_QS_K
     )

@@ -47,15 +47,20 @@ from oltp_to_data_warehouse_pipeline_spark.operators import kmv
 from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
 
 
-def merge_batch_into_store(
+def _merge_day_partitions(
     batch: DataFrame,
     store_path: str,
-    key_col: str,
     ts_col: str,
-    k: int,
+    build_fn,
+    merge_fn,
+    data_cols: list[str],
+    dedup: bool,
 ) -> None:
-    """One micro-batch step: sketch the batch per day, merge with the
-    stored sketches of the SAME days, overwrite those day partitions.
+    """The shared merge-overwrite loop both stores run (review finding:
+    was duplicated per store): day-derive → sketch the batch per day
+    (``build_fn``) → union with the stored rows of exactly the touched
+    days → optional replay dedup → re-merge (``merge_fn``) → dynamic
+    partition overwrite of the touched days only.
 
     The merged relation is ≤ k rows per touched day (sketch-sized), and
     the read side prunes to touched days via the semi join on a ≤
@@ -70,11 +75,15 @@ def merge_batch_into_store(
     )
     # Pin the sketch: it feeds BOTH the touched-day broadcast and the
     # merge union, and Spark would otherwise run the whole sketch build
-    # (HLL pass, threshold join, distinct, rank) twice per micro-batch.
-    # Sketch-sized (≤ k rows per day in the batch), so always safe.
-    pinned = kmv.kmv_sketch(days, key_col, ["d"], k=k, prefilter=True).localCheckpoint(
-        eager=True
-    )
+    # twice per micro-batch.  Sketch-sized (≤ k rows per day in the
+    # batch), so always safe.  build_fn must pass pin=False to its
+    # sketch builder: the builder's INNER localCheckpoints have no
+    # release handle here, so a long-running stream would accumulate
+    # their blocks for its whole life (review finding) — this outer
+    # checkpoint pins the result once, and re-deriving the builder's
+    # bounded intermediates during that one materialization is
+    # micro-batch-sized work.
+    pinned = build_fn(days).localCheckpoint(eager=True)
     try:
         fresh = pinned
         if fs.has_data_files(spark, store_path):
@@ -82,11 +91,14 @@ def merge_batch_into_store(
             stored = (
                 spark.read.parquet(store_path)
                 .join(F.broadcast(touched), "d", "left_semi")
-                .select("d", "h")
+                .select("d", *data_cols)
             )
-            fresh = kmv.kmv_merge(fresh.unionByName(stored), ["d"], k=k)
+            unioned = fresh.unionByName(stored)
+            if dedup:
+                unioned = unioned.dropDuplicates(["d", *data_cols])
+            fresh = merge_fn(unioned)
         (
-            fresh.select("h", "d")  # partition column last, house layout
+            fresh.select(*data_cols, "d")  # partition column last
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("d")
@@ -96,6 +108,31 @@ def merge_batch_into_store(
         # A long-running stream calls this every micro-batch: drop the
         # checkpoint blocks NOW, or they accumulate for the stream's life.
         release_checkpoint(pinned)
+
+
+def merge_batch_into_store(
+    batch: DataFrame,
+    store_path: str,
+    key_col: str,
+    ts_col: str,
+    k: int,
+) -> None:
+    """One micro-batch step: sketch the batch per day, merge with the
+    stored sketches of the SAME days, overwrite those day partitions
+    (:func:`_merge_day_partitions`).  No replay dedup is needed: KMV
+    merge dedups distinct hashes internally — a re-delivered batch is a
+    set union with itself."""
+    _merge_day_partitions(
+        batch,
+        store_path,
+        ts_col,
+        lambda days: kmv.kmv_sketch(
+            days, key_col, ["d"], k=k, prefilter=True, pin=False
+        ),
+        lambda u: kmv.kmv_merge(u, ["d"], k=k),
+        ["h"],
+        dedup=False,
+    )
 
 
 def maintain_kmv_store(
@@ -181,36 +218,17 @@ def merge_batch_into_qstore(
     ROWS instead of sets."""
     from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
 
-    spark = batch.sparkSession
-    days = batch.withColumn("d", F.col(ts_col).cast("date")).where(
-        F.col("d").isNotNull()
+    _merge_day_partitions(
+        batch,
+        store_path,
+        ts_col,
+        lambda days: qsketch.qsample_sketch(
+            days, key_col, value_col, ["d"], k=k, prefilter=True, pin=False
+        ),
+        lambda u: qsketch.qsample_merge(u, ["d"], k=k),
+        ["h", "v"],
+        dedup=True,
     )
-    pinned = qsketch.qsample_sketch(
-        days, key_col, value_col, ["d"], k=k, prefilter=True
-    ).localCheckpoint(eager=True)
-    try:
-        fresh = pinned
-        if fs.has_data_files(spark, store_path):
-            touched = fresh.select("d").distinct()
-            stored = (
-                spark.read.parquet(store_path)
-                .join(F.broadcast(touched), "d", "left_semi")
-                .select("d", "h", "v")
-            )
-            fresh = qsketch.qsample_merge(
-                fresh.unionByName(stored).dropDuplicates(["d", "h", "v"]),
-                ["d"],
-                k=k,
-            )
-        (
-            fresh.select("h", "v", "d")  # partition column last
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d")
-            .parquet(store_path)
-        )
-    finally:
-        release_checkpoint(pinned)
 
 
 def maintain_qsample_store(
