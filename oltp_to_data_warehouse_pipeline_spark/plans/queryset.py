@@ -10076,6 +10076,73 @@ def qsketch_rolling_7d_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_simhash(bits: int) -> str:
+    """The ``dedup.simhash`` fingerprint in DuckDB SQL, any width — bit b
+    = parity of hex digit b+1 of md5(token), +1/−1 vote per token, sign →
+    bit (the generated form of the hand-written 8-bit expression in
+    `simhash_fingerprints`'s oracle)."""
+    terms = [
+        f"(CASE WHEN list_sum(list_transform(string_split(text,' '), x -> "
+        f"CASE WHEN substring(md5(x),{b + 1},1) IN "
+        f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    ]
+    return "CAST((" + "\n      + ".join(terms) + ") AS BIGINT)"
+
+
+_SNM_W = 16
+
+
+@query(
+    "snm_near_pairs",
+    f"""
+    WITH fp AS (SELECT doc_id, {_duck_simhash(16)} AS sim FROM documents),
+    r AS (SELECT doc_id, sim,
+                 row_number() OVER (ORDER BY sim, doc_id) AS rk FROM fp),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {_SNM_W}),
+    sh AS (SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+             i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+           FROM documents),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c JOIN sh a ON a.doc = c.doc_a
+                          JOIN sh b ON b.doc = c.doc_b AND b.sh = a.sh
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 4) + 0.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def snm_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo SIGMOD'95)
+    — the third candidate-generation strategy beside MinHash-LSH banding
+    and the prefix-filter SSJoin: global sort by 16-bit SimHash (doc-id
+    tiebreak), each doc compared to its 16 rank-successors only, exact
+    3-gram Jaccard ≥ 0.5 verified on the candidates.  Candidates are
+    EXACTLY n·w (linear, no tuning), recall is the documented trade (a
+    pair split > w ranks apart by fingerprint ties is missed; multi-pass
+    with different keys is the standard mitigation).
+
+    Scale: the global rank is the two-phase `operators/ordered.py` form
+    (no data-sized single-partition window — the oracle's one global
+    row_number is exactly what the Spark side must NOT do); the neighbor
+    join is a rank-keyed equi-join after a bounded w× explode."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import dedup as _dd
+
+    d = load_table(spark, sf_dir, "documents")
+    return _dd.sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=_SNM_W, threshold=0.5, shingle_n=3,
+        sim_bits=16,
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10097,6 +10164,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "qsketch_price_quantiles",
     "qsketch_price_quantiles_sketch",
     "qsketch_rolling_7d_price",
+    "snm_near_pairs",
     "embedding_near_dup_auto",
     "kmv_daily_users_sketch",
     "kmv_cohort_overlap_sketch",

@@ -550,6 +550,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "revenue_pareto_customers",
     "user_activity_gini",
     "customer_rfm_segments",
+    # sorted-neighborhood near-dup: the global SimHash rank runs through
+    # the same two-phase ordered.global_order_stats — its global windows
+    # are the ≤ n_bands band-totals offset and the split-point sample
+    "snm_near_pairs",
     # layout AUDIT: its simulation input is STRUCTURALLY bounded
     # (similarity.bounded refuses > 1M rows and materializes the probe),
     # so the two ntile windows only ever sort a bounded sample

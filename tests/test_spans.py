@@ -168,3 +168,77 @@ def test_cap_audit_counts(spark):
     assert row["capped_shingles"] == 3
     assert row["capped_postings"] == 9
     assert row["pair_expansion"] == 0  # df=1 shingles are below the >=2 band
+
+
+# --- sorted-neighborhood (SNM) near-dup: lives here with the other
+# planted-fixture dedup tests ---
+
+
+def test_snm_finds_adjacent_near_dups(spark):
+    from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+
+    base = " ".join(f"t{i}" for i in range(30))
+    d = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " extra1"),  # near-dup of 1
+            (3, " ".join(f"z{i}" for i in range(30))),  # unrelated
+        ],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", window=2, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] > 0.9
+    assert all(3 not in pair for pair in got)
+
+
+def test_snm_precision_one_vs_exact_jaccard(spark):
+    """Every SNM pair must also appear in the all-candidates exact
+    Jaccard join at the same threshold, with the same score — precision 1
+    by construction (the window only limits RECALL)."""
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+    from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    snm = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", window=16, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+        for r in dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert snm, "fixture must produce SNM pairs or the test is vacuous"
+    for pair, j in snm.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9, pair
+
+
+def test_snm_window_miss_is_the_documented_trade(spark):
+    """Three identical docs with window=1: the rank-adjacent pairs are
+    found, the rank-distance-2 pair is missed — the SNM recall trade."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+
+    t = " ".join(f"w{i}" for i in range(20))
+    d = _docs(spark, [(1, t), (2, t), (3, t)])
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", window=1, threshold=0.5
+        ).collect()
+    )
+    assert got == [(1, 2), (2, 3)]  # (1, 3) missed by design
+    wide = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", window=2, threshold=0.5
+        ).collect()
+    )
+    assert wide == [(1, 2), (1, 3), (2, 3)]
