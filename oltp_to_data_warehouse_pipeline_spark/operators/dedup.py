@@ -535,9 +535,16 @@ def sorted_neighborhood_pairs(
         F.least("__ida", "__idb").alias("doc_a"),
         F.greatest("__ida", "__idb").alias("doc_b"),
     )
+    # verify over 8-byte shingle hashes, not shingle strings: the arrays
+    # ride the candidate join, and ~25-byte shingle text would dominate
+    # its exchange (the setjoin hash-key precedent; cross-shingle
+    # collision odds ~n²/2⁶⁵ — the oracle counts the strings and the
+    # differential gate would surface a colliding corpus)
     sh = df.select(
         F.col(id_col).alias("__doc"),
-        word_shingles(text_col, shingle_n).alias("__sh"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__sh"),
     )
     a = sh.select(
         F.col("__doc").alias("doc_a"), F.col("__sh").alias("__sha")

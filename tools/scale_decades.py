@@ -50,6 +50,8 @@ QUERIES = [
     "dup_span_pairs",
     "dup_span_excision",
     "qsketch_price_quantiles_sketch",
+    "qsketch_rolling_7d_price",
+    "snm_near_pairs",
 ]
 #: tables each query needs present in a fixture dir (gate for 100x)
 NEEDS = {
@@ -63,6 +65,8 @@ NEEDS = {
     "dup_span_pairs": ["documents"],
     "dup_span_excision": ["documents"],
     "qsketch_price_quantiles_sketch": ["orders"],
+    "qsketch_rolling_7d_price": ["orders"],
+    "snm_near_pairs": ["documents"],
 }
 
 
