@@ -518,7 +518,16 @@ def sorted_neighborhood_pairs(
     """
     from oltp_to_data_warehouse_pipeline_spark.operators import ordered
 
-    fp = simhash(df, id_col, text_col, bits=sim_bits)
+    # NULL text → NULL token array → NULL fingerprint, which sorts NULLS
+    # FIRST here but evaluates to 0 in a per-bit CASE oracle (every bit
+    # term is false → 0) — different global ranks, different candidate
+    # windows (round-8 advisor finding, latent until a NULL-text corpus).
+    # Pin the fingerprint to 0 so both engines rank NULL-text docs
+    # identically; verification below still drops their pairs (no
+    # shingles), matching the oracle's inner join on the shingle relation.
+    fp = simhash(df, id_col, text_col, bits=sim_bits).withColumn(
+        "simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("bigint"))
+    )
     ranked = ordered.global_order_stats(
         fp, F.col("simhash"), [F.col(id_col)], rank_col="__rk"
     )
@@ -539,11 +548,20 @@ def sorted_neighborhood_pairs(
     # ride the candidate join, and ~25-byte shingle text would dominate
     # its exchange (the setjoin hash-key precedent; cross-shingle
     # collision odds ~n²/2⁶⁵ — the oracle counts the strings and the
-    # differential gate would surface a colliding corpus)
-    sh = df.select(
+    # differential gate would surface a colliding corpus).  array_distinct
+    # AFTER hashing keeps set semantics exact even under a within-doc
+    # collision (size() would count the colliding pair twice while
+    # array_intersect dedups — round-8 advisor finding).  NULL-text docs
+    # are excluded BEFORE shingling: concat_ws folds a NULL token array to
+    # [''] (a phantom shingle that would score NULL–NULL pairs jaccard
+    # 1.0), while the oracle's unnest emits no rows for them — the filter
+    # reproduces the oracle's inner-join elimination.
+    sh = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__doc"),
-        F.transform(
-            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        F.array_distinct(
+            F.transform(
+                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            )
         ).alias("__sh"),
     )
     a = sh.select(

@@ -47,6 +47,48 @@ from oltp_to_data_warehouse_pipeline_spark.operators import kmv
 from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
 
 
+#: Hidden sidecar file recording the store's maintenance ``k``.  Serving
+#: with a larger k than the store was maintained with silently breaks
+#: sketch validity (day sketches were already truncated at the smaller k,
+#: so the merged sample is no longer a uniform bottom-k of the raw union —
+#: round-8 advisor finding); the marker makes the contract checkable.
+_K_MARKER = "_sketch_k"
+
+
+def _persist_k(spark: SparkSession, store_path: str, k: int) -> None:
+    """Record (first batch) or assert (later batches) the store's k."""
+    path = fs.join(store_path, _K_MARKER)
+    if fs.exists(spark, path):
+        stored = int(fs.read_text(spark, path).strip())
+        if stored != k:
+            raise ValueError(
+                f"sketch store at {store_path} was maintained with k={stored}; "
+                f"refusing to merge a batch sketched at k={k} — mixed-k day "
+                "partitions would silently degrade estimate validity"
+            )
+    else:
+        fs.write_text(spark, path, str(k))
+
+
+def _stored_k(spark: SparkSession, store_path: str) -> int | None:
+    path = fs.join(store_path, _K_MARKER)
+    if not fs.exists(spark, path):
+        return None  # pre-marker store — legacy, serve unchecked
+    return int(fs.read_text(spark, path).strip())
+
+
+def _check_serving_k(spark: SparkSession, store_path: str, k: int) -> None:
+    stored = _stored_k(spark, store_path)
+    if stored is not None and k > stored:
+        raise ValueError(
+            f"serving k={k} exceeds the store's maintenance k={stored} at "
+            f"{store_path}: stored day sketches were truncated at "
+            f"{stored}, so a merged bottom-{k} would no longer be a "
+            "uniform bottom-k of the raw union (estimates would degrade "
+            "silently).  Serve with k <= the maintenance k."
+        )
+
+
 def _merge_day_partitions(
     batch: DataFrame,
     store_path: str,
@@ -122,6 +164,7 @@ def merge_batch_into_store(
     (:func:`_merge_day_partitions`).  No replay dedup is needed: KMV
     merge dedups distinct hashes internally — a re-delivered batch is a
     set union with itself."""
+    _persist_k(batch.sparkSession, store_path, k)
     _merge_day_partitions(
         batch,
         store_path,
@@ -171,10 +214,14 @@ def window_estimate(
     sketch out, raw data never touched.  The date filter prunes store
     partitions before any read.  ALWAYS one row: an absent store or a
     range covering no stored days answers 0, not an empty relation (the
-    contract a dashboard caller indexes into)."""
+    contract a dashboard caller indexes into).  Serving ``k`` must not
+    exceed the store's maintenance k (:func:`_check_serving_k` raises —
+    the stored day sketches were truncated there); a SMALLER serving k is
+    always valid (re-truncating a bottom-k is still a bottom-k)."""
     zero = spark.createDataFrame([(0,)], "est_distinct bigint")
     if not fs.has_data_files(spark, store_path):
         return zero
+    _check_serving_k(spark, store_path, k)
     sk = (
         spark.read.parquet(store_path)
         .where((F.col("d") >= F.lit(start)) & (F.col("d") <= F.lit(end)))
@@ -218,6 +265,7 @@ def merge_batch_into_qstore(
     ROWS instead of sets."""
     from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
 
+    _persist_k(batch.sparkSession, store_path, k)
     _merge_day_partitions(
         batch,
         store_path,
@@ -271,7 +319,9 @@ def window_quantiles(
     merged sample out, raw data never touched (day-partition pruning on
     the store scan).  ALWAYS one row: an absent store or an empty range
     answers m = 0 with NULL quantiles (the dashboard-caller contract of
-    :func:`window_estimate`)."""
+    :func:`window_estimate`).  Serving ``k`` must not exceed the store's
+    maintenance k (:func:`_check_serving_k` raises); smaller is always
+    valid — re-truncating a bottom-k sample is still a bottom-k sample."""
     from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
 
     names = list(probs)
@@ -281,6 +331,7 @@ def window_quantiles(
     )
     if not fs.has_data_files(spark, store_path):
         return empty
+    _check_serving_k(spark, store_path, k)
     sk = (
         spark.read.parquet(store_path)
         .where((F.col("d") >= F.lit(start)) & (F.col("d") <= F.lit(end)))

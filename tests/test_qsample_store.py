@@ -129,3 +129,45 @@ def test_window_quantiles_guards(spark, tmp_path):
         spark, store, "1999-01-01", "1999-12-31", {"q50": 0.5}, k=K
     ).collect()
     assert len(out) == 1 and out[0]["m"] == 0 and out[0]["q50"] is None
+
+
+def test_serving_k_above_store_k_is_refused(spark, tmp_path):
+    """The store records its maintenance k; serving with a larger k must
+    raise instead of silently degrading (day sketches were truncated at
+    the store k, so a larger merged bottom-k is no longer a uniform
+    bottom-k of the raw union).  Smaller k keeps working.  Round-8
+    advisor finding."""
+    import pytest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    _write(src, "b1.json", _events("2026-01-01", list(range(20))))
+    _run(spark, src, store, ckpt)
+    with pytest.raises(ValueError, match="maintenance k"):
+        window_quantiles(
+            spark, store, "2026-01-01", "2026-01-02", {"q50": 0.5}, k=K * 2
+        )
+    out = window_quantiles(
+        spark, store, "2026-01-01", "2026-01-02", {"q50": 0.5}, k=K // 2
+    ).collect()
+    assert len(out) == 1 and out[0]["m"] == K // 2
+
+
+def test_mixed_maintenance_k_is_refused(spark, tmp_path):
+    """A second maintainer with a different k must be refused — mixed-k
+    day partitions would silently break the merge theorem."""
+    import pytest
+
+    from oltp_to_data_warehouse_pipeline_spark.streaming.sketchstore import (
+        merge_batch_into_qstore,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(i, float(i), "2026-01-01 01:00:00") for i in range(10)],
+        "event_id long, value double, ts string",
+    )
+    merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K)
+    with pytest.raises(ValueError, match="k="):
+        merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K + 1)

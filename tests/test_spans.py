@@ -242,3 +242,24 @@ def test_snm_window_miss_is_the_documented_trade(spark):
         ).collect()
     )
     assert wide == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_snm_null_text_gets_fingerprint_zero_and_no_pairs(spark):
+    """NULL-text docs must rank with fingerprint 0 (the value a per-bit
+    CASE oracle naturally computes) instead of a NULLS-FIRST NULL, and
+    their candidate pairs must be dropped in verification — the oracle's
+    shingle unnest emits no rows for them, so the inner join eliminates
+    their pairs.  Round-8 advisor finding (latent on NULL-free fixtures)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import dedup
+
+    t = " ".join(f"w{i}" for i in range(20))
+    d = _docs(spark, [(1, t), (2, t), (3, None), (4, None)])
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", window=3, threshold=0.5
+        ).collect()
+    )
+    # window=3 makes every doc a candidate neighbor of every other; only
+    # the real near-dup pair survives — never a NULL–NULL "jaccard 1.0".
+    assert got == [(1, 2)]
