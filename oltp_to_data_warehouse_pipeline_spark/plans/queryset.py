@@ -10143,6 +10143,134 @@ def snm_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_gopher_rep_fracs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS m, length(text) AS chars
+      FROM documents),
+    occ AS (
+      SELECT doc_id, m, chars, n, i,
+             array_to_string(t[i:i+n-1], ' ') AS g
+      FROM toks, (VALUES (2), (3), (5), (10)) ns(n),
+           unnest(generate_series(1, m - n + 1)) u(i)
+      WHERE m >= n),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c, max(chars) AS chars
+            FROM occ GROUP BY 1, 2, 3),
+    top AS (SELECT doc_id, n, c, length(g) AS gl, chars,
+                   row_number() OVER (PARTITION BY doc_id, n
+                                      ORDER BY c DESC, g ASC) AS rn
+            FROM cnt),
+    topf AS (SELECT doc_id, n, round(c * gl / chars, 4) + 0.0 AS f
+             FROM top WHERE rn = 1),
+    dup AS (SELECT o.doc_id, o.n, count(DISTINCT p) AS covered, max(o.m) AS m
+            FROM occ o
+            JOIN cnt c ON c.doc_id = o.doc_id AND c.n = o.n AND c.g = o.g
+                       AND c.c >= 2,
+                 unnest(generate_series(o.i, o.i + o.n - 1)) s(p)
+            GROUP BY 1, 2),
+    dupf AS (SELECT doc_id, n, round(covered / m, 4) + 0.0 AS f FROM dup)
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           coalesce(max(CASE WHEN tf.n = 2 THEN tf.f END), 0.0) AS top_2_frac,
+           coalesce(max(CASE WHEN tf.n = 3 THEN tf.f END), 0.0) AS top_3_frac,
+           coalesce(max(CASE WHEN df.n = 5 THEN df.f END), 0.0) AS dup_5_frac,
+           coalesce(max(CASE WHEN df.n = 10 THEN df.f END), 0.0) AS dup_10_frac
+    FROM documents d
+    LEFT JOIN topf tf ON tf.doc_id = d.doc_id
+    LEFT JOIN dupf df ON df.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def doc_gopher_rep_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition FRACTIONS (Rae et al. 2021 A1.1), the
+    boilerplate/spam gate of an LLM curation pipeline: per document, the
+    char share of the most frequent 2-/3-gram and the token-position
+    share covered by DUPLICATED 5-/10-grams (position union — overlapping
+    duplicate n-grams counted once, the subtlety the paper calls out).
+
+    Scale: one explode per (token x n), aggregates keyed by
+    (doc, n, gram) — millions of small groups, no global window; every
+    fraction is a single exact integer/integer division (no float-sum
+    order drift).  Operator: `operators/repetition.py`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition.repetition_signals(
+        d, top_ns=[2, 3], dup_ns=[5, 10]
+    )
+
+
+_PS_SCALE = 1 << 46  # operators/sampling.py SCALE_BITS
+
+
+@query(
+    "priority_weighted_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             (CAST(n_chars AS BIGINT) * 70368744177664) // (CAST(list_sum(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substring(md5('ps|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT << (4 * (12 - i)))) AS BIGINT) + 1) AS priority
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, n_chars, priority
+    FROM t ORDER BY priority DESC, doc_id LIMIT 100
+    """,
+)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup JACM'07): a deterministic
+    k=100 document sample with inclusion probability ≈ proportional to
+    n_chars — the weighted corpus subsample an LLM pipeline draws when
+    long documents should dominate token budgets.  The priority is the
+    exact integer (w·2⁴⁶) div (h+1) over the portable 48-bit md5 fold:
+    no float arithmetic on the ranking path, so both engines produce the
+    identical sample.  Plan: narrow map + TakeOrderedAndProject (no
+    global sort shuffle).  Operator: `operators/sampling.py`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.priority_sample(d, "doc_id", "n_chars", k=100)
+
+
+@query(
+    "priority_sample_sumest",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             (CAST(n_chars AS BIGINT) * 70368744177664) // (CAST(list_sum(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substring(md5('ps|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT << (4 * (12 - i)))) AS BIGINT) + 1) AS key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    r AS (SELECT doc_id, w, key,
+                 row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+          FROM t),
+    tau AS (SELECT coalesce(max(CASE WHEN rn = 101 THEN key END), 0) AS tau
+            FROM r WHERE rn <= 101),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS true_total FROM t)
+    SELECT CAST(100 AS BIGINT) AS k,
+           round(CAST(sum(CASE WHEN tau.tau <= w // 4 THEN w ELSE 0 END) AS DOUBLE)
+                 + CAST(sum(CASE WHEN tau.tau > w // 4 THEN 1 ELSE 0 END)
+                        * max(tau.tau) * 4 AS DOUBLE), 4) AS est_total,
+           max(tot.true_total) AS true_total
+    FROM r, tau, tot WHERE rn <= 100
+    """,
+)
+def priority_sample_sumest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DLT'07 unbiased subset-sum estimator over the k=100 priority
+    sample, next to the true total: estimate SUM(n_chars) of the whole
+    corpus from 100 rows + the (k+1)-th priority threshold τ.  All terms
+    are exact integers (w-side BIGINT sum; τ-side count·4τ in
+    DECIMAL(38,0)/HUGEINT) so the rounded double is bit-identical across
+    engines — the float-sum-order trap is structurally absent.
+    Operator: `operators/sampling.py:priority_sample_estimate`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    est = sampling.priority_sample_estimate(d, "doc_id", "n_chars", k=100)
+    total = (
+        d.where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .agg(F.sum(F.col("n_chars").cast("bigint")).alias("true_total"))
+    )
+    return est.crossJoin(F.broadcast(total))
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10151,6 +10279,10 @@ def snm_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # ROUND 9 WINDOW: new operators first.
+    "doc_gopher_rep_fracs",
+    "priority_weighted_sample",
+    "priority_sample_sumest",
     # ROUND 8 WINDOW: the newly oracle-gated scale-safe ANN path leads
     # (VERDICT r7 item 1), then kmv_cohort_overlap whose oracle gained the
     # est_union clamp + n_common coalesce this round.

@@ -166,3 +166,59 @@ def test_text_columns_survive_long_strings(spark, cfg, pg_exec):
     )
     back = read_table(spark, cfg, "sg_text_width").collect()
     assert len(back) == 1 and back[0]["body"] == body and len(back[0]["body"]) == 100_001
+
+
+def test_write_upsert_postgres_dialect_end_to_end(spark, cfg, pg_exec):
+    """S6 over a REAL warehouse: write_upsert(dialect='postgres') —
+    create, replay-idempotence, stale-version rejection, tombstone
+    delete.  The target needs a unique index on the key, which the
+    dialect documents; created here the way a production user would."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        write_upsert,
+    )
+
+    pg_exec("DROP TABLE IF EXISTS wh_upsert")
+    pg_exec(
+        'CREATE TABLE wh_upsert ("id" BIGINT PRIMARY KEY, "amount" DOUBLE '
+        'PRECISION, "ver" BIGINT)'
+    )
+    schema = "id long, amount double, ver long, is_del boolean"
+    b1 = spark.createDataFrame(
+        [(1, 10.0, 1, False), (2, 20.0, 1, False)], schema
+    )
+    for _ in range(2):  # replay: exactly-once effect
+        write_upsert(
+            b1, cfg, "wh_upsert", keys=["id"], order_cols=["ver"],
+            delete_col="is_del", dialect="postgres",
+        )
+        got = sorted(
+            (r["id"], r["amount"], r["ver"])
+            for r in read_table(spark, cfg, "wh_upsert").collect()
+        )
+        assert got == [(1, 10.0, 1), (2, 20.0, 1)]
+
+    b2 = spark.createDataFrame(
+        [(1, 11.0, 2, False), (2, 0.0, 2, True), (3, 30.0, 1, False)], schema
+    )
+    write_upsert(
+        b2, cfg, "wh_upsert", keys=["id"], order_cols=["ver"],
+        delete_col="is_del", dialect="postgres",
+    )
+    got = sorted(
+        (r["id"], r["amount"], r["ver"])
+        for r in read_table(spark, cfg, "wh_upsert").collect()
+    )
+    assert got == [(1, 11.0, 2), (3, 30.0, 1)]
+
+    # stale replay of the older batch: semantic no-op for surviving keys
+    write_upsert(
+        spark.createDataFrame([(1, 99.0, 1, False)], schema),
+        cfg, "wh_upsert", keys=["id"], order_cols=["ver"],
+        delete_col="is_del", dialect="postgres",
+    )
+    got = sorted(
+        (r["id"], r["amount"])
+        for r in read_table(spark, cfg, "wh_upsert").collect()
+    )
+    assert (1, 11.0) in got
+    pg_exec("DROP TABLE IF EXISTS wh_upsert")

@@ -520,6 +520,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # sweep-line two-phase prefix sum: the only global window ranks the
     # one-row-per-bucket offset relation (operators/intervals.py)
     "session_concurrency_peaks",
+    # DLT'07 estimator: the global row_number ranks the top-(k+1)-row
+    # relation under a GlobalLimit (operators/sampling.py — the sample
+    # itself comes from TakeOrderedAndProject, never a global sort)
+    "priority_sample_sumest",
     # KMV set-op estimator: global rank over the ≤ 2k-row merged sketch
     # (operators/kmv.py — sketches are ≤ k rows/group by construction)
     "kmv_cohort_overlap",
