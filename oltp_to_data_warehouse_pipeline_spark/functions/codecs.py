@@ -1,7 +1,7 @@
 """Minimal REAL media codecs (pure stdlib) for the multimodal seam.
 
 `multimodal.extract_features` takes any ``bytes -> list[float]`` codec; tests
-previously exercised only the deterministic fake.  These decoders parse three
+previously exercised only the deterministic fake.  These decoders parse four
 real container formats with nothing beyond the standard library, proving the
 production plug-in seam end-to-end on genuine media bytes:
 
@@ -13,6 +13,11 @@ production plug-in seam end-to-end on genuine media bytes:
 - WAV: RIFF/PCM via the stdlib ``wave`` module (16-bit and 8-bit PCM).
 - BMP: BITMAPINFOHEADER+ BI_RGB, 24-bit BGR / 32-bit BGRA, bottom-up and
   top-down row orders, 4-byte row padding — decoded to RGB(A).
+- JPEG: baseline sequential DCT (ITU-T T.81 SOF0) — canonical Huffman,
+  8/16-bit DQT, 4:4:4 / 4:2:2 / 4:2:0 sampling with pixel-replication
+  upsample, DRI restart intervals, JFIF YCbCr→RGB; plus a matching
+  baseline 4:4:4 ENCODER (Annex-K tables, libjpeg quality scaling), so
+  the pair round-trips with zero external dependencies.
 
 Feature heads (`png_feature`, `wav_feature`) reduce decoded pixels/samples
 to a fixed-dim float vector — per-channel moments for images, windowed RMS
@@ -670,3 +675,184 @@ def _decode_scan(data, pos, w, h, comps, scan, qt, huff, restart):
             out[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
             out[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
     return w, h, 3, bytes(out)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, ln: int) -> None:
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+
+
+def _enc_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (encoder view)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _scaled_q(base: list[int], quality: int) -> list[int]:
+    """libjpeg quality scaling of an Annex-K table (clamped [1, 255])."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (q * s + 50) // 100)) for q in base]
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v > 0 else v + (1 << t) - 1
+    return t, code
+
+
+def encode_jpeg(
+    width: int, height: int, channels: int, pixels: bytes, quality: int = 90
+) -> bytes:
+    """Baseline sequential JPEG encoder (4:4:4, Annex-K tables scaled by
+    the libjpeg quality formula).  ``channels`` 1 (grayscale) or 3 (RGB).
+    Pure stdlib + float64 DCT — deterministic bytes for identical input.
+    """
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg: channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("encode_jpeg: pixel buffer size mismatch")
+    # reorder the Annex-K (natural raster) tables into ZIGZAG order: the
+    # entropy loop and the DQT payload both index by zigzag position, so
+    # this is what keeps the perceptual frequency weighting standard
+    ql_nat = _scaled_q(_Q_LUM, quality)
+    qc_nat = _scaled_q(_Q_CHR, quality)
+    q_lum = [ql_nat[_ZIGZAG[k]] for k in range(64)]
+    q_chr = [qc_nat[_ZIGZAG[k]] for k in range(64)]
+
+    # color transform to per-component planes, padded to multiples of 8
+    pw, ph = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+
+    def plane(vals):
+        p = [[0.0] * pw for _ in range(ph)]
+        for y in range(ph):
+            sy = min(y, height - 1)
+            for x in range(pw):
+                p[y][x] = vals[min(x, width - 1) + sy * width]
+        return p
+
+    if channels == 1:
+        planes = [plane(list(pixels))]
+        qts = [q_lum]
+    else:
+        n = width * height
+        ys, cbs, crs = [0.0] * n, [0.0] * n, [0.0] * n
+        for i in range(n):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            ys[i] = 0.299 * r + 0.587 * g + 0.114 * b
+            cbs[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            crs[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [plane(ys), plane(cbs), plane(crs)]
+        qts = [q_lum, q_chr, q_chr]
+
+    dc_tabs = [_enc_table(*_H_DC_LUM)] + [_enc_table(*_H_DC_CHR)] * 2
+    ac_tabs = [_enc_table(*_H_AC_LUM)] + [_enc_table(*_H_AC_CHR)] * 2
+    bw = _BitWriter()
+    pred = [0] * channels
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(channels):
+                p, q = planes[ci], qts[ci]
+                blk = [
+                    int(round(p[by * 8 + y][bx * 8 + x]))
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                coef = _fdct_block(blk)
+                zz = [
+                    int(round(coef[_ZIGZAG[k]] / q[k])) for k in range(64)
+                ]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t, code = _magnitude(diff)
+                c, ln = dc_tabs[ci][t]
+                bw.write(c, ln)
+                if t:
+                    bw.write(code, t)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_tabs[ci][0xF0]  # ZRL
+                        bw.write(c, ln)
+                        run -= 16
+                    t, code = _magnitude(zz[k])
+                    c, ln = ac_tabs[ci][(run << 4) | t]
+                    bw.write(c, ln)
+                    bw.write(code, t)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = ac_tabs[ci][0x00]  # EOB
+                    bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid, tbl):
+        # tbl is already zigzag-ordered (see above) — T.81 stream order
+        return seg(0xDB, bytes([tid]) + bytes(tbl))
+
+    out = bytearray(b"\xff\xd8")
+    out += dqt(0, q_lum)
+    if channels == 3:
+        out += dqt(1, q_chr)
+    # SOF0
+    compspec = b""
+    for ci in range(channels):
+        compspec += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([channels]) + compspec)
+    # DHT
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+    out += dht(0, 0, *_H_DC_LUM) + dht(1, 0, *_H_AC_LUM)
+    if channels == 3:
+        out += dht(0, 1, *_H_DC_CHR) + dht(1, 1, *_H_AC_CHR)
+    # SOS
+    ss = bytes([channels])
+    for ci in range(channels):
+        ss += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    ss += bytes([0, 63, 0])
+    out += seg(0xDA, ss)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Decode + per-channel moment features — the JPEG twin of
+    ``png_feature``/``bmp_feature`` (same codec signature for
+    ``extract_features``)."""
+    _, _, channels, px = decode_jpeg(data)
+    return _moment_features(px, channels, dim)

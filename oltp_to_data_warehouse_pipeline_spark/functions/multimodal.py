@@ -3,12 +3,14 @@
 Pattern (task brief): media travels as a ``binary`` column plus a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-
 batched pandas iterators over ``mapInPandas`` — the only layer where real
-codec libraries (Pillow/av/librosa) would plug in.  Those libraries are not
-in this container, so the decode step is STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless given the deterministic fake codec, which
-produces reproducible pseudo-pixels from the bytes.  Everything Spark-side —
-schema, batch iteration, partition sizing, UDF signatures — is real and
-tested.
+codec libraries (Pillow/av/librosa) would plug in.  Real pure-stdlib
+codecs for PNG, BMP, WAV and baseline JPEG live in ``functions/codecs.py``
+(``png_feature`` / ``bmp_feature`` / ``wav_feature`` / ``jpeg_feature``
+satisfy the codec signature directly); ``decode_image`` without a codec
+still raises ``NotImplementedError`` — the deliberate seam for formats
+this container cannot decode (video, progressive JPEG, HEIC, ...), where
+production injects Pillow/av.  Everything Spark-side — schema, batch
+iteration, partition sizing, UDF signatures — is real and tested.
 
 Scale notes: media rows are large and variable; the helpers below keep
 batches bounded by ROWS not bytes (``maxRecordsPerBatch``) and the
@@ -87,11 +89,14 @@ def fake_decode(data: bytes, dim: int = 8) -> list[float]:
 def decode_image(data: bytes, codec: Callable[[bytes], list[float]] | None = None) -> list[float]:
     """STUB — real image decoding needs Pillow/cv2 (not in this container).
 
-    Pass ``codec=fake_decode`` (tests) or a real decoder (production)."""
+    Pass a codec from ``functions/codecs.py`` (``png_feature``,
+    ``bmp_feature``, ``jpeg_feature`` — real pure-stdlib decoders),
+    ``codec=fake_decode`` (tests), or a library decoder (production)."""
     if codec is None:
         raise NotImplementedError(
-            "image decoding requires a codec library (Pillow/cv2); "
-            "pass codec=fake_decode for deterministic tests"
+            "no codec given: use functions.codecs (png/bmp/wav/baseline "
+            "jpeg, pure stdlib) or inject Pillow/cv2 for other formats; "
+            "codec=fake_decode for deterministic tests"
         )
     return codec(data)
 

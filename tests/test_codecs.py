@@ -331,3 +331,147 @@ def test_bmp_pillow_cross_check_if_available():
 def test_bmp_roundtrip_property(w, h, ch, td, data):
     px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)))
     assert codecs.decode_bmp(codecs.encode_bmp(w, h, ch, px, top_down=td)) == (w, h, ch, px)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline T.81, pure stdlib — closes the round-8 multimodal stub)
+# ---------------------------------------------------------------------------
+
+def _ramp_rgb(w, h):
+    return bytes(min(255, x * 10) for y in range(h) for x in range(w) for _ in range(3))
+
+
+def test_jpeg_roundtrip_smooth_images_exact():
+    """Smooth (low-frequency) content survives q=95 within +-1 on every
+    channel count, including non-multiple-of-8 dimensions (the edge-pad
+    blocks of tiny images pick up one quantum of chroma rounding)."""
+    for w, h in [(8, 8), (24, 17), (5, 3)]:
+        px = _ramp_rgb(w, h)
+        W, H, C, out = codecs.decode_jpeg(codecs.encode_jpeg(w, h, 3, px, 95))
+        assert (W, H, C) == (w, h, 3)
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 1
+        g = bytes(min(255, y * 14) for y in range(h) for x in range(w))
+        W, H, C, outg = codecs.decode_jpeg(codecs.encode_jpeg(w, h, 1, g, 95))
+        assert (W, H, C) == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(outg, g)) == 0
+
+
+def test_jpeg_roundtrip_noise_bounded_error():
+    """High-frequency content is lossy by design; q=90 keeps every sample
+    within a small bound (deterministic: same bytes in, same bytes out)."""
+    w, h = 16, 16
+    px = bytes((x * 97 + y * 31 + c * 13) % 256 for y in range(h) for x in range(w) for c in range(3))
+    enc = codecs.encode_jpeg(w, h, 3, px, quality=90)
+    assert enc == codecs.encode_jpeg(w, h, 3, px, quality=90)  # deterministic
+    _, _, _, out = codecs.decode_jpeg(enc)
+    err = max(abs(a - b) for a, b in zip(out, px))
+    assert err <= 48, err  # q90 on noise: bounded, not exact
+
+
+def test_jpeg_rejects_unsupported_loudly():
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"not a jpeg")
+    # progressive: flip SOF0 -> SOF2 in a real stream
+    enc = bytearray(codecs.encode_jpeg(8, 8, 1, bytes(64), 90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        codecs.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="channels"):
+        codecs.encode_jpeg(2, 2, 4, bytes(16))
+
+
+def test_jpeg_420_subsampled_decode():
+    """Hand-built 4:2:0 stream (16x16, flat mid-gray + constant chroma):
+    one MCU = 4 Y blocks + Cb + Cr; exercises the sampling-factor MCU loop
+    and the pixel-replication upsample without any external encoder."""
+    from oltp_to_data_warehouse_pipeline_spark.functions.codecs import (
+        _BitWriter, _H_AC_CHR, _H_AC_LUM, _H_DC_CHR, _H_DC_LUM, _ZIGZAG,
+        _Q_CHR, _Q_LUM, _enc_table, _magnitude,
+    )
+    import struct as _s
+
+    q_lum = [_Q_LUM[_ZIGZAG[k]] for k in range(64)]
+    q_chr = [_Q_CHR[_ZIGZAG[k]] for k in range(64)]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, bytes([0]) + bytes(q_lum))
+    head += seg(0xDB, bytes([1]) + bytes(q_chr))
+    # SOF0: 16x16, Y has h=v=2, Cb/Cr h=v=1
+    head += seg(0xC0, bytes([8]) + _s.pack(">HH", 16, 16) + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    head += seg(0xC4, bytes([0x00] + _H_DC_LUM[0] + _H_DC_LUM[1]))
+    head += seg(0xC4, bytes([0x10] + _H_AC_LUM[0] + _H_AC_LUM[1]))
+    head += seg(0xC4, bytes([0x01] + _H_DC_CHR[0] + _H_DC_CHR[1]))
+    head += seg(0xC4, bytes([0x11] + _H_AC_CHR[0] + _H_AC_CHR[1]))
+    head += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    bw = _BitWriter()
+    dc_l, ac_l = _enc_table(*_H_DC_LUM), _enc_table(*_H_AC_LUM)
+    dc_c, ac_c = _enc_table(*_H_DC_CHR), _enc_table(*_H_AC_CHR)
+
+    def put_block(dc_diff, dct, act):
+        t, code = _magnitude(dc_diff)
+        c, ln = dct[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(code, t)
+        c, ln = act[0x00]  # EOB right away: DC-only block
+        bw.write(c, ln)
+
+    # Y DC quantizer is q_lum[0]=16: quantized DC 1 -> coefficient 16 ->
+    # flat IDCT value 16/8 + 128 = 130.  Chroma DC 0 -> 128 (neutral).
+    put_block(1, dc_l, ac_l)   # first Y block: diff 1 (quantized DC = 1)
+    for _ in range(3):
+        put_block(0, dc_l, ac_l)  # same DC, diff 0
+    put_block(0, dc_c, ac_c)   # Cb
+    put_block(0, dc_c, ac_c)   # Cr
+    bw.flush()
+
+    data = bytes(head) + bytes(bw.out) + b"\xff\xd9"
+    W, H, C, out = codecs.decode_jpeg(data)
+    assert (W, H, C) == (16, 16, 3)
+    # neutral chroma -> R=G=B=Y=130 everywhere
+    assert set(out) == {130}
+
+
+def test_jpeg_feature_and_extract_features_e2e(spark):
+    from oltp_to_data_warehouse_pipeline_spark.functions import multimodal
+
+    rows = [
+        (0, codecs.encode_jpeg(8, 8, 3, _ramp_rgb(8, 8), 95)),
+        (1, codecs.encode_jpeg(8, 8, 3, bytes(8 * 8 * 3), 95)),  # black
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            df, codec=lambda b: codecs.jpeg_feature(b, dim=6)
+        ).collect()
+    }
+    assert len(got) == 2 and len(got[0]) == 6
+    assert got[1][0] == 0.0  # black image: zero mean
+    assert got[0] != got[1]
+
+
+def test_jpeg_pillow_cross_check_if_available():
+    """If Pillow ever lands in the container, pin both directions: Pillow
+    decodes our bytes; we decode Pillow's (including its subsampled
+    output)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    w, h = 24, 16
+    px = _ramp_rgb(w, h)
+    enc = codecs.encode_jpeg(w, h, 3, px, 95)
+    im = PIL_Image.open(_io.BytesIO(enc)).convert("RGB")
+    theirs = im.tobytes()
+    assert max(abs(a - b) for a, b in zip(theirs, px)) <= 2
+
+    buf = _io.BytesIO()
+    PIL_Image.frombytes("RGB", (w, h), px).save(buf, "JPEG", quality=95)
+    W, H, C, ours = codecs.decode_jpeg(buf.getvalue())
+    assert (W, H, C) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(ours, px)) <= 8
