@@ -398,3 +398,62 @@ def upsert_sink(
         )
 
     return fold
+
+
+def table_columns(spark, cfg: JdbcConfig, table: str) -> list[str]:
+    """Column names of a JDBC table via DatabaseMetaData (empty when the
+    table doesn't exist), tolerant of server case folding."""
+    conn = _connection(spark, cfg)
+    try:
+        meta = conn.getMetaData()
+        for cand in dict.fromkeys([table, table.upper(), table.lower()]):
+            rs = meta.getColumns(None, None, cand, None)
+            cols = []
+            while rs.next():
+                cols.append(rs.getString("COLUMN_NAME"))
+            rs.close()
+            if cols:
+                return cols
+        return []
+    finally:
+        conn.close()
+
+
+#: Spark simpleString -> portable ALTER TABLE column type.  Strings map to
+#: the same large type Spark's own CREATE TABLE emits for the dialect
+#: (Derby: CLOB, Postgres: TEXT) so an ALTER-added column assigns cleanly
+#: from staging columns of that type.
+_ALTER_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def ensure_columns(spark, df: DataFrame, cfg: JdbcConfig, table: str, dialect: str = "ansi") -> list[str]:
+    """Additive JDBC schema evolution (the reference's dynamic ALTER —
+    `mongo_postgres_cdc.py:243-287` derives DDL from message payloads):
+    add every DataFrame column missing from ``table`` via
+    ``ALTER TABLE … ADD COLUMN`` (NULL for existing rows, the same
+    additive contract as the parquet path's unionByName).  Returns the
+    added column names.  Dropping/narrowing is deliberately NOT done —
+    evolution is additive-only, exactly like `streaming/cdc.py`'s
+    registry merge."""
+    existing = {c.lower() for c in table_columns(spark, cfg, table)}
+    if not existing:
+        return []  # table doesn't exist yet; creation handles the schema
+    string_t = "TEXT" if dialect == "postgres" else "CLOB"
+    stmts, added = [], []
+    for f in df.schema.fields:
+        if f.name.lower() in existing:
+            continue
+        sql_t = _ALTER_TYPES.get(f.dataType.simpleString(), string_t)
+        stmts.append(f"ALTER TABLE {table} ADD COLUMN {_q(f.name)} {sql_t}")
+        added.append(f.name)
+    if stmts:
+        _execute(spark, cfg, stmts)
+    return added
