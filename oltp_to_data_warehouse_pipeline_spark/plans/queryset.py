@@ -10271,6 +10271,102 @@ def priority_sample_sumest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(total))
 
 
+@query(
+    "hll_user_registers",
+    """
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(list_sum(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substring(md5('hll|' || CAST(user_id AS VARCHAR)), i, 1)) - 1)::BIGINT << (4 * (12 - i)))) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    reg AS (
+      SELECT d, h // 2199023255552 AS j,
+             CASE WHEN h % 2199023255552 = 0 THEN 42
+                  ELSE 42 - length(bin(h % 2199023255552)) END AS r
+      FROM h)
+    SELECT strftime(d, '%Y-%m-%d') AS day, CAST(j AS BIGINT) AS j,
+           CAST(max(r) AS INTEGER) AS r
+    FROM reg GROUP BY d, j
+    """,
+)
+def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-day HyperLogLog REGISTER RELATION (m=128) over event
+    users — exact integer rows (bucket = top 7 bits of the portable
+    48-bit fold, rho = leading zeros of the low 41 + 1 via binary-string
+    length, no floats), so the differential gate hash-matches the sketch
+    itself, not just an estimate.  Register-wise MAX is the merge — the
+    idempotent rollup primitive for million-group dashboards where even
+    KMV's k rows/group is too many.  Operator: `operators/hll.py`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import hll
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    sk = hll.hll_sketch(ev, "user_id", ["d"])
+    return sk.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("r").cast("int").alias("r"),
+    )
+
+
+@query(
+    "hll_daily_users",
+    """
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(list_sum(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substring(md5('hll|' || CAST(user_id AS VARCHAR)), i, 1)) - 1)::BIGINT << (4 * (12 - i)))) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    reg AS (
+      SELECT d, h // 2199023255552 AS j,
+             max(CASE WHEN h % 2199023255552 = 0 THEN 42
+                      ELSE 42 - length(bin(h % 2199023255552)) END) AS r
+      FROM h GROUP BY d, j),
+    agg AS (
+      SELECT d, sum(1.0 / (1::BIGINT << r)) AS s, count(*) AS present
+      FROM reg GROUP BY d),
+    est AS (
+      SELECT d,
+             CASE WHEN (0.7213 / (1 + 1.079 / 128) * 128 * 128) / (s + (128 - present)) <= 2.5 * 128
+                       AND present < 128
+                  THEN 128.0 * ln(128.0 / (128 - present))
+                  ELSE (0.7213 / (1 + 1.079 / 128) * 128 * 128) / (s + (128 - present)) END AS e
+      FROM agg),
+    exact AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT strftime(est.d, '%Y-%m-%d') AS day,
+           round(e, 4) + 0.0 AS est_distinct,
+           exact_users
+    FROM est JOIN exact ON est.d = exact.d
+    """,
+)
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users from the 128-register HLL sketch, audited
+    against the exact DAU — the constant-size sibling of
+    `kmv_daily_users` (the trade: HLL is 128 rows/group forever and
+    merge-by-MAX; KMV keeps k hashes but supports set algebra).  The
+    harmonic sum is exact (every 2^(−r) term is a dyadic computed as
+    1/(1<<r), so summation order cannot matter); ln appears only in the
+    small-range linear-counting branch and is rounded at 4dp like every
+    compared float.  Operator: `operators/hll.py`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import hll
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    sk = hll.hll_sketch(ev, "user_id", ["d"])
+    est = hll.hll_estimate(sk, ["d"])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return est.join(exact, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "est_distinct",
+        "exact_users",
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10281,6 +10377,8 @@ def priority_sample_sumest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND 9 WINDOW: new operators first.
     "doc_gopher_rep_fracs",
+    "hll_user_registers",
+    "hll_daily_users",
     "priority_weighted_sample",
     "priority_sample_sumest",
     # ROUND 8 WINDOW: the newly oracle-gated scale-safe ANN path leads

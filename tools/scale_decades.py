@@ -52,6 +52,11 @@ QUERIES = [
     "qsketch_price_quantiles_sketch",
     "qsketch_rolling_7d_price",
     "snm_near_pairs",
+    # round-9: Gopher repetition fractions (per-doc n-gram explodes),
+    # priority sampling (global top-k path), HLL register build
+    "doc_gopher_rep_fracs",
+    "priority_weighted_sample",
+    "hll_daily_users",
 ]
 #: tables each query needs present in a fixture dir (gate for 100x)
 NEEDS = {
@@ -67,6 +72,9 @@ NEEDS = {
     "qsketch_price_quantiles_sketch": ["orders"],
     "qsketch_rolling_7d_price": ["orders"],
     "snm_near_pairs": ["documents"],
+    "doc_gopher_rep_fracs": ["documents"],
+    "priority_weighted_sample": ["documents"],
+    "hll_daily_users": ["events"],
 }
 
 
