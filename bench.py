@@ -121,6 +121,10 @@ HEADLINE = [
     "dup_span_pairs",
     "dup_span_excision",
     "qsketch_price_quantiles_sketch",
+    # round 9
+    "doc_gopher_rep_fracs",
+    "priority_weighted_sample",
+    "hll_daily_users",
 ]
 
 

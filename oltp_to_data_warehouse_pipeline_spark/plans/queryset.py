@@ -10367,6 +10367,71 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jpeg_pixel_stats",
+    """
+    WITH b AS (
+      SELECT doc_id, (n_chars * (1 + bx + 4 * by)) % 256 AS v
+      FROM documents, unnest([0, 1, 2, 3]) t1(bx), unnest([0, 1]) t2(by))
+    SELECT doc_id,
+           CAST(sum(v) * 64 AS BIGINT) AS px_sum,
+           CAST(min(v) AS INTEGER) AS px_min,
+           CAST(max(v) AS INTEGER) AS px_max,
+           CAST(32 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height
+    FROM b GROUP BY doc_id
+    """,
+)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG codec exercised INSIDE the differential gate: per document
+    a deterministic 32x16 grayscale image (eight flat 8x8 blocks valued
+    by a formula of n_chars) is ENCODED to real baseline-JPEG bytes and
+    DECODED back in an Arrow `mapInPandas` batch on the executors; the
+    emitted pixel statistics are exact because flat-per-block images are
+    a fixed point of encode->decode at q=95 (DC-only blocks, integer
+    quantization — proven exhaustively for all 256 levels in
+    test_codecs).  The oracle replays the statistics from the pixel
+    FORMULA alone — a strict hash match therefore certifies the codec
+    pair is the identity on this family, through the real distributed
+    path.  Scale: one codec call per doc, Arrow-batched, no shuffle
+    before the per-doc aggregate (which is computed in the same batch).
+    Operator: `functions/codecs.py` (encode_jpeg/decode_jpeg)."""
+    import pandas as _pd
+
+    from oltp_to_data_warehouse_pipeline_spark.functions import codecs as _codecs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "px_sum": [], "px_min": [], "px_max": [],
+                   "width": [], "height": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                vals = [
+                    (int(n_chars) * (1 + bx + 4 * by)) % 256
+                    for by in range(2) for bx in range(4)
+                ]
+                px = bytes(
+                    vals[(y // 8) * 4 + (x // 8)]
+                    for y in range(16) for x in range(32)
+                )
+                enc = _codecs.encode_jpeg(32, 16, 1, px, quality=95)
+                w, h, _, dec = _codecs.decode_jpeg(enc)
+                out["doc_id"].append(doc_id)
+                out["px_sum"].append(sum(dec))
+                out["px_min"].append(min(dec))
+                out["px_max"].append(max(dec))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, px_sum bigint, px_min int, px_max int, "
+        "width int, height int",
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10377,6 +10442,7 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND 9 WINDOW: new operators first.
     "doc_gopher_rep_fracs",
+    "jpeg_pixel_stats",
     "hll_user_registers",
     "hll_daily_users",
     "priority_weighted_sample",
