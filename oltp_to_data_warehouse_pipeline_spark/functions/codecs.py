@@ -516,8 +516,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
-        m = data[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+        # skip them all, then read the marker code (review finding: the
+        # previous two-byte read parsed FF FF <marker> as a garbage
+        # segment length and rejected valid hardware-encoder output)
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("jpeg: truncated at fill bytes")
+        m = data[pos]
+        pos += 1
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
         if m == 0xD9:  # EOI
@@ -570,6 +578,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             restart = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "jpeg: non-interleaved (multi-scan) baseline not "
+                    "supported — this decoder reads one interleaved scan"
+                )
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -62,10 +62,20 @@ def _with_key(df: DataFrame, key_col: str, weight_col: str, seed: str) -> DataFr
         .where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__w", F.col(weight_col).cast("bigint"))
         .withColumn("__h", h)
+        # Weights are INTEGER by contract (token counts, byte sizes;
+        # scale a quality score to e.g. round(score·1000) first).  A
+        # fractional weight would silently truncate — cast(0.7) = 0 makes
+        # every priority 0 and the "sample" degenerates to the k smallest
+        # ids with a ~0 estimate (round-9 review finding) — so both
+        # non-integer and oversized weights raise loudly.
         .withColumn(
             "__key",
             F.expr(
-                f"CASE WHEN __w > {MAX_WEIGHT} THEN "
+                f"CASE WHEN CAST(__w AS DOUBLE) != CAST({weight_col} AS DOUBLE) THEN "
+                f"CAST(raise_error('priority_sample: weight_col must be "
+                f"integer-valued (scale scores, e.g. round(score*1000)); "
+                f"got a fractional weight') AS BIGINT) "
+                f"WHEN __w > {MAX_WEIGHT} THEN "
                 f"CAST(raise_error('priority_sample: weight exceeds "
                 f"{MAX_WEIGHT} (46-bit quantization bound) — rescale "
                 f"weights') AS BIGINT) "

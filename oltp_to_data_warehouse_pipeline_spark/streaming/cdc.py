@@ -112,17 +112,21 @@ def kafka_log_stream(
     )
 
 
-def process_microbatch(
+def _route_microbatch(
     spark: SparkSession,
     batch: DataFrame,
-    warehouse_dir: str,
-    num_buckets: int = 64,
+    registry_dir: str,
+    sink,
+    table_prefix: str = "",
 ) -> list[str]:
-    """One micro-batch: route per topic (ST4), infer/evolve schema, normalize,
-    LWW-upsert.  Returns the landing-table names written.
+    """The shared CDC micro-batch loop (review finding: was duplicated
+    per sink): route per topic (ST4), infer schema + additive registry
+    merge (B9 fixed), dead-letter capture, normalize, then hand
+    ``sink(normalized, table, order_cols)`` the landing write.  Returns
+    the table names written.
 
-    Corrupt messages (unparseable JSON / no primary key) are excluded by the
-    normalizer's pk filter — poison tolerance (ST5) without a per-row
+    Corrupt messages (unparseable JSON / no primary key) are excluded by
+    the normalizer's pk filter — poison tolerance (ST5) without a per-row
     try/except — and CAPTURED to ``_dead_letter/<table>/`` (raw value +
     topic + reason + timestamp) so operators can replay or inspect them.
     """
@@ -132,22 +136,39 @@ def process_microbatch(
         msgs = batch.where(F.col("topic") == topic)
         sample = [r["value"] for r in msgs.select("value").limit(SAMPLE_SIZE).collect()]
         schema = norm.infer_schema(sample)
-        prior = _load_schema(spark, warehouse_dir, topic)
+        prior = _load_schema(spark, registry_dir, topic)
         if prior is not None:
             schema = prior.merge(schema)  # additive evolution across batches (B9 fixed)
         if not schema.fields:
             continue
-        table = norm.topic_to_table(topic)
+        table = table_prefix + norm.topic_to_table(topic)
         # write unconditionally: an empty append is one cheap job, whereas a
         # limit(1).count() emptiness probe would re-evaluate the same
         # pk-extraction scan a second time just to decide whether to write
         norm.rejected(msgs, schema).write.mode("append").parquet(
-            fs.join(warehouse_dir, "_dead_letter", table)
+            fs.join(registry_dir, "_dead_letter", table)
         )
         normalized = norm.normalize(msgs, schema)
         order_cols = ["updated_at"]
         if "kafka_offset" in normalized.columns:
             order_cols.append("kafka_offset")
+        sink(normalized, table, order_cols)
+        _save_schema(spark, registry_dir, topic, schema)
+        written.append(table)
+    return written
+
+
+def process_microbatch(
+    spark: SparkSession,
+    batch: DataFrame,
+    warehouse_dir: str,
+    num_buckets: int = 64,
+) -> list[str]:
+    """One micro-batch into the PARQUET warehouse: the shared routing loop
+    (:func:`_route_microbatch`) with the bucketed LWW parquet upsert as
+    the sink."""
+
+    def sink(normalized: DataFrame, table: str, order_cols: list[str]) -> None:
         upsert_parquet(
             spark,
             normalized,
@@ -156,9 +177,8 @@ def process_microbatch(
             order_cols=order_cols,
             num_buckets=num_buckets,
         )
-        _save_schema(spark, warehouse_dir, topic, schema)
-        written.append(table)
-    return written
+
+    return _route_microbatch(spark, batch, warehouse_dir, sink)
 
 
 def start_cdc(
@@ -302,14 +322,13 @@ def process_microbatch_jdbc(
 ) -> list[str]:
     """:func:`process_microbatch` against a REAL JDBC warehouse — the
     full reference consumer loop (`mongo_postgres_cdc.py:243-287` dynamic
-    DDL + `:359-380` ON CONFLICT upsert) as engine primitives: per-topic
-    routing, schema inference + additive registry merge, dead-letter
-    capture, then CREATE (first batch, via the writer), ``ALTER TABLE …
-    ADD COLUMN`` on drift (:func:`sources.jdbc.ensure_columns`), and the
-    version-guarded set-based MERGE upsert
-    (:func:`sources.jdbc.write_upsert`) — so at-least-once micro-batch
-    replay yields exactly-once warehouse state, which plain
-    ``write_append`` could not promise.
+    DDL + `:359-380` ON CONFLICT upsert) as engine primitives: the shared
+    routing loop (:func:`_route_microbatch`), then CREATE (first batch,
+    via the writer), ``ALTER TABLE … ADD COLUMN`` on drift
+    (:func:`sources.jdbc.ensure_columns`), and the version-guarded
+    set-based MERGE upsert (:func:`sources.jdbc.write_upsert`) — so
+    at-least-once micro-batch replay yields exactly-once warehouse state,
+    which plain ``write_append`` could not promise.
 
     ``registry_dir`` keeps the per-topic schema registry and dead-letter
     parquet on the filesystem (they are ours, not the warehouse's);
@@ -317,25 +336,7 @@ def process_microbatch_jdbc(
     """
     from oltp_to_data_warehouse_pipeline_spark.sources import jdbc as jdbc_mod
 
-    topics = [r["topic"] for r in batch.select("topic").distinct().collect()]
-    written: list[str] = []
-    for topic in topics:
-        msgs = batch.where(F.col("topic") == topic)
-        sample = [r["value"] for r in msgs.select("value").limit(SAMPLE_SIZE).collect()]
-        schema = norm.infer_schema(sample)
-        prior = _load_schema(spark, registry_dir, topic)
-        if prior is not None:
-            schema = prior.merge(schema)
-        if not schema.fields:
-            continue
-        table = table_prefix + norm.topic_to_table(topic)
-        norm.rejected(msgs, schema).write.mode("append").parquet(
-            fs.join(registry_dir, "_dead_letter", table)
-        )
-        normalized = norm.normalize(msgs, schema)
-        order_cols = ["updated_at"]
-        if "kafka_offset" in normalized.columns:
-            order_cols.append("kafka_offset")
+    def sink(normalized: DataFrame, table: str, order_cols: list[str]) -> None:
         jdbc_mod.ensure_columns(spark, normalized, cfg, table, dialect=dialect)
         jdbc_mod.write_upsert(
             normalized,
@@ -348,9 +349,10 @@ def process_microbatch_jdbc(
             # mapping is CLOB); raw_data stays the dialect's large type
             column_types="kafka_primary_key VARCHAR(255)",
         )
-        _save_schema(spark, registry_dir, topic, schema)
-        written.append(table)
-    return written
+
+    return _route_microbatch(
+        spark, batch, registry_dir, sink, table_prefix=table_prefix
+    )
 
 
 def start_cdc_jdbc(

@@ -56,7 +56,16 @@ _K_MARKER = "_sketch_k"
 
 
 def _persist_k(spark: SparkSession, store_path: str, k: int) -> None:
-    """Record (first batch) or assert (later batches) the store's k."""
+    """Record (first batch) or assert (later batches) the store's k.
+
+    A PRE-EXISTING store with data but no marker (maintained before the
+    marker existed) must NOT be stamped with whatever k the current job
+    happens to carry — that would certify exactly the mixed-k store the
+    marker exists to refuse (round-9 review finding: a misconfigured
+    k=128 job would bless a k=64 legacy store).  The operator migrates
+    explicitly by writing the store's TRUE historical k to the marker
+    file once.
+    """
     path = fs.join(store_path, _K_MARKER)
     if fs.exists(spark, path):
         stored = int(fs.read_text(spark, path).strip())
@@ -66,6 +75,13 @@ def _persist_k(spark: SparkSession, store_path: str, k: int) -> None:
                 f"refusing to merge a batch sketched at k={k} — mixed-k day "
                 "partitions would silently degrade estimate validity"
             )
+    elif fs.has_data_files(spark, store_path):
+        raise ValueError(
+            f"sketch store at {store_path} predates the k marker: refusing "
+            f"to stamp k={k} onto existing day partitions whose historical "
+            f"k is unknown.  Migrate explicitly by writing the store's "
+            f"original k to {path!r} (fs.write_text), then resume."
+        )
     else:
         fs.write_text(spark, path, str(k))
 

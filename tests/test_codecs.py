@@ -475,3 +475,24 @@ def test_jpeg_pillow_cross_check_if_available():
     W, H, C, ours = codecs.decode_jpeg(buf.getvalue())
     assert (W, H, C) == (w, h, 3)
     assert max(abs(a - b) for a, b in zip(ours, px)) <= 8
+
+
+def test_jpeg_fill_bytes_and_multiscan_refusal():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker) must be
+    skipped, not parsed as a segment; non-interleaved multi-scan files
+    (ns != component count) must refuse loudly, never emit green-tinted
+    half-decoded RGB (round-9 review findings)."""
+    base = codecs.encode_jpeg(8, 8, 1, bytes(range(64)) + bytes(0 for _ in range(0)), 95)
+    # inject fill bytes before the DQT marker (after SOI)
+    padded = base[:2] + b"\xff\xff\xff" + base[2:]
+    assert codecs.decode_jpeg(padded) == codecs.decode_jpeg(base)
+
+    # rewrite the 3-component SOS to claim ns=1 (first component only)
+    rgb = bytearray(codecs.encode_jpeg(8, 8, 3, bytes(8 * 8 * 3), 90))
+    i = rgb.find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) [cs tt]*ns ss se ah/al
+    assert rgb[i + 4] == 3
+    new_payload = bytes([1, rgb[i + 5], rgb[i + 6], 0, 63, 0])
+    rgb[i + 2 : i + 4 + 1 + 6 + 3] = (2 + len(new_payload)).to_bytes(2, "big") + new_payload
+    with pytest.raises(ValueError, match="non-interleaved"):
+        codecs.decode_jpeg(bytes(rgb))

@@ -381,3 +381,20 @@ def test_cdc_microbatch_to_jdbc_dynamic_ddl_and_upsert(spark, cfg, tmp_path):
     got = {r["kafka_primary_key"]: r for r in read_table(spark, cfg, "users").collect()}
     assert got["1"]["name"] == "alice3" and got["1"]["vip"] is None
     assert got["2"]["name"] == "bob" and got["2"]["vip"] is None
+
+
+def test_metadata_lookup_escapes_like_wildcards(spark, cfg):
+    """'_' is a single-char LIKE wildcard in DatabaseMetaData patterns:
+    with only 'whXusers' present, table_exists('wh_users') must be False
+    (an unescaped pattern would match and send write_upsert down the
+    MERGE path against a missing table — round-9 review finding)."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        table_columns,
+        table_exists,
+        write_append,
+    )
+
+    write_append(_batch(spark, [(1, 1.0, 1)]), cfg, "whXusers")
+    assert table_exists(spark, cfg, "whXusers")
+    assert not table_exists(spark, cfg, "wh_users")
+    assert table_columns(spark, cfg, "wh_users") == []

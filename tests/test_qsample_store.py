@@ -171,3 +171,30 @@ def test_mixed_maintenance_k_is_refused(spark, tmp_path):
     merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K)
     with pytest.raises(ValueError, match="k="):
         merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K + 1)
+
+
+def test_legacy_markerless_store_refuses_stamping(spark, tmp_path):
+    """A store with data but no _sketch_k marker (pre-marker era) must
+    NOT be silently stamped with the current job's k — the operator
+    migrates explicitly (round-9 review finding)."""
+    import pytest
+
+    from oltp_to_data_warehouse_pipeline_spark import fs
+    from oltp_to_data_warehouse_pipeline_spark.streaming.sketchstore import (
+        _K_MARKER,
+        merge_batch_into_qstore,
+    )
+
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(i, float(i), "2026-01-01 01:00:00") for i in range(10)],
+        "event_id long, value double, ts string",
+    )
+    merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K)
+    # simulate a legacy store: delete the marker, keep the data
+    fs.delete(spark, fs.join(store, _K_MARKER))
+    with pytest.raises(ValueError, match="predates the k marker"):
+        merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K)
+    # explicit migration re-enables maintenance
+    fs.write_text(spark, fs.join(store, _K_MARKER), str(K))
+    merge_batch_into_qstore(batch, store, "event_id", "value", "ts", k=K)

@@ -95,3 +95,17 @@ def test_topk_plan_has_no_global_sort(spark):
     df, _ = _pop(spark)
     plan = priority_sample(df, "doc_id", "w", 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fractional_weight_raises_not_truncates(spark):
+    """cast('bigint') would silently floor 0.7 -> 0, degenerating the
+    sample to the k smallest ids with a ~0 estimate (round-9 review
+    finding) — fractional weights must raise with scaling guidance."""
+    df = spark.createDataFrame(
+        [(1, 0.7), (2, 0.9)], "doc_id bigint, w double"
+    )
+    with pytest.raises(Exception, match="integer-valued"):
+        priority_sample(df, "doc_id", "w", 2).collect()
+    # integer-VALUED doubles are fine (the cast is lossless)
+    ok = spark.createDataFrame([(1, 5.0), (2, 9.0)], "doc_id bigint, w double")
+    assert len(priority_sample(ok, "doc_id", "w", 2).collect()) == 2
