@@ -52,7 +52,6 @@ HEADLINE = [
     "lang_id",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
     "cosine_topk",
     "embedding_near_dup_lsh",
     "doc_winnowing_fingerprints",
@@ -89,7 +88,6 @@ HEADLINE = [
     "bloom_pruned_order_revenue",
     "orders_zorder_locality",
     "heavy_hitter_users",
-    "zorder_skipping_gain",
     "trending_event_types",
     "order_value_bootstrap_ci",
     # round-7 new operators.  The benched KMV variants are the
@@ -98,7 +96,6 @@ HEADLINE = [
     # correctness registry — the audit half re-aggregates raw rows per
     # window by design and is a verification artifact, not the operator
     # (VERDICT r7 item 2).
-    "kmv_daily_users_sketch",
     "session_concurrency_peaks",
     "prefix_filter_near_pairs",
     "kmv_cohort_overlap_sketch",
@@ -121,7 +118,11 @@ HEADLINE = [
     "dup_span_pairs",
     "dup_span_excision",
     "qsketch_price_quantiles_sketch",
-    # round 9
+    # round 9 (kmv_daily_users_sketch / zorder_skipping_gain /
+    # simhash_fingerprints rotated out: their families stay covered by
+    # kmv_cohort_overlap_sketch / orders_zorder_locality /
+    # minhash_lsh_candidates, and the 66-name stdout line overflowed
+    # the driver's 2000-char tail window — all remain oracle-gated)
     "doc_gopher_rep_fracs",
     "priority_weighted_sample",
     "hll_daily_users",

@@ -247,8 +247,18 @@ def _meta_pattern(meta, name: str) -> str:
     name: '_' matches any single char and '%' any run, so an unescaped
     underscore-heavy CDC table name ('wh_users') can match an unrelated
     table ('wh2users') and flip write_upsert onto the MERGE path against a
-    table that doesn't exist (round-9 review finding)."""
-    esc = meta.getSearchStringEscape() or "\\"
+    table that doesn't exist (round-9 review finding).
+
+    Some engines cannot escape at all — embedded Derby returns '' from
+    getSearchStringEscape() (round-9 follow-up: the backslash fallback
+    made EVERY underscore table invisible, so the streaming sink
+    re-appended instead of merging) — so the pattern is only a PREFILTER:
+    every caller also compares the returned TABLE_NAME exactly.
+    """
+    esc = meta.getSearchStringEscape()
+    if not esc:
+        return name  # no escape support: pattern may overmatch, callers
+        # verify exactly
     return (
         name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     )
@@ -263,8 +273,11 @@ def table_exists(spark, cfg: JdbcConfig, table: str) -> bool:
         for cand in dict.fromkeys([table, table.upper(), table.lower()]):
             rs = meta.getTables(None, None, _meta_pattern(meta, cand), None)
             try:
-                if rs.next():
-                    return True
+                # exact-name check: the pattern is a prefilter (wildcards
+                # may overmatch on engines without pattern escaping)
+                while rs.next():
+                    if rs.getString("TABLE_NAME") == cand:
+                        return True
             finally:
                 rs.close()
         return False
@@ -422,7 +435,9 @@ def table_columns(spark, cfg: JdbcConfig, table: str) -> list[str]:
             rs = meta.getColumns(None, None, _meta_pattern(meta, cand), None)
             cols = []
             while rs.next():
-                cols.append(rs.getString("COLUMN_NAME"))
+                # exact-name check (see _meta_pattern: prefilter only)
+                if rs.getString("TABLE_NAME") == cand:
+                    cols.append(rs.getString("COLUMN_NAME"))
             rs.close()
             if cols:
                 return cols

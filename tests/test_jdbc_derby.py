@@ -398,3 +398,12 @@ def test_metadata_lookup_escapes_like_wildcards(spark, cfg):
     assert table_exists(spark, cfg, "whXusers")
     assert not table_exists(spark, cfg, "wh_users")
     assert table_columns(spark, cfg, "wh_users") == []
+    # and the converse regression (Derby returns '' from
+    # getSearchStringEscape, so a backslash-escape fallback made every
+    # underscore table INVISIBLE — the streaming sink then re-appended
+    # instead of merging): an existing underscore table must be found,
+    # with its own columns only
+    write_append(_batch(spark, [(1, 1.0, 1)]), cfg, "wh_users")
+    assert table_exists(spark, cfg, "wh_users")
+    cols = {c.lower() for c in table_columns(spark, cfg, "wh_users")}
+    assert cols == {"id", "amount", "ver"}
