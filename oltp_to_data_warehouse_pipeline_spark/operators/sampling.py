@@ -174,3 +174,36 @@ def priority_sample_estimate(
             4,
         ).alias("est_total"),
     )
+
+
+def stratified_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    k: int,
+    seed: str = "ps|",
+) -> DataFrame:
+    """Per-stratum priority sample: the k largest quantized priorities
+    WITHIN each ``group_cols`` combination (language, source, shard…) —
+    exactly k rows per stratum with within-stratum inclusion probability
+    ≈ proportional to weight.  The corpus-mixture use case: weight-aware
+    down-sampling that still guarantees every stratum its quota.
+
+    Plan shape: the ranking window is PARTITIONED by the stratum (one
+    keyed exchange, no global ordering anywhere) — at a million strata
+    this is the standard high-cardinality window, never a single
+    partition.  Same integer-exact priority as :func:`priority_sample`,
+    so both engines produce the identical sample per stratum.
+    """
+    t = _with_key(df, key_col, weight_col, seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__key").desc(), F.col(key_col).asc()
+    )
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            *group_cols, key_col, weight_col, F.col("__key").alias("priority")
+        )
+    )

@@ -10432,6 +10432,109 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lang_priority_sample",
+    """
+    WITH t AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             (CAST(n_chars AS BIGINT) * 70368744177664) // (CAST(list_sum(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substring(md5('ps|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT << (4 * (12 - i)))) AS BIGINT) + 1) AS priority
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY priority DESC, doc_id) AS rn
+          FROM t)
+    SELECT lang, doc_id, n_chars, priority FROM r WHERE rn <= 20
+    """,
+)
+def lang_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified priority sample: 20 docs PER LANGUAGE with
+    within-stratum inclusion probability ≈ proportional to n_chars — the
+    weight-aware mixture subsample that still guarantees every language
+    its quota (the failure mode of a global weighted sample is starving
+    small strata).  The ranking window is partitioned by the stratum
+    (keyed exchange, never a global ordering); priorities are the same
+    exact integers as `priority_weighted_sample`, so the per-stratum
+    samples are engine-identical.  Operator:
+    `operators/sampling.py:stratified_priority_sample`."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_priority_sample(
+        d, "doc_id", "n_chars", ["lang"], k=20
+    )
+
+
+@query(
+    "source_repetition_gate",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS m, length(text) AS chars
+      FROM documents),
+    occ AS (
+      SELECT doc_id, m, chars, n, i,
+             array_to_string(t[i:i+n-1], ' ') AS g
+      FROM toks, (VALUES (2), (10)) ns(n),
+           unnest(generate_series(1, m - n + 1)) u(i)
+      WHERE m >= n),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c, max(chars) AS chars
+            FROM occ GROUP BY 1, 2, 3),
+    top2 AS (SELECT doc_id, round(c * length(g) / chars, 4) + 0.0 AS f
+             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, g ASC) AS rn
+                   FROM cnt WHERE n = 2) WHERE rn = 1),
+    dup10 AS (SELECT o.doc_id, round(count(DISTINCT p) / max(o.m), 4) + 0.0 AS f
+              FROM occ o
+              JOIN cnt c ON c.doc_id = o.doc_id AND c.n = o.n AND c.g = o.g
+                         AND c.c >= 2 AND c.n = 10,
+                   unnest(generate_series(o.i, o.i + o.n - 1)) s(p)
+              WHERE o.n = 10
+              GROUP BY o.doc_id),
+    flags AS (
+      SELECT d.source,
+             CASE WHEN coalesce(t.f, 0.0) > 0.20
+                    OR coalesce(x.f, 0.0) > 0.10 THEN 1 ELSE 0 END AS bad
+      FROM documents d
+      LEFT JOIN top2 t ON t.doc_id = d.doc_id
+      LEFT JOIN dup10 x ON x.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bad) AS BIGINT) AS n_flagged,
+           round(100.0 * sum(bad) / count(*), 4) + 0.0 AS flagged_pct
+    FROM flags GROUP BY source
+    """,
+)
+def source_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition filter APPLIED as a corpus gate: per source,
+    how many documents fail the repetition thresholds (top-2-gram char
+    share > 0.20 OR duplicated-10-gram coverage > 0.10 — the paper's
+    operating points) — the number a curation run reads before deciding
+    whether a source is salvageable or boilerplate-dominated.  Composition
+    of `operators/repetition.py` with a keyed rollup; every emitted value
+    is an exact integer or a single exact division."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = repetition.repetition_signals(d, top_ns=[2], dup_ns=[10])
+    flagged = d.select("doc_id", "source").join(sig, "doc_id", "left").select(
+        "source",
+        F.when(
+            (F.coalesce("top_2_frac", F.lit(0.0)) > 0.20)
+            | (F.coalesce("dup_10_frac", F.lit(0.0)) > 0.10),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bad"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bad").cast("bigint").alias("n_flagged"),
+        (
+            F.round(F.lit(100.0) * F.sum("bad") / F.count(F.lit(1)), 4)
+            + F.lit(0.0)
+        ).alias("flagged_pct"),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10442,6 +10545,8 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND 9 WINDOW: new operators first.
     "doc_gopher_rep_fracs",
+    "source_repetition_gate",
+    "lang_priority_sample",
     "jpeg_pixel_stats",
     "hll_user_registers",
     "hll_daily_users",

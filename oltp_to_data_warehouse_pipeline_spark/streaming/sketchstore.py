@@ -362,3 +362,100 @@ def window_quantiles(
         .orderBy(F.col("m").desc())
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL register store: the third sketch-store sibling (KMV sets, quantile
+# row samples, now HLL registers)
+# ---------------------------------------------------------------------------
+
+
+def merge_batch_into_hll_store(
+    batch: DataFrame,
+    store_path: str,
+    key_col: str,
+    ts_col: str,
+) -> None:
+    """One micro-batch step for the HLL store: sketch the batch per day
+    (:func:`operators.hll.hll_sketch` — ≤ 128 register rows per day on
+    the exchange), merge with the stored registers of the same days via
+    register-wise MAX, overwrite those day partitions.
+
+    The replay argument is the strongest of the three stores: MAX is
+    idempotent, commutative AND associative over registers, so a
+    re-delivered micro-batch overwrites a day partition with the SAME
+    rows — no ledger, no dedup column, nothing to reason about.  (KMV
+    needs the k-minimum-set idempotence argument; the quantile store
+    needs an extra (d, h, v) dedup.)  The per-day payload is bounded by
+    m = 128 rows FOREVER, so the store is the cheapest of the three at
+    million-day × million-group scale.
+
+    The maintenance knob persisted in the ``_sketch_k`` sidecar is the
+    register count m — constant in this implementation, but the marker
+    still refuses a future mixed-m store the same way it refuses mixed-k.
+    """
+    from oltp_to_data_warehouse_pipeline_spark.operators import hll
+
+    _persist_k(batch.sparkSession, store_path, hll.M)
+    _merge_day_partitions(
+        batch,
+        store_path,
+        ts_col,
+        lambda days: hll.hll_sketch(days, key_col, ["d"]),
+        lambda u: hll.hll_merge(u, ["d"]),
+        ["j", "r"],
+        dedup=False,
+    )
+
+
+def maintain_hll_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Attach the HLL register-store maintainer to an event stream."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        merge_batch_into_hll_store(batch, store_path, key_col, ts_col)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .queryName("hll-register-store")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def window_hll_estimate(
+    spark: SparkSession,
+    store_path: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """One row ``(est_distinct)``: approximate distinct keys over
+    [start, end], served ENTIRELY from stored day registers — ≤ 128 rows
+    per day in, one merged register set out, raw data never touched (the
+    date filter prunes store partitions).  ALWAYS one row; an absent
+    store or empty range answers 0.0 (the dashboard-caller contract of
+    :func:`window_estimate`)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import hll
+
+    zero = spark.createDataFrame([(0.0,)], "est_distinct double")
+    if not fs.has_data_files(spark, store_path):
+        return zero
+    _check_serving_k(spark, store_path, hll.M)
+    sk = (
+        spark.read.parquet(store_path)
+        .where((F.col("d") >= F.lit(start)) & (F.col("d") <= F.lit(end)))
+        .select(F.lit(1).alias("g"), "j", "r")
+    )
+    merged = hll.hll_merge(sk, ["g"])
+    est = hll.hll_estimate(merged, ["g"]).select("est_distinct")
+    return est.unionByName(zero).agg(
+        F.max("est_distinct").alias("est_distinct")
+    )

@@ -109,3 +109,24 @@ def test_fractional_weight_raises_not_truncates(spark):
     # integer-VALUED doubles are fine (the cast is lossless)
     ok = spark.createDataFrame([(1, 5.0), (2, 9.0)], "doc_id bigint, w double")
     assert len(priority_sample(ok, "doc_id", "w", 2).collect()) == 2
+
+
+def test_stratified_sample_exact_quota_and_python_twin(spark):
+    from oltp_to_data_warehouse_pipeline_spark.operators.sampling import (
+        stratified_priority_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], (i * 13) % 50 + 1) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, w bigint")
+    out = stratified_priority_sample(df, "doc_id", "w", ["g"], k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], []).append((r["doc_id"], r["w"], r["priority"]))
+    assert set(got) == {"a", "b", "c"}
+    for g, members in got.items():
+        assert len(members) == 5
+        want = sorted(
+            ((i, w, _py_key(i, w)) for i, gg, w in rows if gg == g),
+            key=lambda t: (-t[2], t[0]),
+        )[:5]
+        assert sorted(members) == sorted(want)
