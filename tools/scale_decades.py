@@ -57,6 +57,8 @@ QUERIES = [
     "doc_gopher_rep_fracs",
     "priority_weighted_sample",
     "hll_daily_users",
+    "lang_priority_sample",
+    "source_repetition_gate",
 ]
 #: tables each query needs present in a fixture dir (gate for 100x)
 NEEDS = {
@@ -75,6 +77,8 @@ NEEDS = {
     "doc_gopher_rep_fracs": ["documents"],
     "priority_weighted_sample": ["documents"],
     "hll_daily_users": ["events"],
+    "lang_priority_sample": ["documents"],
+    "source_repetition_gate": ["documents"],
 }
 
 
