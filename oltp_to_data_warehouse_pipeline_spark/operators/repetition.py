@@ -19,6 +19,22 @@ corpus size x |ns| — then aggregates keyed by (doc, n[, gram]): millions
 of small groups, never a global window or collect.  Every emitted
 fraction is a single integer/integer division (no float summation, so no
 cross-engine accumulation-order drift).
+
+The shuffle NEVER carries gram strings: every fraction depends only on a
+gram's IDENTITY (grouping) and CHAR LENGTH, so occurrences exchange
+``(xxhash64(gram), length(gram))`` — 12 bytes — instead of the ~n-token
+concatenated string.  At a 100 TB corpus the string-gram exchange would
+be several times corpus size; the hashed exchange is O(16 B/position).
+The top-gram tie-break is therefore gram-blind: ties in count resolve to
+the maximal char contribution ``count * length``, under which any
+remaining tie emits the identical fraction either way.
+
+NOTE on paper fidelity: Rae et al. define ``dup_{n}_frac`` over
+CHARACTERS; this implementation measures the fraction of token POSITIONS
+covered by duplicated n-grams (position union).  The two agree exactly
+when token lengths are uniform and track each other closely otherwise;
+thresholds tuned on the paper's character fractions are approximate
+operating points here, not paper-equivalent ones.
 """
 
 from __future__ import annotations
@@ -30,8 +46,11 @@ from oltp_to_data_warehouse_pipeline_spark.util import ensure_min_parallelism
 
 
 def _occurrences(df: DataFrame, id_col: str, text_col: str, ns: list[int]) -> DataFrame:
-    """(id, n, i, g, m, chars): every n-gram occurrence for every requested
-    n, with its start position, the doc's token count and char length."""
+    """(id, n, i, gh, gl, m, chars): every n-gram occurrence for every
+    requested n, keyed by the gram's 64-bit hash ``gh`` and char length
+    ``gl`` — the string itself is materialized and dropped inside the scan
+    stage, so downstream shuffles exchange 12 bytes per occurrence, never
+    the concatenated gram."""
     toks = F.split(F.col(text_col), " ")
     base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
@@ -43,13 +62,17 @@ def _occurrences(df: DataFrame, id_col: str, text_col: str, ns: list[int]) -> Da
         "id", "toks", "m", "chars",
         F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
     ).where(F.col("m") >= F.col("n"))
+    g = F.concat_ws(" ", F.slice("toks", F.col("i") + 1, F.col("n")))
     return (
         with_n.select(
             "id", "m", "chars", "n", "toks",
             F.explode(F.sequence(F.lit(0), F.col("m") - F.col("n"))).alias("i"),
         )
-        .withColumn("g", F.concat_ws(" ", F.slice("toks", F.col("i") + 1, F.col("n"))))
-        .drop("toks")
+        .select(
+            "id", "m", "chars", "n", "i",
+            F.xxhash64(F.lit("rep|"), g).alias("gh"),
+            F.length(g).alias("gl"),
+        )
     )
 
 
@@ -63,33 +86,41 @@ def repetition_signals(
     """One row per document: ``top_{n}_frac`` for each n in ``top_ns`` and
     ``dup_{n}_frac`` for each n in ``dup_ns`` (column order: top then dup,
     each ascending n), plus ``n_tokens``.  Documents shorter than n tokens
-    score 0.0 for that signal.  Deterministic: the top n-gram tie-breaks
-    lexicographically, every fraction is one exact integer division
-    rounded to 4 decimals (+0.0 normalizes any -0.0).
+    score 0.0 for that signal.  Deterministic: count ties on the top
+    n-gram resolve to the maximal char contribution count*length (any
+    deeper tie emits the identical fraction), every fraction is one exact
+    integer division rounded to 4 decimals (+0.0 normalizes any -0.0).
     """
     ns = sorted(set(list(top_ns) + list(dup_ns)))
     occ = _occurrences(df, id_col, text_col, list(ns))
 
     # --- top-frequency n-gram, char fraction ---
-    cnt = occ.groupBy("id", "n", "g").agg(
+    # Grouped on the gram HASH (12-byte shuffle rows); the winner is the
+    # lexicographic max of struct(count, count*len) — a plain aggregate,
+    # no window sort over the gram relation.
+    cnt = occ.groupBy("id", "n", "gh").agg(
         F.count(F.lit(1)).alias("c"),
-        F.first("chars").alias("chars"),
+        F.max("gl").alias("gl"),
+        F.max("chars").alias("chars"),
     )
-    w = Window.partitionBy("id", "n").orderBy(F.col("c").desc(), F.col("g").asc())
     top = (
-        cnt.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "id", "n",
-            (F.col("c") * F.length("g")).alias("top_chars"),
-            "chars",
+        cnt.groupBy("id", "n")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (F.col("c") * F.col("gl")).alias("tc"),
+                )
+            ).alias("__mx"),
+            F.max("chars").alias("chars"),
         )
+        .select("id", "n", F.col("__mx.tc").alias("top_chars"), "chars")
     )
 
     # --- duplicated n-gram token coverage (position union) ---
     dup_cover = (
         occ.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("id", "n", "g"))
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("id", "n", "gh"))
         )
         .where(F.col("__c") >= 2)
         .select(

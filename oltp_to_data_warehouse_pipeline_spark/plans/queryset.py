@@ -10160,7 +10160,8 @@ def snm_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM occ GROUP BY 1, 2, 3),
     top AS (SELECT doc_id, n, c, length(g) AS gl, chars,
                    row_number() OVER (PARTITION BY doc_id, n
-                                      ORDER BY c DESC, g ASC) AS rn
+                                      ORDER BY c DESC,
+                                               c * length(g) DESC) AS rn
             FROM cnt),
     topf AS (SELECT doc_id, n, round(c * gl / chars, 4) + 0.0 AS f
              FROM top WHERE rn = 1),
@@ -10191,9 +10192,12 @@ def doc_gopher_rep_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate n-grams counted once, the subtlety the paper calls out).
 
     Scale: one explode per (token x n), aggregates keyed by
-    (doc, n, gram) — millions of small groups, no global window; every
-    fraction is a single exact integer/integer division (no float-sum
-    order drift).  Operator: `operators/repetition.py`."""
+    (doc, n, xxhash64(gram)) — the shuffle carries 12-byte (hash, len)
+    pairs, never the concatenated gram string; millions of small groups,
+    no global window; every fraction is a single exact integer/integer
+    division (no float-sum order drift).  The DuckDB twin groups by the
+    raw gram (it has no xxhash64) — fractions are gram-blind, so results
+    agree modulo a 2^-64 collision.  Operator: `operators/repetition.py`."""
     from oltp_to_data_warehouse_pipeline_spark.operators import repetition
 
     d = load_table(spark, sf_dir, "documents")
@@ -10480,7 +10484,8 @@ def lang_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM occ GROUP BY 1, 2, 3),
     top2 AS (SELECT doc_id, round(c * length(g) / chars, 4) + 0.0 AS f
              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
-                                  ORDER BY c DESC, g ASC) AS rn
+                                  ORDER BY c DESC,
+                                           c * length(g) DESC) AS rn
                    FROM cnt WHERE n = 2) WHERE rn = 1),
     dup10 AS (SELECT o.doc_id, round(count(DISTINCT p) / max(o.m), 4) + 0.0 AS f
               FROM occ o
@@ -10506,8 +10511,11 @@ def lang_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher repetition filter APPLIED as a corpus gate: per source,
     how many documents fail the repetition thresholds (top-2-gram char
-    share > 0.20 OR duplicated-10-gram coverage > 0.10 — the paper's
-    operating points) — the number a curation run reads before deciding
+    share > 0.20 OR duplicated-10-gram TOKEN-POSITION coverage > 0.10 —
+    threshold VALUES borrowed from Rae et al. A1.1, but the paper defines
+    dup fractions over characters, so these are approximate operating
+    points, not paper-equivalent ones; see `operators/repetition.py`'s
+    module docstring) — the number a curation run reads before deciding
     whether a source is salvageable or boilerplate-dominated.  Composition
     of `operators/repetition.py` with a keyed rollup; every emitted value
     is an exact integer or a single exact division."""

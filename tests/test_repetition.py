@@ -47,9 +47,10 @@ def test_short_docs_and_unique_docs_score_zero(spark):
     r1, r2 = _one(out, 1), _one(out, 2)
     assert r1["dup_5_frac"] == 0.0 and r1["dup_10_frac"] == 0.0
     assert r2["dup_5_frac"] == 0.0 and r2["dup_10_frac"] == 0.0
-    # unique 2-grams: top count 1 -> its chars / total chars
+    # unique 2-grams: top count 1 -> its chars / total chars; count ties
+    # resolve to the max char contribution ("three tokens", len 12)
     assert r2["top_2_frac"] == round(3 / 19, 4)
-    assert r1["top_2_frac"] == round(len("only three") / len("only three tokens"), 4)
+    assert r1["top_2_frac"] == round(len("three tokens") / len("only three tokens"), 4)
 
 
 def test_row_count_and_schema(spark):
