@@ -407,3 +407,117 @@ def test_metadata_lookup_escapes_like_wildcards(spark, cfg):
     assert table_exists(spark, cfg, "wh_users")
     cols = {c.lower() for c in table_columns(spark, cfg, "wh_users")}
     assert cols == {"id", "amount", "ver"}
+
+
+# ---------------------------------------------------------------------------
+# Round-10: staging hygiene + tombstone retention (round-9 verdict #6/#7)
+# ---------------------------------------------------------------------------
+
+def test_stale_staging_swept_on_next_batch(spark, cfg):
+    """A driver crash between MERGE and DROP leaks <table>__stage_<8hex>;
+    the next upsert's sweep must reap it, while tables that merely LOOK
+    similar (suffix not 8 hex chars) survive."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        _connection,
+        _execute,
+        write_upsert,
+    )
+
+    b = _batch(spark, [(1, 1.0, 1)])
+    write_upsert(b, cfg, "wh4", keys=["id"], order_cols=["ver"])
+    # simulate the crash-leak: a staging-shaped orphan + a non-hex decoy
+    _execute(spark, cfg, [
+        'CREATE TABLE WH4__STAGE_DEADBEEF ("id" BIGINT)',
+        'CREATE TABLE WH4__STAGE_NOTAHEXQ ("id" BIGINT)',
+    ])
+    write_upsert(b, cfg, "wh4", keys=["id"], order_cols=["ver"])  # merge path
+    conn = _connection(spark, cfg)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", None)
+        names = []
+        while rs.next():
+            names.append(rs.getString("TABLE_NAME"))
+        rs.close()
+    finally:
+        conn.close()
+    stage = sorted(n for n in names if "STAGE" in n.upper())
+    assert stage == ["WH4__STAGE_NOTAHEXQ"], stage
+    assert _wh(spark, cfg, "wh4") == [(1, 1.0, 1)]
+
+
+def test_tombstone_side_table_blocks_resurrection(spark, cfg):
+    """tombstones=True closes the resurrect-on-replay hole the default
+    mode documents: delete -> replay of a PRE-DELETE update -> key stays
+    absent; a genuinely newer write out-versions the tombstone and
+    lands."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        read_table,
+        write_upsert,
+    )
+
+    kw = dict(
+        keys=["id"], order_cols=["ver"], delete_col="is_del", tombstones=True
+    )
+    b1 = _batch(spark, [(1, 10.0, 1, False), (2, 20.0, 1, False)], with_del=True)
+    write_upsert(b1, cfg, "whtb", **kw)
+    write_upsert(
+        _batch(spark, [(1, 0.0, 2, True)], with_del=True), cfg, "whtb", **kw
+    )
+    assert _wh(spark, cfg, "whtb") == [(2, 20.0, 1)]
+
+    # REPLAY of the pre-delete batch: without tombstones this resurrects
+    # id=1 (the hole write_upsert's default mode documents)
+    write_upsert(b1, cfg, "whtb", **kw)
+    assert _wh(spark, cfg, "whtb") == [(2, 20.0, 1)]
+
+    # a genuinely newer write for the deleted key lands normally
+    write_upsert(
+        _batch(spark, [(1, 30.0, 3, False)], with_del=True), cfg, "whtb", **kw
+    )
+    assert _wh(spark, cfg, "whtb") == [(1, 30.0, 3), (2, 20.0, 1)]
+
+    # the side table is itself LWW/replay-idempotent: exactly one row
+    tomb = read_table(spark, cfg, "whtb__tombstones").collect()
+    assert [(r["id"], r["ver"]) for r in tomb] == [(1, 2)]
+
+
+def test_tombstones_param_validation(spark, cfg):
+    import pytest as _pt
+
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import write_upsert
+
+    b = _batch(spark, [(1, 1.0, 1)])
+    with _pt.raises(ValueError, match="tombstones"):
+        write_upsert(b, cfg, "whv", keys=["id"], tombstones=True)
+
+
+def test_has_unique_index_detects_pk(spark, cfg):
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        _execute,
+        has_unique_index,
+    )
+
+    _execute(spark, cfg, [
+        'CREATE TABLE idxed ("id" BIGINT NOT NULL, "ver" BIGINT, '
+        'PRIMARY KEY ("id"))',
+    ])
+    assert has_unique_index(spark, cfg, "idxed", ["id"])
+    assert not has_unique_index(spark, cfg, "idxed", ["ver"])
+    assert not has_unique_index(spark, cfg, "idxed", ["id", "ver"])
+
+
+def test_unique_index_sql_and_column_types_filter():
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        _filter_column_types,
+        unique_index_sql,
+    )
+
+    assert unique_index_sql("public.wh_users", ["id", "src"]) == (
+        'CREATE UNIQUE INDEX IF NOT EXISTS "wh_users__upsert_keys" '
+        'ON public.wh_users ("id", "src")'
+    )
+    assert _filter_column_types(
+        "pk VARCHAR(64), amount DECIMAL(10,2), ver BIGINT", ["pk", "ver"]
+    ) == "pk VARCHAR(64), ver BIGINT"
+    assert _filter_column_types("a CLOB", ["b"]) is None
+    assert _filter_column_types(None, ["a"]) is None

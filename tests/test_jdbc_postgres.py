@@ -222,3 +222,58 @@ def test_write_upsert_postgres_dialect_end_to_end(spark, cfg, pg_exec):
     )
     assert (1, 11.0) in got
     pg_exec("DROP TABLE IF EXISTS wh_upsert")
+
+
+def test_write_upsert_autocreates_unique_index(spark, cfg, pg_exec):
+    """ADVICE r9 (medium): Spark's JDBC writer creates tables with NO
+    constraints, so a write_upsert-auto-created Postgres target used to
+    fail every batch after the first with 'no unique or exclusion
+    constraint matching the ON CONFLICT specification'.  The first-write
+    path must now create the keys' unique index itself; the second batch
+    exercises the ON CONFLICT merge against it."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import write_upsert
+
+    pg_exec("DROP TABLE IF EXISTS wh_auto")
+    schema = "id long, amount double, ver long, is_del boolean"
+    kw = dict(
+        keys=["id"], order_cols=["ver"], delete_col="is_del",
+        dialect="postgres",
+    )
+    write_upsert(
+        spark.createDataFrame([(1, 10.0, 1, False)], schema),
+        cfg, "wh_auto", **kw,
+    )  # auto-create + CREATE UNIQUE INDEX
+    write_upsert(
+        spark.createDataFrame([(1, 11.0, 2, False), (2, 20.0, 1, False)], schema),
+        cfg, "wh_auto", **kw,
+    )  # merge path: would raise without the index
+    got = sorted(
+        (r["id"], r["amount"], r["ver"])
+        for r in read_table(spark, cfg, "wh_auto").collect()
+    )
+    assert got == [(1, 11.0, 2), (2, 20.0, 1)]
+    pg_exec("DROP TABLE IF EXISTS wh_auto")
+
+
+def test_tombstone_retention_postgres(spark, cfg, pg_exec):
+    """tombstones=True on the postgres dialect: delete, then replay the
+    pre-delete update — the key must stay absent (the resurrect-on-replay
+    hole the default mode documents)."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import write_upsert
+
+    pg_exec("DROP TABLE IF EXISTS wh_tomb")
+    pg_exec("DROP TABLE IF EXISTS wh_tomb__tombstones")
+    schema = "id long, amount double, ver long, is_del boolean"
+    kw = dict(
+        keys=["id"], order_cols=["ver"], delete_col="is_del",
+        dialect="postgres", tombstones=True,
+    )
+    b1 = spark.createDataFrame([(1, 10.0, 1, False)], schema)
+    write_upsert(b1, cfg, "wh_tomb", **kw)
+    write_upsert(
+        spark.createDataFrame([(1, 0.0, 2, True)], schema), cfg, "wh_tomb", **kw
+    )
+    write_upsert(b1, cfg, "wh_tomb", **kw)  # pre-delete replay
+    assert read_table(spark, cfg, "wh_tomb").count() == 0
+    pg_exec("DROP TABLE IF EXISTS wh_tomb")
+    pg_exec("DROP TABLE IF EXISTS wh_tomb__tombstones")
