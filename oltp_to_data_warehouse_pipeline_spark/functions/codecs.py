@@ -435,8 +435,12 @@ class _BitReader:
         self.buf, self.pos, self.bits, self.nbits = buf, pos, 0, 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("jpeg: truncated entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("jpeg: truncated entropy data")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -504,7 +508,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     (SOF2), extended (SOF1+), arithmetic coding, and 12-bit loudly —
     anything it cannot decode EXACTLY per T.81 semantics raises rather
     than mis-decoding.
+
+    The refusal contract is ``ValueError``, ALWAYS: truncated segment
+    headers, short tables, and mid-stream EOF surface from the parsing
+    internals as IndexError / KeyError / struct.error, which callers
+    filtering on ValueError (the dead-letter seam in
+    functions/multimodal.py) would otherwise crash on (round-9 advisor
+    finding) — so every low-level shape error is normalized here, with
+    the original exception chained as ``__cause__``.
     """
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, KeyError, struct.error, _RestartMarker) as e:
+        raise ValueError(
+            f"jpeg: truncated or malformed data ({type(e).__name__})"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
@@ -530,7 +551,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             continue
         if m == 0xD9:  # EOI
             raise ValueError("jpeg: EOI before SOS")
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated segment header")
         ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        if ln < 2 or pos + ln > len(data):
+            raise ValueError("jpeg: truncated segment")
         seg = data[pos + 2 : pos + ln]
         if m == 0xDB:  # DQT
             i = 0

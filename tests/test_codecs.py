@@ -496,3 +496,28 @@ def test_jpeg_fill_bytes_and_multiscan_refusal():
     rgb[i + 2 : i + 4 + 1 + 6 + 3] = (2 + len(new_payload)).to_bytes(2, "big") + new_payload
     with pytest.raises(ValueError, match="non-interleaved"):
         codecs.decode_jpeg(bytes(rgb))
+
+
+def test_jpeg_truncation_always_raises_valueerror():
+    """The refusal contract is ValueError, ALWAYS (round-9 advisor):
+    truncating a valid stream at EVERY byte boundary must never leak
+    IndexError / KeyError / struct.error to callers filtering on
+    ValueError (the multimodal dead-letter seam)."""
+    from oltp_to_data_warehouse_pipeline_spark.functions import codecs
+
+    px = bytes((x * 7 + y * 3) % 256 for y in range(8) for x in range(8) for _ in range(3))
+    enc = codecs.encode_jpeg(8, 8, 3, px, 90)
+    for cut in range(len(enc)):
+        try:
+            codecs.decode_jpeg(enc[:cut])
+        except ValueError:
+            pass  # the contract
+        # any other exception type fails the test by propagating
+
+    # declared segment length overrunning the buffer, and garbage bytes
+    for bad in (enc[:20] + b"\xff\xc4\xff\xff", b"\xff\xd8\xff\xdb\x00\x05a"):
+        try:
+            codecs.decode_jpeg(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
