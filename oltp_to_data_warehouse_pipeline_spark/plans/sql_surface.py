@@ -1,0 +1,255 @@
+"""SQL-only access to the operator library (round-9 verdict item 3).
+
+The reference's entire query surface was SQL (`DB.sql:109-124`): a
+warehouse client that speaks only SQL could already reach the DB.sql
+parity layer (`plans/warehouse_sql.py` registers views) but NOT the
+sketch/dedup operators — qsketch/KMV/HLL merge+estimate, span excision —
+which were Python-API-only.  This module closes that gap two ways, each
+matched to the operator's scale shape:
+
+- **Operator views** for data-scale plans (span excision/report, Gopher
+  repetition, exact dedup, sketch BUILDS): the DataFrame API's full
+  Catalyst plan is registered under a stable ``sqlops_*`` view name, so
+  SQL composes over it and predicate pushdown / column pruning reach
+  INTO the plan exactly as for any view — no Python on the data path.
+
+- **Table functions** (Python UDTFs with TABLE arguments) for sketch
+  ALGEBRA — HLL estimate, KMV estimate / set-operations, qsketch
+  quantiles: the inputs are k-row / m-register SKETCH relations,
+  thousands of times smaller than the data they summarize, so a
+  per-partition Python fold costs microseconds per group and buys full
+  call-site flexibility (ANY sketch relation, ANY grouping, parameters
+  at the call)::
+
+      SELECT * FROM hll_estimate_tf(TABLE(regs) PARTITION BY grp)
+      SELECT * FROM kmv_estimate_tf(TABLE(sk) PARTITION BY grp, k => 64)
+      SELECT * FROM kmv_set_est_tf(
+          TABLE(SELECT side, h FROM tagged) WITH SINGLE PARTITION, k => 64)
+      SELECT * FROM qsketch_quantiles_tf(
+          TABLE(qs) PARTITION BY grp, p => 0.5)
+
+  Contract: the table argument must expose a ``grp`` STRING column
+  (clients cast their group key), plus the sketch columns (``j``/``r``
+  for HLL registers, ``h`` for KMV, ``v``/``h`` for qsketch,
+  ``side``/``h`` for set-ops).  The estimator arithmetic is the SAME
+  integer/dyadic math as the DataFrame operators (constants imported
+  from them), so both surfaces emit identical values —
+  ``tests/test_sql_surface.py`` pins the equality operator by operator.
+
+Scale note: the UDTF path never sees raw data — register relations are
+≤ m = 128 rows/group and KMV/qsketch sketches ≤ k rows/group by
+construction, so the Python fold is bounded per group no matter how
+large the underlying corpus is.  Data-scale work stays in Catalyst via
+the views.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from oltp_to_data_warehouse_pipeline_spark.operators.hll import ALPHA, M
+from oltp_to_data_warehouse_pipeline_spark.operators.kmv import HASH_SPACE
+
+
+# ---------------------------------------------------------------------------
+# Table functions — sketch algebra, per-partition folds over k-row inputs
+# ---------------------------------------------------------------------------
+
+
+@udtf(returnType="grp string, est_distinct double")
+class HllEstimateTF:
+    """Merge + estimate over HLL register rows ``(grp, j, r)`` — the SQL
+    twin of ``operators.hll.hll_merge`` + ``hll_estimate``.  Register-wise
+    MAX first, so unmerged multi-sketch relations are legal input.  The
+    harmonic sum is exact (dyadics 2^-r, r ≤ 42, over ≤ 128 registers fit
+    a double with no rounding), so the fold is order-independent and
+    bit-equal to the DataFrame aggregate."""
+
+    def __init__(self) -> None:
+        self.grp = None
+        self.regs: dict[int, int] = {}
+
+    def eval(self, row) -> None:
+        self.grp = row["grp"]
+        j, r = row["j"], row["r"]
+        if self.regs.get(j, 0) < r:
+            self.regs[j] = r
+
+    def terminate(self):
+        if self.grp is None:
+            return
+        present = len(self.regs)
+        s = sum(1.0 / (1 << r) for r in self.regs.values()) + (M - present)
+        e = ALPHA * M * M / s
+        v = M - present
+        est = M * math.log(M / v) if (e <= 2.5 * M and v > 0) else e
+        yield self.grp, round(est, 4) + 0.0
+
+
+@udtf(returnType="grp string, m bigint, est_distinct bigint")
+class KmvEstimateTF:
+    """Distinct-count estimate from a KMV sketch ``(grp, h)`` — the SQL
+    twin of ``operators.kmv.kmv_estimate``: exact when the sketch holds
+    fewer than k hashes, else ``(k-1)·2^48 div h_k`` clamped to the hash
+    domain, all in Python ints (no float on the path)."""
+
+    def __init__(self) -> None:
+        self.grp = None
+        self.hs: set[int] = set()
+        self.k = None
+
+    def eval(self, row, k: int) -> None:
+        self.grp, self.k = row["grp"], int(k)
+        self.hs.add(row["h"])
+
+    def terminate(self):
+        if self.grp is None:
+            return
+        ranked = sorted(self.hs)[: self.k]
+        m = len(ranked)
+        if m < self.k:
+            est = m
+        else:
+            hk = max(ranked[-1], 1)
+            est = min((self.k - 1) * HASH_SPACE // hk, HASH_SPACE)
+        yield self.grp, m, est
+
+
+@udtf(
+    returnType="union_m bigint, n_common bigint, est_union bigint, "
+    "est_common bigint"
+)
+class KmvSetEstTF:
+    """KMV set-operation estimator (Beyer et al. SIGMOD'07 §4) over two
+    tagged sketches ``(side IN ('a','b'), h)`` — the SQL twin of
+    ``operators.kmv.kmv_intersect_estimate``.  Call with
+    ``WITH SINGLE PARTITION`` (the input is ≤ 2k rows by construction)."""
+
+    def __init__(self) -> None:
+        self.a: set[int] = set()
+        self.b: set[int] = set()
+        self.k = None
+
+    def eval(self, row, k: int) -> None:
+        self.k = int(k)
+        (self.a if row["side"] == "a" else self.b).add(row["h"])
+
+    def terminate(self):
+        if self.k is None:
+            return
+        sample = sorted(self.a | self.b)[: self.k]
+        m = len(sample)
+        n_common = sum(1 for h in sample if h in self.a and h in self.b)
+        if m < self.k:
+            yield m, n_common, m, n_common
+            return
+        hk = max(sample[-1], 1)
+        est_union = min((self.k - 1) * HASH_SPACE // hk, HASH_SPACE)
+        yield m, n_common, est_union, n_common * est_union // self.k
+
+
+@udtf(returnType="grp string, m bigint, q double")
+class QsketchQuantilesTF:
+    """Sample quantile from a bottom-k row sample ``(grp, h, v)`` at
+    probability ``p`` — the SQL twin of
+    ``operators.qsketch.qsample_quantiles``: the value at rank
+    ``1 + floor(p·(m−1))`` ordered by ``(v, h)`` (hash tiebreak pins the
+    pick under duplicate values, exactly as the window form does)."""
+
+    def __init__(self) -> None:
+        self.grp = None
+        self.rows: list[tuple[float, int]] = []
+        self.p = None
+
+    def eval(self, row, p: float) -> None:
+        self.grp, self.p = row["grp"], float(p)
+        self.rows.append((row["v"], row["h"]))
+
+    def terminate(self):
+        if self.grp is None or not self.rows:
+            return
+        self.rows.sort()
+        m = len(self.rows)
+        target = int(math.floor(self.p * (m - 1)))
+        yield self.grp, m, self.rows[target][0]
+
+
+#: name -> UDTF handler, one registration surface for tests and callers
+TABLE_FUNCTIONS = {
+    "hll_estimate_tf": HllEstimateTF,
+    "kmv_estimate_tf": KmvEstimateTF,
+    "kmv_set_est_tf": KmvSetEstTF,
+    "qsketch_quantiles_tf": QsketchQuantilesTF,
+}
+
+
+def register_table_functions(spark: SparkSession) -> list[str]:
+    """Register the sketch-algebra table functions; returns the names."""
+    for name, handler in TABLE_FUNCTIONS.items():
+        spark.udtf.register(name, handler)
+    return list(TABLE_FUNCTIONS)
+
+
+# ---------------------------------------------------------------------------
+# Operator views — data-scale plans published under stable SQL names
+# ---------------------------------------------------------------------------
+
+
+def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
+    """One call makes the operator library reachable from ``spark.sql``
+    alone: registers the table functions above plus ``sqlops_*`` views
+    over the catalog tables.  Returns every registered SQL name.
+
+    Views are lazy Catalyst plans — nothing executes until a SQL client
+    selects from them, and their filters/pruning compose with the plan.
+    """
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+    from oltp_to_data_warehouse_pipeline_spark.operators import (
+        dedup as _dedup,
+        hll as _hll,
+        kmv as _kmv,
+        qsketch as _qs,
+        repetition as _rep,
+        spans as _spans,
+    )
+
+    names = register_table_functions(spark)
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+
+    views = {
+        # span-grain substring dedup (Lee et al. ACL'22) — report + applied
+        "sqlops_span_report": _spans.span_excision_report(d, "doc_id", "text"),
+        "sqlops_span_excised": _spans.span_excised_corpus(d, "doc_id", "text"),
+        # Gopher repetition signals (Rae et al. 2021 A1.1)
+        "sqlops_repetition": _rep.repetition_signals(d),
+        # exact dedup winners over documents (deterministic: lowest
+        # doc_id survives per duplicated text)
+        "sqlops_dedup_docs": _dedup.lww_dedup(
+            d, ["text"], [F.col("doc_id").asc()]
+        ),
+        # sketch BUILDS, ready to feed the table functions: grp is the
+        # TF contract's string group key
+        "sqlops_hll_day_registers": _hll.hll_sketch(ev, "user_id", ["d"]).select(
+            F.date_format("d", "yyyy-MM-dd").alias("grp"), "j", "r"
+        ),
+        "sqlops_kmv_day_sketch": _kmv.kmv_sketch(
+            ev, "user_id", ["d"], k=64
+        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h"),
+        "sqlops_qsketch_day": _qs.qsample_sketch(
+            o, "o_orderkey", "o_totalprice", ["d"], k=256
+        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h", "v"),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return names + list(views)

@@ -1,0 +1,157 @@
+"""SQL-only access to the operator library (round-9 verdict item 3):
+after ONE register_sql_surface() call, a client speaking nothing but
+spark.sql must reach span excision, repetition, exact dedup, and the
+HLL/KMV/qsketch sketch algebra — and get values identical to the
+DataFrame API."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+from oltp_to_data_warehouse_pipeline_spark.plans.sql_surface import (
+    register_sql_surface,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def surface(spark):
+    names = register_sql_surface(spark, SF_DIR)
+    return set(names)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_registration_names(surface):
+    assert {
+        "hll_estimate_tf", "kmv_estimate_tf", "kmv_set_est_tf",
+        "qsketch_quantiles_tf", "sqlops_span_excised", "sqlops_span_report",
+        "sqlops_repetition", "sqlops_dedup_docs",
+        "sqlops_hll_day_registers", "sqlops_kmv_day_sketch",
+        "sqlops_qsketch_day",
+    } <= surface
+
+
+def test_hll_estimate_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import hll
+
+    got = spark.sql(
+        "SELECT grp, est_distinct FROM hll_estimate_tf("
+        "TABLE(sqlops_hll_day_registers) PARTITION BY grp)"
+    )
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    want = hll.hll_estimate(hll.hll_sketch(ev, "user_id", ["d"]), ["d"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("grp"), "est_distinct"
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_kmv_estimate_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    got = spark.sql(
+        "SELECT grp, est_distinct FROM kmv_estimate_tf("
+        "TABLE(sqlops_kmv_day_sketch) PARTITION BY grp, k => 64)"
+    )
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    sk = kmv.kmv_sketch(ev, "user_id", ["d"], k=64)
+    want = kmv.kmv_estimate(sk, ["d"], k=64).select(
+        F.date_format("d", "yyyy-MM-dd").alias("grp"), "est_distinct"
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_kmv_set_ops_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv
+
+    days = [
+        r["grp"]
+        for r in spark.sql(
+            "SELECT DISTINCT grp FROM sqlops_kmv_day_sketch ORDER BY grp LIMIT 2"
+        ).collect()
+    ]
+    assert len(days) == 2
+    got = spark.sql(
+        f"""
+        SELECT * FROM kmv_set_est_tf(TABLE(
+          SELECT CASE WHEN grp = '{days[0]}' THEN 'a' ELSE 'b' END AS side, h
+          FROM sqlops_kmv_day_sketch WHERE grp IN ('{days[0]}', '{days[1]}')
+        ) WITH SINGLE PARTITION, k => 64)
+        """
+    )
+    sk = spark.table("sqlops_kmv_day_sketch")
+    want = kmv.kmv_intersect_estimate(
+        sk.where(F.col("grp") == days[0]).select("h"),
+        sk.where(F.col("grp") == days[1]).select("h"),
+        k=64,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_qsketch_quantile_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+
+    got = spark.sql(
+        "SELECT grp, m, q FROM qsketch_quantiles_tf("
+        "TABLE(sqlops_qsketch_day) PARTITION BY grp, p => 0.5D)"
+    )
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    sk = qsketch.qsample_sketch(o, "o_orderkey", "o_totalprice", ["d"], k=256)
+    want = qsketch.qsample_quantiles(sk, ["d"], {"q": 0.5}).select(
+        F.date_format("d", "yyyy-MM-dd").alias("grp"), "m", "q"
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_span_excision_and_report_views_compose_in_sql(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+    d = load_table(spark, SF_DIR, "documents")
+    want = _rows(spans.span_excised_corpus(d, "doc_id", "text"))
+    got = _rows(spark.sql("SELECT doc_id, kept_tokens, rebuilt_md5 FROM sqlops_span_excised"))
+    assert got == want and len(got) > 0
+
+    # SQL composes OVER the operator view: aggregate the excision report
+    agg = spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS flagged_docs, "
+        "CAST(SUM(tokens_flagged) AS BIGINT) AS tokens "
+        "FROM sqlops_span_report WHERE retention_pct < 100.0"
+    ).collect()[0]
+    rep = spans.span_excision_report(d, "doc_id", "text").where(
+        F.col("retention_pct") < 100.0
+    )
+    assert agg["flagged_docs"] == rep.count()
+    assert agg["tokens"] == rep.agg(F.sum("tokens_flagged")).collect()[0][0]
+
+
+def test_repetition_and_dedup_views(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import dedup, repetition
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = _rows(
+        spark.sql(
+            "SELECT doc_id, dup_10_frac FROM sqlops_repetition "
+            "WHERE dup_10_frac > 0"
+        )
+    )
+    want = _rows(
+        repetition.repetition_signals(d)
+        .where(F.col("dup_10_frac") > 0)
+        .select("doc_id", "dup_10_frac")
+    )
+    assert got == want
+
+    n_sql = spark.sql("SELECT COUNT(*) AS n FROM sqlops_dedup_docs").collect()[0]["n"]
+    assert n_sql == dedup.lww_dedup(d, ["text"], [F.col("doc_id").asc()]).count()
+    assert n_sql <= d.count()
