@@ -40,3 +40,78 @@ def test_stdout_line_fits_driver_tail_window():
 
 def test_headline_names_unique():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+# ---------------------------------------------------------------------------
+# Per-query wall-time regression gate (round-9 verdict item 5, finishing
+# round-8 item 7): BENCH_DETAIL records spark/oracle ratios, but nothing
+# failed when a query's own wall-time grew round-over-round.  This test
+# compares the two most recent driver-recorded BENCH_r{N}.json files —
+# own-time, not DuckDB-ratio, so oracle-side noise can't mask or fake a
+# regression — and also checks the freshest local BENCH_DETAIL.json
+# against the last recorded round, so a regression introduced THIS round
+# fails here before the driver ever records it.
+# ---------------------------------------------------------------------------
+
+GROWTH = 1.5     # flag when new > 1.5x old ...
+SLACK_SEC = 0.75  # ... AND by more than this (sub-second queries swing
+#                    ±0.3 s with shared-host loadavg — measured r8->r9)
+
+
+def _bench_rounds():
+    import pathlib
+    import re
+
+    rounds = []
+    for p in sorted(pathlib.Path(__file__).resolve().parent.parent.glob("BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        parsed = json.loads(p.read_text()).get("parsed")
+        if parsed and parsed.get("queries"):
+            rounds.append((int(m.group(1)), p, parsed))
+    return sorted(rounds)
+
+
+def _regressions(old: dict, new: dict) -> list[str]:
+    out = []
+    for name, t_new in new.items():
+        t_old = old.get(name)
+        if t_old is None:
+            continue  # rotated-in query: no prior point
+        if t_new > GROWTH * t_old and t_new - t_old > SLACK_SEC:
+            out.append(f"{name}: {t_old:.2f}s -> {t_new:.2f}s")
+    return out
+
+
+def test_no_per_query_walltime_regression_between_rounds():
+    rounds = _bench_rounds()
+    if len(rounds) < 2:
+        return  # round 1: nothing to compare
+    (_, _, prev), (_, _, last) = rounds[-2], rounds[-1]
+    bad = _regressions(prev["queries"], last["queries"])
+    assert not bad, (
+        "per-query wall-time regressions vs prior round (own-time, "
+        f">{GROWTH}x and >{SLACK_SEC}s): " + "; ".join(bad)
+    )
+
+
+def test_local_bench_detail_not_regressed_vs_last_round():
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    detail_p = root / "BENCH_DETAIL.json"
+    rounds = _bench_rounds()
+    if not detail_p.exists() or not rounds:
+        return
+    detail = json.loads(detail_p.read_text())
+    if not detail.get("queries"):
+        return
+    _, last_p, last = rounds[-1]
+    if detail_p.stat().st_mtime <= last_p.stat().st_mtime:
+        return  # detail predates the recorded round; nothing new to gate
+    bad = _regressions(last["queries"], detail["queries"])
+    assert not bad, (
+        "this session's bench regressed vs the last recorded round "
+        f"(own-time, >{GROWTH}x and >{SLACK_SEC}s): " + "; ".join(bad)
+    )
