@@ -37,6 +37,10 @@ SCALES = [
     ("1x", "/root/testdata/sf0.1"),
     ("10x", "/tmp/scale_sf1"),
     ("100x", "/tmp/scale_sf10"),
+    # third decade (round-9 verdict item 2): only queries whose tables the
+    # 1000x fixture carries (documents/embeddings) get this point — build
+    # with tools/make_scale_fixture.py /tmp/scale_sf100 10 /tmp/scale_sf10
+    ("1000x", "/tmp/scale_sf100"),
 ]
 QUERIES = [
     "doc_winnowing_fingerprints",
@@ -161,10 +165,11 @@ def main() -> None:
             drop_persisted()
             out[name][label] = {"sec": round(best, 2), **stats}
         ratios = {}
-        if "1x" in out[name] and "10x" in out[name]:
-            ratios["1x->10x"] = round(out[name]["10x"]["sec"] / out[name]["1x"]["sec"], 2)
-        if "10x" in out[name] and "100x" in out[name]:
-            ratios["10x->100x"] = round(out[name]["100x"]["sec"] / out[name]["10x"]["sec"], 2)
+        for lo, hi in (("1x", "10x"), ("10x", "100x"), ("100x", "1000x")):
+            if lo in out[name] and hi in out[name]:
+                ratios[f"{lo}->{hi}"] = round(
+                    out[name][hi]["sec"] / out[name][lo]["sec"], 2
+                )
         out[name]["decade_ratios"] = ratios
         # the prefix filter's headline claim is the PAIR-EXPANSION shrink;
         # record the audit row (postings with/without prefix, candidates,

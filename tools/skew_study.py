@@ -17,7 +17,19 @@ Builds /tmp/skew_fixture (lineitem with remapped l_partkey + the part
 table), measures min-of-k for both plans, prints one JSON line each, and
 writes SKEW_STUDY.json.
 
-Usage: python tools/skew_study.py [k] (default min-of-3)
+Round-10 addition (round-9 verdict item 4): a Zipf-df BOILERPLATE corpus
+for the span-dedup postings self-join — three boilerplate passages
+injected into 30% / 10% / 3% of a 10x documents table, so the head
+shingles' posting lists hold thousands of occurrences.  The section
+measures duplicated_span_pairs at the production cap (20) vs a 10x
+looser one (200), and reports the UNCAPPED pair expansion Σ df² the join
+would otherwise have to materialize (computed from the frequency
+relation — no need to run the explosion to quantify it).  The partition
+bound itself is pinned by tests/test_skew.py (per-key postings ≤ cap ⇒
+per-key join output ≤ cap², independent of how hot the raw key is).
+
+Usage: python tools/skew_study.py [k] [section]  (section: join|spans|all,
+default all; results MERGE into SKEW_STUDY.json)
 """
 
 from __future__ import annotations
@@ -35,8 +47,94 @@ OUT = "/tmp/skew_fixture"
 HOT_SHARE = 0.3
 
 
+#: boilerplate passages and the % of docs carrying each (Zipf-ish head)
+BOILERPLATE = [
+    ("subscribe to our newsletter today for the latest updates special "
+     "offers and exclusive member only content delivered to you", 30),
+    ("all rights reserved unauthorized reproduction or distribution of "
+     "this material is strictly prohibited by applicable law", 10),
+    ("the opinions expressed in this article are those of the author "
+     "and do not necessarily reflect official policy", 3),
+]
+
+
+def _boilerplate_corpus(spark, src: str):
+    """documents with Zipf-df boilerplate PREPENDED deterministically:
+    doc buckets by xxhash64(doc_id) pick which passages a doc carries."""
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+
+    d = load_table(spark, src, "documents").select("doc_id", "text")
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(100))
+    pieces = []
+    lo = 0
+    for passage, pct in BOILERPLATE:
+        pieces.append(
+            F.when((bucket >= lo) & (bucket < lo + pct), F.lit(passage))
+        )
+        lo += pct
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[p for p in pieces], F.col("text")
+        ).alias("text"),
+    )
+
+
+def spans_skew_study(spark, k: int) -> dict:
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import spans
+
+    d = _boilerplate_corpus(spark, SRC)
+    n_docs = d.count()
+
+    # the frequency relation quantifies the adversary and the would-be
+    # explosion WITHOUT running it: Σ df² over every duplicated shingle
+    sh = spans.positional_shingles(d, "doc_id", "text", 3)
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    stats = freq.where(F.col("df") >= 2).agg(
+        F.max("df").alias("max_df"),
+        F.sum(F.col("df") * F.col("df")).cast("bigint").alias("sum_df_sq"),
+    ).first()
+
+    out: dict = {
+        "n_docs": n_docs,
+        "hot_max_postings": int(stats["max_df"]),
+        "uncapped_pair_expansion": int(stats["sum_df_sq"]),
+    }
+    for cap in (20, 200):
+        audit = spans.span_df_cap_audit(d, "doc_id", "text", 3, cap).first()
+        run = lambda: spans.duplicated_span_pairs(  # noqa: E731
+            d, "doc_id", "text", 3, 8, cap
+        ).write.format("noop").mode("overwrite").save()
+        run()  # warm
+        best = float("inf")
+        for _ in range(k):
+            t0 = _t.time()
+            run()
+            best = min(best, _t.time() - t0)
+        out[f"cap_{cap}"] = {
+            "sec": round(best, 2),
+            "pair_expansion": int(audit["pair_expansion"]),
+            "capped_shingles": int(audit["capped_shingles"]),
+            "capped_postings": int(audit["capped_postings"]),
+        }
+        print(json.dumps({f"spans_cap_{cap}": out[f"cap_{cap}"]}), flush=True)
+    out["expansion_shrink_at_20"] = (
+        round(out["uncapped_pair_expansion"] / out["cap_20"]["pair_expansion"], 1)
+        if out["cap_20"]["pair_expansion"]
+        else None
+    )
+    return out
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    section = sys.argv[2] if len(sys.argv) > 2 else "all"
 
     from pyspark.sql import functions as F
 
@@ -46,6 +144,17 @@ def main() -> None:
 
     spark = get_spark("skew-study")
     spark.sparkContext.setLogLevel("ERROR")
+
+    prior: dict = {}
+    if Path("SKEW_STUDY.json").exists():  # merge, don't clobber
+        prior = json.loads(Path("SKEW_STUDY.json").read_text())
+
+    if section in ("spans", "all"):
+        prior["spans_postings"] = spans_skew_study(spark, k)
+        Path("SKEW_STUDY.json").write_text(json.dumps(prior, indent=2) + "\n")
+        print("wrote SKEW_STUDY.json (spans_postings)")
+        if section == "spans":
+            return
 
     if not os.path.exists(f"{OUT}/lineitem.parquet"):
         li = load_table(spark, SRC, "lineitem")
@@ -90,7 +199,7 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    out: dict = {}
+    out: dict = prior
     # parity first: salting must not change a row
     base = {tuple(r) for r in plans["unsalted_shj"]().collect()}
     for name in ("salted_8", "salted_32"):
