@@ -51,7 +51,9 @@ HEADLINE = [
     "doc_token_stats",
     "lang_id",
     "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
+    # ngram_jaccard_pairs rotated out round 10 for doc_lm_perplexity: the
+    # set-similarity family stays covered by minhash_lsh_candidates +
+    # prefix_filter_near_pairs; remains oracle-gated
     "cosine_topk",
     "embedding_near_dup_lsh",
     "doc_winnowing_fingerprints",
@@ -126,6 +128,8 @@ HEADLINE = [
     "doc_gopher_rep_fracs",
     "priority_weighted_sample",
     "hll_daily_users",
+    # round 10: corpus-trained bigram-LM perplexity (CCNet-style)
+    "doc_lm_perplexity",
 ]
 
 

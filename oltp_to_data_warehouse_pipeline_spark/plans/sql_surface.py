@@ -212,6 +212,7 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
         dedup as _dedup,
         hll as _hll,
         kmv as _kmv,
+        lm as _lm,
         qsketch as _qs,
         repetition as _rep,
         spans as _spans,
@@ -233,6 +234,8 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
         "sqlops_span_excised": _spans.span_excised_corpus(d, "doc_id", "text"),
         # Gopher repetition signals (Rae et al. 2021 A1.1)
         "sqlops_repetition": _rep.repetition_signals(d),
+        # CCNet-style corpus-trained bigram-LM perplexity
+        "sqlops_lm_scores": _lm.bigram_lm_scores(d),
         # exact dedup winners over documents (deterministic: lowest
         # doc_id survives per duplicated text)
         "sqlops_dedup_docs": _dedup.lww_dedup(
