@@ -194,11 +194,13 @@ def refresh_rollup(
     _mark_begin(spark, path, batch_id, "merge")
     stored = spark.read.parquet(path)
     if partition_key:
-        touched = [
-            r[partition_key]
-            for r in partials.select(partition_key).distinct().collect()
-        ]
-        stored = stored.where(F.col(partition_key).isin(touched))
+        # prune the stored read to touched partitions via a broadcast
+        # semi join (sketchstore._merge_day_partitions' idiom — round-9
+        # review: this previously collect()ed the key set to the driver;
+        # bounded, but the semi join keeps the whole plan executor-side
+        # and is partition pruning, not a scan, on the keyed store)
+        touched = partials.select(partition_key).distinct()
+        stored = stored.join(F.broadcast(touched), partition_key, "left_semi")
     merged = spec.merge(stored.unionByName(partials))
     w = merged.write.mode("overwrite")
     if partition_key:
