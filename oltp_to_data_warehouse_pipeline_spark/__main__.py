@@ -89,8 +89,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "sql":
         from oltp_to_data_warehouse_pipeline_spark.catalog import register_views
+        from oltp_to_data_warehouse_pipeline_spark.plans.sql_surface import (
+            register_sql_surface,
+        )
 
         register_views(spark, args.sf_dir)
+        # the operator library too: sqlops_* views + the sketch-algebra
+        # table functions (hll_estimate_tf, kmv_estimate_tf, ...)
+        register_sql_surface(spark, args.sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
         return 0
 

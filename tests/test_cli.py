@@ -41,3 +41,18 @@ def test_cli_curate_writes_keep_list(tmp_path):
     df = get_spark("cli-test").read.parquet(out)
     assert df.columns == ["doc_id", "n_tokens"]
     assert df.count() > 0
+
+
+def test_adhoc_sql_reaches_operator_surface(spark, capsys):
+    """The sql subcommand registers the operator library too: a
+    SQL-only CLI user can call the sketch-algebra table functions over
+    the sqlops_* views (round-9 verdict item 3, end to end)."""
+    rc = main([
+        "sql",
+        "SELECT count(*) AS n FROM hll_estimate_tf("
+        "TABLE(sqlops_hll_day_registers) PARTITION BY grp)",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n" in out and any(ch.isdigit() and ch != "0" for ch in out)
