@@ -67,8 +67,13 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # Local harness: one shuffle partition per core.  On a cluster this
-        # would be ~2-3x total cores; AQE coalesces the excess.
-        shuffle_partitions = int(cpus)
+        # would be ~2-3x total cores; AQE coalesces the excess.  The env
+        # override exists for oversized local fixtures (the 1000x decade
+        # study): partitions must scale with data so per-task state fits
+        # the heap — exactly the sizing rule a real cluster deploy uses.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
 
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _ENGINE_CONF.items():

@@ -190,6 +190,10 @@ def main() -> None:
                     "expansion_shrink_proxy": round((pa / pp) ** 2, 1) if pp else None,
                 }
         print(json.dumps({name: out[name]}), flush=True)
+        # incremental flush: a wedged later query must not lose the
+        # measurements already taken (round-10 lesson: the 1000x point
+        # can GC-wedge an undersized heap for an hour)
+        Path("SCALE_DECADES.json").write_text(json.dumps(out, indent=2) + "\n")
 
     Path("SCALE_DECADES.json").write_text(json.dumps(out, indent=2) + "\n")
     print("wrote SCALE_DECADES.json")
