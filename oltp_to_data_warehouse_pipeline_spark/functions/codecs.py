@@ -519,7 +519,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """
     try:
         return _decode_jpeg_impl(data)
-    except (IndexError, KeyError, struct.error, _RestartMarker) as e:
+    except (
+        IndexError,
+        KeyError,
+        struct.error,
+        _RestartMarker,
+        ZeroDivisionError,  # 0x00 sampling factors divide the MCU grid
+        StopIteration,  # SOS names a component SOF never declared
+    ) as e:
         raise ValueError(
             f"jpeg: truncated or malformed data ({type(e).__name__})"
         ) from e

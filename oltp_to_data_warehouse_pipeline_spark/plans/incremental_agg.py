@@ -198,9 +198,20 @@ def refresh_rollup(
         # semi join (sketchstore._merge_day_partitions' idiom — round-9
         # review: this previously collect()ed the key set to the driver;
         # bounded, but the semi join keeps the whole plan executor-side
-        # and is partition pruning, not a scan, on the keyed store)
-        touched = partials.select(partition_key).distinct()
-        stored = stored.join(F.broadcast(touched), partition_key, "left_semi")
+        # and is partition pruning, not a scan, on the keyed store).
+        # NULL-SAFE on purpose (round-10 review): a delta touching the
+        # NULL partition (__HIVE_DEFAULT_PARTITION__) must pull the
+        # stored NULL rows into the merge, or the dynamic overwrite
+        # would reset that partition to the batch's values alone —
+        # both isin() and a plain equi-semi-join silently drop NULLs.
+        touched = partials.select(
+            F.col(partition_key).alias("__touched_pk")
+        ).distinct()
+        stored = stored.join(
+            F.broadcast(touched),
+            F.col(partition_key).eqNullSafe(F.col("__touched_pk")),
+            "left_semi",
+        )
     merged = spec.merge(stored.unionByName(partials))
     w = merged.write.mode("overwrite")
     if partition_key:

@@ -60,6 +60,23 @@ from oltp_to_data_warehouse_pipeline_spark.operators.kmv import HASH_SPACE
 # ---------------------------------------------------------------------------
 
 
+def _check_grp(state, row) -> None:
+    """Refuse group mixing LOUDLY: without ``PARTITION BY grp`` one UDTF
+    instance would see many groups, silently merge their sketches, and
+    emit a plausible-looking estimate attributed to an arbitrary grp
+    (round-10 review).  The guard fires on the first grp change, which
+    PARTITION BY makes impossible."""
+    g = row["grp"]
+    if state.grp is None:
+        state.grp = g
+    elif g != state.grp:
+        raise ValueError(
+            "sketch table function saw multiple grp values in one "
+            f"partition ({state.grp!r} and {g!r}) — call it with "
+            "TABLE(...) PARTITION BY grp"
+        )
+
+
 @udtf(returnType="grp string, est_distinct double")
 class HllEstimateTF:
     """Merge + estimate over HLL register rows ``(grp, j, r)`` — the SQL
@@ -74,7 +91,7 @@ class HllEstimateTF:
         self.regs: dict[int, int] = {}
 
     def eval(self, row) -> None:
-        self.grp = row["grp"]
+        _check_grp(self, row)
         j, r = row["j"], row["r"]
         if self.regs.get(j, 0) < r:
             self.regs[j] = r
@@ -103,7 +120,8 @@ class KmvEstimateTF:
         self.k = None
 
     def eval(self, row, k: int) -> None:
-        self.grp, self.k = row["grp"], int(k)
+        _check_grp(self, row)
+        self.k = int(k)
         self.hs.add(row["h"])
 
     def terminate(self):
@@ -166,7 +184,8 @@ class QsketchQuantilesTF:
         self.p = None
 
     def eval(self, row, p: float) -> None:
-        self.grp, self.p = row["grp"], float(p)
+        _check_grp(self, row)
+        self.p = float(p)
         self.rows.append((row["v"], row["h"]))
 
     def terminate(self):
@@ -205,8 +224,16 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
     over the catalog tables.  Returns every registered SQL name.
 
     Views are lazy Catalyst plans — nothing executes until a SQL client
-    selects from them, and their filters/pruning compose with the plan.
+    selects from them (the sketch builders are invoked with ``pin=False``
+    for exactly that reason: their default ``localCheckpoint`` pinning
+    would run full table scans AT REGISTRATION — round-10 review), and a
+    view is only registered when its source table exists in ``sf_dir``
+    (partial fixtures like the 1000x decade one carry only
+    documents+embeddings), so the CLI never crashes registering surface
+    its statement may not even touch.
     """
+    import os
+
     from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
     from oltp_to_data_warehouse_pipeline_spark.operators import (
         dedup as _dedup,
@@ -219,40 +246,44 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
     )
 
     names = register_table_functions(spark)
+    views: dict = {}
 
-    d = load_table(spark, sf_dir, "documents")
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "d", F.col("ts").cast("date")
-    )
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "d", F.col("o_orderdate").cast("date")
-    )
-
-    views = {
-        # span-grain substring dedup (Lee et al. ACL'22) — report + applied
-        "sqlops_span_report": _spans.span_excision_report(d, "doc_id", "text"),
-        "sqlops_span_excised": _spans.span_excised_corpus(d, "doc_id", "text"),
-        # Gopher repetition signals (Rae et al. 2021 A1.1)
-        "sqlops_repetition": _rep.repetition_signals(d),
-        # CCNet-style corpus-trained bigram-LM perplexity
-        "sqlops_lm_scores": _lm.bigram_lm_scores(d),
-        # exact dedup winners over documents (deterministic: lowest
-        # doc_id survives per duplicated text)
-        "sqlops_dedup_docs": _dedup.lww_dedup(
-            d, ["text"], [F.col("doc_id").asc()]
-        ),
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        d = load_table(spark, sf_dir, "documents")
+        views.update({
+            # span-grain substring dedup (Lee et al. ACL'22)
+            "sqlops_span_report": _spans.span_excision_report(d, "doc_id", "text"),
+            "sqlops_span_excised": _spans.span_excised_corpus(d, "doc_id", "text"),
+            # Gopher repetition signals (Rae et al. 2021 A1.1)
+            "sqlops_repetition": _rep.repetition_signals(d),
+            # CCNet-style corpus-trained bigram-LM perplexity
+            "sqlops_lm_scores": _lm.bigram_lm_scores(d),
+            # exact dedup winners over documents (deterministic: lowest
+            # doc_id survives per duplicated text)
+            "sqlops_dedup_docs": _dedup.lww_dedup(
+                d, ["text"], [F.col("doc_id").asc()]
+            ),
+        })
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "d", F.col("ts").cast("date")
+        )
         # sketch BUILDS, ready to feed the table functions: grp is the
         # TF contract's string group key
-        "sqlops_hll_day_registers": _hll.hll_sketch(ev, "user_id", ["d"]).select(
-            F.date_format("d", "yyyy-MM-dd").alias("grp"), "j", "r"
-        ),
-        "sqlops_kmv_day_sketch": _kmv.kmv_sketch(
-            ev, "user_id", ["d"], k=64
-        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h"),
-        "sqlops_qsketch_day": _qs.qsample_sketch(
-            o, "o_orderkey", "o_totalprice", ["d"], k=256
-        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h", "v"),
-    }
+        views["sqlops_hll_day_registers"] = _hll.hll_sketch(
+            ev, "user_id", ["d"]
+        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "j", "r")
+        views["sqlops_kmv_day_sketch"] = _kmv.kmv_sketch(
+            ev, "user_id", ["d"], k=64, pin=False
+        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h")
+    if os.path.exists(f"{sf_dir}/orders.parquet"):
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "d", F.col("o_orderdate").cast("date")
+        )
+        views["sqlops_qsketch_day"] = _qs.qsample_sketch(
+            o, "o_orderkey", "o_totalprice", ["d"], k=256, pin=False
+        ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h", "v")
+
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return names + list(views)

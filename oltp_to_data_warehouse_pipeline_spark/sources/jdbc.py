@@ -249,7 +249,11 @@ def _filter_column_types(column_types: str | None, cols: list[str]) -> str | Non
     if cur:
         entries.append("".join(cur))
     want = {c.lower() for c in cols}
-    kept = [e for e in entries if e.split(None, 1)[0].strip('"').lower() in want]
+    kept = [
+        e
+        for e in entries
+        if e.strip() and e.split(None, 1)[0].strip('"').lower() in want
+    ]
     return ", ".join(e.strip() for e in kept) or None
 
 
@@ -313,12 +317,23 @@ def _meta_pattern(meta, name: str) -> str:
 
 def table_exists(spark, cfg: JdbcConfig, table: str) -> bool:
     """Existence via JDBC metadata, tolerant of server case folding
-    (Derby stores unquoted names upper, Postgres lower)."""
+    (Derby stores unquoted names upper, Postgres lower) and of
+    schema-qualified names (schema goes in the metadata call's schema
+    parameter — a dotted table pattern matches nothing)."""
+    schema, base = _split_qualified(table)
     conn = _connection(spark, cfg)
     try:
         meta = conn.getMetaData()
-        for cand in dict.fromkeys([table, table.upper(), table.lower()]):
-            rs = meta.getTables(None, None, _meta_pattern(meta, cand), None)
+        for cand, sch in dict.fromkeys(
+            [(base, schema), (base.upper(), schema and schema.upper()),
+             (base.lower(), schema and schema.lower())]
+        ):
+            rs = meta.getTables(
+                None,
+                _meta_pattern(meta, sch) if sch else None,
+                _meta_pattern(meta, cand),
+                None,
+            )
             try:
                 # exact-name check: the pattern is a prefilter (wildcards
                 # may overmatch on engines without pattern escaping)
@@ -332,6 +347,18 @@ def table_exists(spark, cfg: JdbcConfig, table: str) -> bool:
         conn.close()
 
 
+def _split_qualified(table: str) -> tuple[str | None, str]:
+    """``schema.table`` -> (schema, table); bare names -> (None, name).
+    JDBC DatabaseMetaData takes schema and table as SEPARATE parameters —
+    passing a dotted name as the table pattern matches nothing (round-10
+    review: has_unique_index/sweep_stale_staging silently no-oped for
+    schema-qualified targets)."""
+    if "." in table:
+        schema, base = table.rsplit(".", 1)
+        return schema, base
+    return None, table
+
+
 def has_unique_index(spark, cfg: JdbcConfig, table: str, keys: list[str]) -> bool:
     """True when ``table`` already has a unique index covering EXACTLY the
     ``keys`` column set (any order, case-insensitive) — a primary key
@@ -339,11 +366,15 @@ def has_unique_index(spark, cfg: JdbcConfig, table: str, keys: list[str]) -> boo
     declared their own constraint, so write_upsert never stacks a
     redundant second unique index on a hand-created target."""
     want = {k.lower() for k in keys}
+    schema, base = _split_qualified(table)
     conn = _connection(spark, cfg)
     try:
         meta = conn.getMetaData()
-        for cand in dict.fromkeys([table, table.upper(), table.lower()]):
-            rs = meta.getIndexInfo(None, None, cand, True, False)
+        for cand, sch in dict.fromkeys(
+            [(base, schema), (base.upper(), schema and schema.upper()),
+             (base.lower(), schema and schema.lower())]
+        ):
+            rs = meta.getIndexInfo(None, sch, cand, True, False)
             by_index: dict[str, set] = {}
             try:
                 while rs.next():
@@ -374,18 +405,22 @@ def sweep_stale_staging(spark, cfg: JdbcConfig, table: str) -> list[str]:
     must be 8 hex chars, so user tables that merely contain ``__stage_``
     are never touched.  Returns the dropped names.
     """
-    dropped: list[str] = []
+    dropped: list[tuple[str | None, str]] = []
+    schema, tbl = _split_qualified(table)
     conn = _connection(spark, cfg)
     try:
         meta = conn.getMetaData()
         hexdigits = set("0123456789abcdef")
-        base = f"{table}__stage_"
+        base = f"{tbl}__stage_"
         # the staging table was created UNQUOTED, so the server folded the
         # WHOLE name (Derby: upper, Postgres: lower) — fold the whole
-        # prefix, not just the table part
-        for prefix in dict.fromkeys([base, base.upper(), base.lower()]):
+        # prefix (and any schema qualifier), not just the table part
+        folds = [(base, schema), (base.upper(), schema and schema.upper()),
+                 (base.lower(), schema and schema.lower())]
+        for prefix, sch in dict.fromkeys(folds):
+            sch_pat = _meta_pattern(meta, sch) if sch else None
             rs = meta.getTables(
-                None, None, _meta_pattern(meta, prefix) + "%", None
+                None, sch_pat, _meta_pattern(meta, prefix) + "%", None
             )
             try:
                 while rs.next():
@@ -396,17 +431,20 @@ def sweep_stale_staging(spark, cfg: JdbcConfig, table: str) -> list[str]:
                         and len(suffix) == 8
                         and set(suffix.lower()) <= hexdigits
                     ):
-                        dropped.append(name)
+                        dropped.append((sch, name))
             finally:
                 rs.close()
     finally:
         conn.close()
-    for name in dict.fromkeys(dropped):
+    names = []
+    for sch, name in dict.fromkeys(dropped):
+        qualified = f"{_q(sch)}.{_q(name)}" if sch else _q(name)
         try:
-            _execute(spark, cfg, [f"DROP TABLE {_q(name)}"])
+            _execute(spark, cfg, [f"DROP TABLE {qualified}"])
+            names.append(name)
         except Exception:
             pass  # another sweeper raced us; the next upsert retries
-    return dropped
+    return names
 
 
 def _execute(spark, cfg: JdbcConfig, statements: list[str]) -> None:
@@ -541,12 +579,20 @@ def write_upsert(
 
     import uuid
 
+    from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
+
     sweep_stale_staging(spark, cfg, table)
     if dialect == "postgres" and not has_unique_index(spark, cfg, table, list(keys)):
         # lazy path: target pre-existed (hand-created without a covering
         # unique constraint, or a crash landed between create and index)
         _execute(spark, cfg, [unique_index_sql(table, list(keys))])
+    pinned = None
     if tombstones:
+        # the tombstone path reads winners three times (emptiness probe,
+        # side-table upsert lineage, staging load) — pin the batch-sized
+        # dedup result once instead of re-running its shuffle per use
+        # (round-10 review), released in the finally below
+        pinned = winners = winners.localCheckpoint(eager=True)
         record_tombstones()
     staging = f"{table}__stage_{uuid.uuid4().hex[:8]}"
     write_append(winners, cfg, staging, batchsize=batchsize, column_types=column_types)
@@ -572,6 +618,8 @@ def write_upsert(
         )
         _execute(spark, cfg, stmts)
     finally:
+        if pinned is not None:
+            release_checkpoint(pinned)
         try:
             _execute(spark, cfg, [f"DROP TABLE {staging}"])
         except Exception:
@@ -621,12 +669,22 @@ def upsert_sink(
 
 def table_columns(spark, cfg: JdbcConfig, table: str) -> list[str]:
     """Column names of a JDBC table via DatabaseMetaData (empty when the
-    table doesn't exist), tolerant of server case folding."""
+    table doesn't exist), tolerant of server case folding and of
+    schema-qualified names."""
+    schema, base = _split_qualified(table)
     conn = _connection(spark, cfg)
     try:
         meta = conn.getMetaData()
-        for cand in dict.fromkeys([table, table.upper(), table.lower()]):
-            rs = meta.getColumns(None, None, _meta_pattern(meta, cand), None)
+        for cand, sch in dict.fromkeys(
+            [(base, schema), (base.upper(), schema and schema.upper()),
+             (base.lower(), schema and schema.lower())]
+        ):
+            rs = meta.getColumns(
+                None,
+                _meta_pattern(meta, sch) if sch else None,
+                _meta_pattern(meta, cand),
+                None,
+            )
             cols = []
             while rs.next():
                 # exact-name check (see _meta_pattern: prefilter only)

@@ -521,3 +521,33 @@ def test_jpeg_truncation_always_raises_valueerror():
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_jpeg_malformed_structure_raises_valueerror():
+    """Round-10 review: zero sampling factors (division by zero in the
+    MCU grid) and an SOS naming an undeclared component (StopIteration
+    from the comps lookup) must also refuse as ValueError."""
+    from oltp_to_data_warehouse_pipeline_spark.functions import codecs
+
+    enc = bytearray(codecs.encode_jpeg(8, 8, 1, bytes(64), 90))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) then [cid, hv, tq]:
+    # zero out the hv sampling byte
+    bad_hv = bytearray(enc)
+    bad_hv[sof + 11] = 0x00
+    try:
+        codecs.decode_jpeg(bytes(bad_hv))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # point the scan at a component id SOF never declared
+    bad_cid = bytearray(enc)
+    sos = bad_cid.find(b"\xff\xda")
+    assert sos > 0
+    bad_cid[sos + 5] = 0x77  # scan component selector
+    try:
+        codecs.decode_jpeg(bytes(bad_cid))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -233,3 +233,20 @@ def test_route_aggregate_answers_coarser_grain_from_rollup(spark, tmp_path):
     # uncovered grain must refuse, not silently mis-answer
     with pytest.raises(KeyError, match="not covered"):
         route_aggregate(spark, path, spec, ["o_orderpriority"])
+
+
+def test_null_partition_key_accumulates_across_batches(spark, tmp_path):
+    """Round-10 review: the touched-partition prune must be NULL-safe —
+    two deltas both touching the NULL partition must ACCUMULATE there
+    (isin()/plain equi-semi-join would reset it to the last batch)."""
+    path = str(tmp_path / "rollup")
+    spec = RollupSpec(keys=("grp",), sums={"total": "x"})
+    rows1 = [("a", 1.0), (None, 10.0)]
+    rows2 = [("a", 2.0), (None, 20.0)]
+    b1 = spark.createDataFrame(rows1, "grp string, x double")
+    b2 = spark.createDataFrame(rows2, "grp string, x double")
+    refresh_rollup(spark, b1, path, spec, batch_id="b1", partition_key="grp")
+    refresh_rollup(spark, b2, path, spec, batch_id="b2", partition_key="grp")
+    got = {r["grp"]: (r["total"], r["n_rows"]) for r in read_rollup(spark, path).collect()}
+    assert got["a"] == (3.0, 2)
+    assert got[None] == (30.0, 2), got

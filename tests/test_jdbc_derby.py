@@ -521,3 +521,34 @@ def test_unique_index_sql_and_column_types_filter():
     ) == "pk VARCHAR(64), ver BIGINT"
     assert _filter_column_types("a CLOB", ["b"]) is None
     assert _filter_column_types(None, ["a"]) is None
+
+
+def test_schema_qualified_target_metadata_and_sweep(spark, cfg):
+    """Round-10 review: schema-qualified targets — metadata lookups pass
+    the schema as the SEPARATE JDBC parameter (a dotted table pattern
+    matches nothing), so existence checks, the staging sweep, and PK
+    detection all work on 'APP.name' exactly as on 'name'."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        _execute,
+        has_unique_index,
+        sweep_stale_staging,
+        table_exists,
+        write_upsert,
+    )
+
+    b = _batch(spark, [(1, 1.0, 1)])
+    write_upsert(b, cfg, "APP.wh6", keys=["id"], order_cols=["ver"])
+    assert table_exists(spark, cfg, "APP.wh6")
+    # second call must take the MERGE path (not re-append via a failed
+    # existence check): replay stays exactly-once
+    write_upsert(b, cfg, "APP.wh6", keys=["id"], order_cols=["ver"])
+    assert _wh(spark, cfg, "APP.wh6") == [(1, 1.0, 1)]
+
+    _execute(spark, cfg, ['CREATE TABLE APP.WH6__STAGE_0BADF00D ("id" BIGINT)'])
+    assert sweep_stale_staging(spark, cfg, "APP.wh6") == ["WH6__STAGE_0BADF00D"]
+
+    _execute(spark, cfg, [
+        'CREATE TABLE APP.idx2 ("id" BIGINT NOT NULL, PRIMARY KEY ("id"))'
+    ])
+    assert has_unique_index(spark, cfg, "APP.idx2", ["id"])
+    assert not has_unique_index(spark, cfg, "APP.idx2", ["id", "ver"])

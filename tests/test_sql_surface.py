@@ -155,3 +155,36 @@ def test_repetition_and_dedup_views(spark, surface):
     n_sql = spark.sql("SELECT COUNT(*) AS n FROM sqlops_dedup_docs").collect()[0]["n"]
     assert n_sql == dedup.lww_dedup(d, ["text"], [F.col("doc_id").asc()]).count()
     assert n_sql <= d.count()
+
+
+def test_udtf_refuses_group_mixing_without_partition_by(spark, surface):
+    """Round-10 review: without PARTITION BY grp one UDTF instance sees
+    many groups — it must refuse loudly, not emit a silently merged
+    estimate attributed to an arbitrary grp."""
+    spark.createDataFrame(
+        [("a", 1, 3), ("b", 2, 4)], "grp string, j long, r int"
+    ).coalesce(1).createOrReplaceTempView("mixed_regs")
+    with pytest.raises(Exception, match="PARTITION BY grp"):
+        spark.sql(
+            "SELECT * FROM hll_estimate_tf(TABLE(mixed_regs))"
+        ).collect()
+
+
+def test_registration_tolerates_partial_fixture(spark, tmp_path):
+    """Round-10 review: a fixture missing events/orders (the 1000x decade
+    dir carries only documents+embeddings) must register the views it CAN
+    and skip the rest — not crash the CLI before the statement runs."""
+    import os
+    import shutil
+
+    part = str(tmp_path / "partial_sf")
+    os.makedirs(part)
+    src = "/root/testdata/sf0.001/documents.parquet"
+    copy = shutil.copytree if os.path.isdir(src) else shutil.copy
+    copy(src, f"{part}/documents.parquet")
+    names = set(register_sql_surface(spark, part))
+    assert "sqlops_span_excised" in names and "hll_estimate_tf" in names
+    assert "sqlops_hll_day_registers" not in names
+    assert "sqlops_qsketch_day" not in names
+    # re-register the full surface for any later module-scoped user
+    register_sql_surface(spark, SF_DIR)
