@@ -53,9 +53,13 @@ def test_headline_names_unique():
 # fails here before the driver ever records it.
 # ---------------------------------------------------------------------------
 
-GROWTH = 1.5     # flag when new > 1.5x old ...
-SLACK_SEC = 0.75  # ... AND by more than this (sub-second queries swing
-#                    ±0.3 s with shared-host loadavg — measured r8->r9)
+GROWTH = 1.5     # flag when a query's SHARE of the run grows > 1.5x ...
+SLACK_SEC = 0.75  # ... AND its absolute wall grew by more than this
+# Share-normalized on purpose: shared-host slowness inflates every query
+# together (measured 45.8 s -> 54.3 s across one afternoon with zero code
+# changes to the flagged queries), so raw-wall thresholds fire on load,
+# not regressions.  A structural regression grows a query RELATIVE to its
+# peers; uniform inflation cancels in the share.
 
 
 def _bench_rounds():
@@ -74,13 +78,20 @@ def _bench_rounds():
 
 
 def _regressions(old: dict, new: dict) -> list[str]:
+    common = [n for n in new if n in old]
+    if not common:
+        return []
+    old_total = sum(old[n] for n in common) or 1.0
+    new_total = sum(new[n] for n in common) or 1.0
     out = []
-    for name, t_new in new.items():
-        t_old = old.get(name)
-        if t_old is None:
-            continue  # rotated-in query: no prior point
-        if t_new > GROWTH * t_old and t_new - t_old > SLACK_SEC:
-            out.append(f"{name}: {t_old:.2f}s -> {t_new:.2f}s")
+    for name in common:
+        share_old = old[name] / old_total
+        share_new = new[name] / new_total
+        if share_new > GROWTH * share_old and new[name] - old[name] > SLACK_SEC:
+            out.append(
+                f"{name}: {old[name]:.2f}s ({share_old:.1%}) -> "
+                f"{new[name]:.2f}s ({share_new:.1%})"
+            )
     return out
 
 

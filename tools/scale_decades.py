@@ -21,6 +21,13 @@ lineage-scoped Spark status API for one representative run.
 Usage: python tools/scale_decades.py [k] [only,names]
 (default min-of-3, all QUERIES; 100x runs only when the fixture has the
 query's tables — build them with tools/make_scale_fixture.py)
+
+k=0 measures each scale ONCE, timing the same run that collects the
+shuffle stats — the mode for the 1000x fixture, where a single run is
+tens of minutes and min-of-k is unaffordable.  SCALE_DECADES_SCALES
+(comma list, e.g. "100x,1000x") restricts which scales re-measure;
+prior entries for unmeasured scales are KEPT and the decade ratios are
+recomputed over the merged set.
 """
 
 from __future__ import annotations
@@ -141,17 +148,32 @@ def main() -> None:
             os.path.exists(f"{sf_dir}/{t}.parquet") for t in NEEDS.get(name, [])
         )
 
+    scale_filter = os.environ.get("SCALE_DECADES_SCALES")
+    measure = (
+        {s.strip() for s in scale_filter.split(",")}
+        if scale_filter
+        else {label for label, _ in SCALES}
+    )
+
     prior: dict = {}
     if Path("SCALE_DECADES.json").exists():  # extend, don't clobber
         prior = json.loads(Path("SCALE_DECADES.json").read_text())
     out: dict = dict(prior)
+    scale_labels = {label for label, _ in SCALES}
     for name in QUERIES:
         if only is not None and name not in only:
             continue
-        out[name] = {}
+        # keep prior per-scale entries not being re-measured this run
+        out[name] = {
+            lbl: v
+            for lbl, v in prior.get(name, {}).items()
+            if lbl in scale_labels and lbl not in measure
+        }
         run(name, SCALES[0][1])  # warm: codegen etc.
         drop_persisted()
         for label, sf_dir in SCALES:
+            if label not in measure:
+                continue
             if not has_tables(name, sf_dir):
                 print(f"skip {name}@{label}: fixture lacks {NEEDS[name]}", flush=True)
                 continue
@@ -161,7 +183,9 @@ def main() -> None:
                 run(name, sf_dir)
                 best = min(best, time.time() - t0)
                 drop_persisted()
+            t0 = time.time()
             stats = shuffle_stats(name, sf_dir)
+            best = min(best, time.time() - t0)  # k=0: the stats run times
             drop_persisted()
             out[name][label] = {"sec": round(best, 2), **stats}
         ratios = {}
