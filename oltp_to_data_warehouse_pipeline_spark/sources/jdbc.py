@@ -444,6 +444,22 @@ def sweep_stale_staging(spark, cfg: JdbcConfig, table: str) -> list[str]:
             names.append(name)
         except Exception:
             pass  # another sweeper raced us; the next upsert retries
+    if names:
+        # WARNING, not debug: under the single-writer contract a swept
+        # table is a crash leak, but if that contract were ever violated
+        # (two writers on one target) this sweep would be dropping the
+        # OTHER writer's live staging mid-merge — JDBC metadata exposes no
+        # portable creation time to age-gate on, so a loud, named record
+        # of every drop is the diagnosability backstop (advisor r10).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sweep_stale_staging(%s): dropped %d orphaned staging table(s) "
+            "%s — expected only after a writer crash; if a concurrent "
+            "writer exists on this target, the single-writer contract is "
+            "being violated and its merge will fail",
+            table, len(names), names,
+        )
     return names
 
 
@@ -507,8 +523,17 @@ def write_upsert(
     every merge first scrubs staging rows whose version loses to a
     retained tombstone for their key — a replayed pre-delete update can
     no longer resurrect a deleted row, while a genuinely NEWER write for
-    the key out-versions the tombstone and lands normally.  Requires
-    ``order_cols`` and ``delete_col``; delivery must be in-order
+    the key out-versions the tombstone and lands normally.  Version ties
+    are DELETE-WINS: a staging update carrying exactly the tombstone's
+    version is scrubbed (the scrub predicate is ``tombstone >= staging``),
+    even though the live-row merge guard lets an equal-version update
+    overwrite.  This asymmetry is deliberate — it is the standard LWW
+    tie-break for deletes (Cassandra resolves timestamp ties in favor of
+    the tombstone) and the safe direction for the scrub's whole purpose:
+    an equal-version update is far more likely a replay of the very write
+    the delete superseded than a genuinely concurrent new fact, and
+    resurrection is the failure mode this option exists to prevent.
+    Requires ``order_cols`` and ``delete_col``; delivery must be in-order
     at-least-once per key (the streaming checkpoint's contract).
 
     On ``dialect='postgres'`` the keys' unique index — which ``ON
@@ -601,7 +626,11 @@ def write_upsert(
         if tombstones and table_exists(spark, cfg, f"{table}__tombstones"):
             # scrub staging rows whose version loses to a retained
             # tombstone — the replayed pre-delete update dies here,
-            # inside the same transaction as the merge
+            # inside the same transaction as the merge.  _newer_pred is
+            # >= on the last order col: equal-version ties go to the
+            # TOMBSTONE (delete-wins, Cassandra-style — see the
+            # write_upsert docstring for why the tie direction differs
+            # from the live-row merge guard)
             d = _q(delete_col)
             on = " AND ".join(
                 f"t.{_q(k)} = s.{_q(k)}" for k in keys

@@ -134,6 +134,12 @@ def spans_skew_study(spark, k: int) -> dict:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if k < 1:
+        # k=0 would leave best=inf and json.dumps would emit "sec": Infinity
+        # (non-standard JSON that breaks jq and strict parsers downstream).
+        # scale_decades.py has a real k=0 mode because a single 1000x run is
+        # 10-30 min; skew-study runs are minutes, so just require k>=1.
+        sys.exit("skew_study: k must be >= 1 (k=0 is a scale_decades-only mode)")
     section = sys.argv[2] if len(sys.argv) > 2 else "all"
 
     from pyspark.sql import functions as F
