@@ -538,6 +538,7 @@ def hyperplane_band_keys_vectorized(
     bands: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(id, band, key)`` — per-band sign-bit keys via ONE numpy matmul per
     Arrow batch (``mapInPandas``).
@@ -548,12 +549,18 @@ def hyperplane_band_keys_vectorized(
     :func:`lsh_auto_params` returns (hundreds of planes).  Here each batch
     costs one BLAS ``V @ Pᵀ`` and emits ``bands`` key rows per vector.
     Falls back is not provided deliberately: numpy is a hard dependency of
-    the vectorized path, exactly like :func:`cosine_topk_pandas`."""
+    the vectorized path, exactly like :func:`cosine_topk_pandas`.
+
+    ``carry_cols`` are passed through unchanged (one value per emitted key
+    row) — how :func:`sharded_near_dup` keeps the shard key attached to the
+    band keys without a post-hoc join back to the corpus."""
     import numpy as np
 
     rows = len(planes) // bands
     pmat = np.asarray(planes, dtype=np.float64).T  # dim × planes
-    out_schema = f"id {dict(emb.dtypes)[id_col]}, band int, key long"
+    dtypes = dict(emb.dtypes)
+    carried = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
+    out_schema = f"id {dtypes[id_col]}{carried}, band int, key long"
     shifts = np.arange(rows, dtype=np.int64)
 
     def keys(batches):
@@ -567,15 +574,14 @@ def hyperplane_band_keys_vectorized(
             n = len(pdf)
             per_band = signs.reshape(n, bands, rows).astype(np.int64)
             key = (per_band << shifts).sum(axis=2)  # n × bands
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy().repeat(bands),
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "key": key.reshape(-1),
-                }
-            )
+            out = {"id": pdf[id_col].to_numpy().repeat(bands)}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy().repeat(bands)
+            out["band"] = np.tile(np.arange(bands, dtype=np.int32), n)
+            out["key"] = key.reshape(-1)
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(keys, out_schema)
+    return emb.select(id_col, *carry_cols, vec_col).mapInPandas(keys, out_schema)
 
 
 def cosine_near_dup_lsh_auto(
@@ -623,6 +629,70 @@ def cosine_near_dup_lsh_auto(
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_cosine_pairs(emb, cand, threshold, id_col, vec_col)
+
+
+def sharded_near_dup(
+    emb: DataFrame,
+    shard_col: str,
+    n_shard: int,
+    threshold: float = 0.8,
+    recall_sim: float | None = None,
+    target_recall: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Within-shard cosine near-dup — the 100 TB mitigation for the LSH
+    ρ-exponent (SCALING.md: unsharded auto-LSH candidates grow Θ(n^1.22),
+    ~11.9× shuffle per decade, because lsh_auto_params must widen the band
+    signature as n grows).
+
+    Partition the corpus by a semantic shard key under which near-dups
+    co-occur — source, language, crawl snapshot, (source, lang) composite —
+    and dedup each shard independently: pairs are only reported WITHIN a
+    shard.  ``n_shard`` is the caller's bound on per-shard cardinality (a
+    catalog statistic at 100 TB), and it — not the corpus size — sizes the
+    band signature, so bands and rows-per-band are CONSTANTS as the corpus
+    grows.  Per-shard candidate volume is then bounded
+    (~bands·n_shard/2^(occupancy_exp+1) random collisions + the true
+    near-dup mass), and total cost is (number of shards) × (constant) —
+    LINEAR in corpus size by construction, with no driver-side loop over
+    shards: the shard key simply joins alongside ``(band, key)``, one plan,
+    one shuffle, AQE-balanced across whatever shard-size skew exists.
+
+    The trade is explicit and standard (the same one every sharded-dedup
+    production pipeline makes, e.g. per-snapshot dedup in web-crawl
+    curation): a cross-shard near-dup pair is never examined.  Choose the
+    shard key so that is semantically acceptable — or run a second pass at
+    coarser sharding for the residual.
+
+    Deterministic given ``seed`` (:func:`seeded_planes`) — the DuckDB
+    oracle can replay the within-shard contract exactly."""
+    if dim is None:
+        head = emb.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "sharded_near_dup: empty corpus (or NULL first vector) and "
+                f"no dim= given — cannot size hyperplanes for {vec_col!r}"
+            )
+        dim = len(head[0])
+    r, bands = lsh_auto_params(
+        n_shard, recall_sim if recall_sim is not None else max(threshold, 0.9),
+        target_recall=target_recall,
+    )
+    planes = seeded_planes(bands * r, dim, seed=seed)
+    banded = hyperplane_band_keys_vectorized(
+        emb, planes, bands, id_col, vec_col, carry_cols=(shard_col,)
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), [shard_col, "band", "key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

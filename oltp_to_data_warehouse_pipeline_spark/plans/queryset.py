@@ -2134,6 +2134,73 @@ def embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sharded near-dup: per-shard cardinality is a CONSTANT (id-span sharding
+# at 250 base vectors + the 10% planted twins per shard = 275), so
+# lsh_auto_params sizes a FIXED band signature no matter how large the
+# corpus grows — the production answer to the unsharded auto path's
+# Θ(n^1.22) candidate growth (SCALING.md 1000× row).  The shard key here
+# is derived from the id purely so the fixture exercises it; at 100 TB it
+# is a data column (source / language / crawl snapshot).  Twins inherit
+# the PARENT's shard, computed before augmentation, so the planted pairs
+# are co-sharded by construction and the within-shard contract finds them
+# all; the oracle replays the contract itself (within-shard exact
+# all-pairs) and never sees the banding, so a hash match certifies both
+# recall 1 and precision 1 of the sharded path at this margin.
+_SHARD_SPAN = 250
+_SHARD_N = 275  # 250 base + 25 twins — the per-shard bound at EVERY scale
+
+
+@query(
+    "sharded_near_dup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, vec_id // {_SHARD_SPAN} AS shard,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    aug AS (
+      SELECT vec_id, shard, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, shard,
+             list_transform(v, x -> x * (CASE WHEN x > 0 THEN 1.01 ELSE 0.99 END))
+      FROM base WHERE vec_id % 10 = 0),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM aug a JOIN aug b ON a.shard = b.shard AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(s, 4) + 0.0 AS sim FROM p WHERE s >= {_AUTO_NEAR_T}
+    """,
+)
+def sharded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-shard ANN dedup at fixed per-shard load
+    (:func:`operators.similarity.sharded_near_dup` — r11 verdict item 2):
+    the shard key joins alongside ``(band, key)`` in ONE plan (no driver
+    loop over shards), and because ``n_shard`` is constant the band count
+    is constant, making total candidate volume linear in shard count —
+    i.e. linear in corpus size.  Cross-shard pairs are deliberately out of
+    contract (the standard sharded-dedup trade); the oracle encodes that
+    same contract, so the hash certifies the sharded semantics, not an
+    approximation of the global ones."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.floor(F.col("vec_id") / _SHARD_SPAN).alias("shard"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.col("shard"),
+        F.transform(
+            "embedding",
+            lambda x: x * F.when(x > 0, F.lit(1.01)).otherwise(F.lit(0.99)),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    return similarity.sharded_near_dup(
+        aug, "shard", n_shard=_SHARD_N, threshold=_AUTO_NEAR_T,
+        target_recall=0.9999,
+    )
+
+
 @query("ivf_topk_ann", _COS_ORACLE)
 def ivf_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k, exercised END-TO-END against the exact-top-k oracle: with
@@ -10657,6 +10724,8 @@ def source_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # ROUND 11 WINDOW: new this round.
+    "sharded_near_dup",
     # ROUND 10 WINDOW: new LM-perplexity operators + the two queries whose
     # shuffle keying / tie-break changed this round.
     "doc_lm_perplexity",

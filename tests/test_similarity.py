@@ -443,3 +443,70 @@ def test_blocked_pairs_refuse_oversized_matrix(spark):
         for r in similarity.cosine_near_dup_pairs(emb, threshold=0.4).collect()
     )
     assert ok == ref
+
+
+def test_sharded_near_dup_respects_shard_boundaries(spark):
+    """The within-shard contract, both directions: a planted near-dup pair
+    co-located in one shard MUST be found (recall at fixed per-shard n);
+    an equally-near pair split across shards MUST NOT be reported (the
+    sharded trade is explicit, not an approximation); and every reported
+    pair clears the threshold (precision 1 via the exact verify)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    state, dim = 999, 16
+
+    def lcg():
+        nonlocal state
+        state = (state * 48271) % 2147483647
+        return state / 2147483647.0 - 0.5
+
+    rows = []
+    for i in range(60):
+        rows.append((i, i // 30, [lcg() for _ in range(dim)]))  # shards 0, 1
+    twin = [x * 1.001 for x in rows[3][2]]
+    rows.append((100, 0, twin))   # co-sharded with vec 3 -> must be found
+    rows.append((101, 1, twin))   # same vector, other shard -> must NOT pair with 3
+    emb = spark.createDataFrame(rows, "vec_id bigint, shard bigint, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.sharded_near_dup(
+            emb, "shard", n_shard=35, threshold=0.95, target_recall=0.9999
+        ).collect()
+    }
+    assert (3, 100) in got, "co-sharded planted pair missed"
+    assert (3, 101) not in got, "cross-shard pair leaked through the shard join"
+    # 100 and 101 are the same vector in different shards: never a pair
+    assert (100, 101) not in got
+
+
+def test_sharded_near_dup_band_count_independent_of_corpus_size(spark):
+    """The scale claim in executable form: the band signature is sized by
+    n_shard alone, so growing the corpus 10x at fixed shard size leaves
+    (r, bands) — and with them the per-shard candidate budget — unchanged.
+    The unsharded auto path must widen under the same growth (that widening
+    IS the rho-exponent the shard wrapper exists to cap)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    r_small, b_small = S.lsh_auto_params(275, 0.95, target_recall=0.9999)
+    r_large, b_large = S.lsh_auto_params(275, 0.95, target_recall=0.9999)
+    assert (r_small, b_small) == (r_large, b_large)  # same bound -> same plan
+    r_10x, _ = S.lsh_auto_params(2750, 0.95, target_recall=0.9999)
+    r_100x, _ = S.lsh_auto_params(27500, 0.95, target_recall=0.9999)
+    assert r_10x > r_small and r_100x > r_10x  # unsharded MUST widen
+
+
+def test_band_keys_carry_cols_passthrough(spark):
+    """carry_cols rides the Arrow batch unchanged: one carried value per
+    emitted (id, band) row, equal to the source row's value."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    planes = S.seeded_planes(6, 4, seed=3)
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(i + j) for j in range(4)]) for i in range(12)],
+        "vec_id bigint, shard bigint, embedding array<double>",
+    )
+    out = S.hyperplane_band_keys_vectorized(
+        emb, planes, bands=2, carry_cols=("shard",)
+    ).collect()
+    assert len(out) == 24  # 12 vectors x 2 bands
+    assert all(r["shard"] == r["id"] % 3 for r in out)

@@ -70,6 +70,10 @@ QUERIES = [
     "hll_daily_users",
     "lang_priority_sample",
     "source_repetition_gate",
+    # round-11: fixed-per-shard-load ANN dedup — the mitigation for the
+    # unsharded auto path's rho-exponent; claim under test: shuffle growth
+    # <= linear per decade at constant band count
+    "sharded_near_dup",
 ]
 #: tables each query needs present in a fixture dir (gate for 100x)
 NEEDS = {
@@ -88,6 +92,7 @@ NEEDS = {
     "doc_gopher_rep_fracs": ["documents"],
     "priority_weighted_sample": ["documents"],
     "hll_daily_users": ["events"],
+    "sharded_near_dup": ["embeddings"],
     "lang_priority_sample": ["documents"],
     "source_repetition_gate": ["documents"],
 }
