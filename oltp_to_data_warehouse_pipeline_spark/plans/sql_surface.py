@@ -218,7 +218,12 @@ def register_table_functions(spark: SparkSession) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
+def register_sql_surface(
+    spark: SparkSession,
+    sf_dir: str,
+    ivf_index_path: str | None = None,
+    embedding_dim: int = 64,
+) -> list[str]:
     """One call makes the operator library reachable from ``spark.sql``
     alone: registers the table functions above plus ``sqlops_*`` views
     over the catalog tables.  Returns every registered SQL name.
@@ -231,6 +236,24 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
     (partial fixtures like the 1000x decade one carry only
     documents+embeddings), so the CLI never crashes registering surface
     its statement may not even touch.
+
+    Similarity/LM surface (round-10 verdict item 4 — the families that
+    were Python-API-only): ``sqlops_cosine_topk``, ``sqlops_sharded_near_dup``
+    and ``sqlops_lm_gate`` join the views; parameters a pipeline author
+    would tune (k, thresholds, shard span) are PINNED at sensible defaults
+    — a SQL client reads curated output, a pipeline author parameterizes
+    via the Python API.  ``embedding_dim`` is taken as a catalog fact (the
+    same contract the similarity operators document for ``dim=``), so
+    registration stays job-free rather than probing a row.
+
+    ``ivf_index_path`` (optional): when a prebuilt IVF index exists
+    (:func:`operators.similarity.ivf_write_index` — at 100 TB the index is
+    built once and served many times), ``sqlops_ivf_topk`` is registered
+    over it.  This is the ONE view whose registration runs Spark jobs: the
+    model read (n_cells centroid rows) and the operator's own bounded
+    probe-cell collect over the ≤ 100-row pinned query set — model-sized
+    work, not corpus-sized, which is why it is opt-in while everything
+    else stays lazy.
     """
     import os
 
@@ -242,6 +265,7 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
         lm as _lm,
         qsketch as _qs,
         repetition as _rep,
+        similarity as _sim,
         spans as _spans,
     )
 
@@ -256,8 +280,10 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
             "sqlops_span_excised": _spans.span_excised_corpus(d, "doc_id", "text"),
             # Gopher repetition signals (Rae et al. 2021 A1.1)
             "sqlops_repetition": _rep.repetition_signals(d),
-            # CCNet-style corpus-trained bigram-LM perplexity
+            # CCNet-style corpus-trained bigram-LM perplexity + the
+            # applied gate (per-source tail-share report)
             "sqlops_lm_scores": _lm.bigram_lm_scores(d),
+            "sqlops_lm_gate": _lm.lm_quality_gate(d, slack_bits=1.0),
             # exact dedup winners over documents (deterministic: lowest
             # doc_id survives per duplicated text)
             "sqlops_dedup_docs": _dedup.lww_dedup(
@@ -276,6 +302,24 @@ def register_sql_surface(spark: SparkSession, sf_dir: str) -> list[str]:
         views["sqlops_kmv_day_sketch"] = _kmv.kmv_sketch(
             ev, "user_id", ["d"], k=64, pin=False
         ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h")
+    if os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        # pinned 100-query set (lowest vec_ids — deterministic), k=5: the
+        # exact top-k view stays inside cosine_topk's structural
+        # max_queries bound at any corpus size
+        pinned_q = emb.orderBy("vec_id").limit(100)
+        views["sqlops_cosine_topk"] = _sim.cosine_topk(emb, pinned_q, k=5)
+        # within-shard near-dup at fixed per-shard load (the scale-path
+        # dedup): id-span shards stand in for the source/language shard
+        # key a real corpus carries
+        views["sqlops_sharded_near_dup"] = _sim.sharded_near_dup(
+            emb.withColumn("shard", F.floor(F.col("vec_id") / 250)),
+            "shard", n_shard=250, threshold=0.4, dim=embedding_dim,
+        )
+        if ivf_index_path is not None:
+            views["sqlops_ivf_topk"] = _sim.ivf_topk_indexed(
+                spark, ivf_index_path, pinned_q, k=5, nprobe=2
+            )
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         o = load_table(spark, sf_dir, "orders").withColumn(
             "d", F.col("o_orderdate").cast("date")

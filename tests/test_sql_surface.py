@@ -188,3 +188,66 @@ def test_registration_tolerates_partial_fixture(spark, tmp_path):
     assert "sqlops_qsketch_day" not in names
     # re-register the full surface for any later module-scoped user
     register_sql_surface(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Similarity + LM families (round-10 verdict item 4: the asymmetry where a
+# SQL-only client could reach sketch algebra but not cosine/ANN/LM scoring)
+# ---------------------------------------------------------------------------
+
+
+def test_similarity_lm_registration_names(surface):
+    assert {
+        "sqlops_cosine_topk", "sqlops_sharded_near_dup",
+        "sqlops_lm_scores", "sqlops_lm_gate",
+    } <= surface
+
+
+def test_cosine_topk_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+    got = spark.sql("SELECT * FROM sqlops_cosine_topk")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    want = similarity.cosine_topk(emb, emb.orderBy("vec_id").limit(100), k=5)
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_sharded_near_dup_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+    got = spark.sql("SELECT * FROM sqlops_sharded_near_dup")
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "shard", F.floor(F.col("vec_id") / 250)
+    )
+    want = similarity.sharded_near_dup(
+        emb, "shard", n_shard=250, threshold=0.4, dim=64
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_lm_gate_sql_equals_dataframe_api(spark, surface):
+    from oltp_to_data_warehouse_pipeline_spark.operators import lm
+
+    got = spark.sql("SELECT * FROM sqlops_lm_gate")
+    d = load_table(spark, SF_DIR, "documents")
+    want = lm.lm_quality_gate(d, slack_bits=1.0)
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_ivf_topk_sql_equals_dataframe_api(spark, tmp_path):
+    """The opt-in indexed view: build a small IVF index, re-register the
+    surface with ivf_index_path, and the SQL view must equal the
+    ivf_topk_indexed API probe over the same pinned query set."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    centroids = similarity.ivf_centroids(emb, k=4, iters=2)
+    similarity.ivf_write_index(emb, path, centroids)
+    names = register_sql_surface(spark, SF_DIR, ivf_index_path=path)
+    assert "sqlops_ivf_topk" in names
+    got = spark.sql("SELECT * FROM sqlops_ivf_topk")
+    want = similarity.ivf_topk_indexed(
+        spark, path, emb.orderBy("vec_id").limit(100), k=5, nprobe=2
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
