@@ -30,11 +30,18 @@ the maximal char contribution ``count * length``, under which any
 remaining tie emits the identical fraction either way.
 
 NOTE on paper fidelity: Rae et al. define ``dup_{n}_frac`` over
-CHARACTERS; this implementation measures the fraction of token POSITIONS
-covered by duplicated n-grams (position union).  The two agree exactly
-when token lengths are uniform and track each other closely otherwise;
-thresholds tuned on the paper's character fractions are approximate
-operating points here, not paper-equivalent ones.
+CHARACTERS; the default ``dup_{n}_frac`` here measures the fraction of
+token POSITIONS covered by duplicated n-grams (position union).  The two
+agree exactly when token lengths are uniform and track each other
+closely otherwise; thresholds tuned on the paper's character fractions
+are approximate operating points for the position form.  For
+paper-equivalent operating points, ``dup_char_ns`` emits
+``dup_{n}_frac_chars``: the CHARACTER union — each covered token
+position weighted by its char length, plus every inter-token space some
+single duplicated occurrence spans (a space between p and p+1 counts
+iff one occurrence contains BOTH, not merely each side covered by
+different occurrences) — over ``length(text)``.  Under the
+single-space tokenization contract this is exactly the paper's measure.
 """
 
 from __future__ import annotations
@@ -82,16 +89,29 @@ def repetition_signals(
     text_col: str = "text",
     top_ns: list[int] = (2, 3),
     dup_ns: list[int] = (5, 10),
+    dup_char_ns: list[int] = (),
 ) -> DataFrame:
-    """One row per document: ``top_{n}_frac`` for each n in ``top_ns`` and
-    ``dup_{n}_frac`` for each n in ``dup_ns`` (column order: top then dup,
+    """One row per document: ``top_{n}_frac`` for each n in ``top_ns``,
+    ``dup_{n}_frac`` for each n in ``dup_ns``, and ``dup_{n}_frac_chars``
+    for each n in ``dup_char_ns`` (column order: top, dup, dup-chars,
     each ascending n), plus ``n_tokens``.  Documents shorter than n tokens
     score 0.0 for that signal.  Deterministic: count ties on the top
     n-gram resolve to the maximal char contribution count*length (any
     deeper tie emits the identical fraction), every fraction is one exact
     integer division rounded to 4 decimals (+0.0 normalizes any -0.0).
+
+    ``dup_char_ns`` (each n ≥ 2) is the module-docstring character
+    variant — Rae et al.'s own units.  It adds one (id, p)-keyed join
+    against the per-position token lengths and a space-slot union; the
+    shuffle still never carries gram strings.
     """
-    ns = sorted(set(list(top_ns) + list(dup_ns)))
+    if any(n < 2 for n in dup_char_ns):
+        raise ValueError(
+            "repetition_signals: dup_char_ns entries must be >= 2 "
+            f"(got {sorted(dup_char_ns)!r}) — a 1-gram spans no inter-"
+            "token space and its char fraction is the position fraction"
+        )
+    ns = sorted(set(list(top_ns) + list(dup_ns) + list(dup_char_ns)))
     occ = _occurrences(df, id_col, text_col, list(ns))
 
     # --- top-frequency n-gram, char fraction ---
@@ -117,13 +137,14 @@ def repetition_signals(
         .select("id", "n", F.col("__mx.tc").alias("top_chars"), "chars")
     )
 
-    # --- duplicated n-gram token coverage (position union) ---
+    # --- duplicated n-gram occurrences (shared by both dup measures) ---
+    dup_occ = occ.withColumn(
+        "__c", F.count(F.lit(1)).over(Window.partitionBy("id", "n", "gh"))
+    ).where(F.col("__c") >= 2)
+
+    # token-position union
     dup_cover = (
-        occ.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("id", "n", "gh"))
-        )
-        .where(F.col("__c") >= 2)
-        .select(
+        dup_occ.select(
             "id", "n", "m",
             F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)).alias("p"),
         )
@@ -138,24 +159,74 @@ def repetition_signals(
         F.col(id_col).alias("id"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
     )
-    top_agg = [
-        F.coalesce(
-            F.max(F.when(F.col("n") == n, frac4(F.col("top_chars"), F.col("chars")))),
-            F.lit(0.0),
-        ).alias(f"top_{n}_frac")
-        for n in sorted(top_ns)
-    ]
-    out = base.join(
-        top.groupBy("id").agg(*top_agg), "id", "left"
-    )
-    dup_agg = [
-        F.coalesce(
-            F.max(F.when(F.col("n") == n, frac4(F.col("covered"), F.col("m")))),
-            F.lit(0.0),
-        ).alias(f"dup_{n}_frac")
-        for n in sorted(dup_ns)
-    ]
-    out = out.join(dup_cover.groupBy("id").agg(*dup_agg), "id", "left")
+    out = base
+    if top_ns:
+        top_agg = [
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac4(F.col("top_chars"), F.col("chars")))),
+                F.lit(0.0),
+            ).alias(f"top_{n}_frac")
+            for n in sorted(top_ns)
+        ]
+        out = out.join(top.groupBy("id").agg(*top_agg), "id", "left")
+    if dup_ns:
+        dup_agg = [
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, frac4(F.col("covered"), F.col("m")))),
+                F.lit(0.0),
+            ).alias(f"dup_{n}_frac")
+            for n in sorted(dup_ns)
+        ]
+        out = out.join(dup_cover.groupBy("id").agg(*dup_agg), "id", "left")
+
+    if dup_char_ns:
+        # character union: char-weight the covered token positions via one
+        # (id, p)-keyed join against per-position token lengths, then add
+        # the inter-token spaces a single occurrence spans (space slot s
+        # sits between tokens s and s+1; an occurrence at (i, n) spans
+        # slots i .. i+n-2) — union'd separately so a slot whose two
+        # neighbors are covered by DIFFERENT occurrences is not counted.
+        tok_lens = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("p", "__tok"),
+        ).select("id", "p", F.length("__tok").alias("tl"))
+        char_occ = dup_occ.where(F.col("n").isin([int(n) for n in dup_char_ns]))
+        tok_cov = (
+            char_occ.select(
+                "id", "n", "chars",
+                F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)).alias("p"),
+            )
+            .groupBy("id", "n", "p")
+            .agg(F.max("chars").alias("chars"))
+            .join(tok_lens, ["id", "p"])
+            .groupBy("id", "n")
+            .agg(F.sum("tl").alias("tok_chars"), F.max("chars").alias("chars"))
+        )
+        space_cov = (
+            char_occ.select(
+                "id", "n",
+                F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 2)).alias("s"),
+            )
+            .groupBy("id", "n")
+            .agg(F.count_distinct("s").alias("n_spaces"))
+        )
+        # inner join is lossless: every (id, n) with any duplicated
+        # occurrence has both relations (n >= 2 guarantees >= 1 space slot)
+        char_fracs = tok_cov.join(space_cov, ["id", "n"])
+        char_agg = [
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("n") == n,
+                        frac4(F.col("tok_chars") + F.col("n_spaces"), F.col("chars")),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias(f"dup_{n}_frac_chars")
+            for n in sorted(dup_char_ns)
+        ]
+        out = out.join(char_fracs.groupBy("id").agg(*char_agg), "id", "left")
+
     cols = (
         [F.col("id").alias(id_col), "n_tokens"]
         + [
@@ -165,6 +236,10 @@ def repetition_signals(
         + [
             F.coalesce(f"dup_{n}_frac", F.lit(0.0)).alias(f"dup_{n}_frac")
             for n in sorted(dup_ns)
+        ]
+        + [
+            F.coalesce(f"dup_{n}_frac_chars", F.lit(0.0)).alias(f"dup_{n}_frac_chars")
+            for n in sorted(dup_char_ns)
         ]
     )
     return out.select(*cols)

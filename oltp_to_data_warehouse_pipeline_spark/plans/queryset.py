@@ -10273,6 +10273,74 @@ def doc_gopher_rep_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_gopher_rep_fracs_chars",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS m, length(text) AS chars
+      FROM documents),
+    occ AS (
+      SELECT doc_id, m, chars, n, i,
+             array_to_string(t[i:i+n-1], ' ') AS g
+      FROM toks, (VALUES (5), (10)) ns(n),
+           unnest(generate_series(1, m - n + 1)) u(i)
+      WHERE m >= n),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+    dupocc AS (
+      SELECT o.doc_id, o.n, o.chars, o.i
+      FROM occ o JOIN cnt c
+        ON c.doc_id = o.doc_id AND c.n = o.n AND c.g = o.g AND c.c >= 2),
+    tokcov AS (
+      SELECT DISTINCT o.doc_id, o.n, p
+      FROM dupocc o, unnest(generate_series(o.i, o.i + o.n - 1)) u(p)),
+    tokchars AS (
+      SELECT tc.doc_id, tc.n,
+             CAST(sum(length(t.t[tc.p])) AS BIGINT) AS tok_chars,
+             max(t.chars) AS chars
+      FROM tokcov tc JOIN toks t ON t.doc_id = tc.doc_id
+      GROUP BY 1, 2),
+    spaces AS (
+      SELECT doc_id, n, count(DISTINCT s) AS n_spaces
+      FROM dupocc, unnest(generate_series(i, i + n - 2)) q(s)
+      GROUP BY 1, 2),
+    fr AS (
+      SELECT tk.doc_id, tk.n,
+             round((tok_chars + n_spaces) / chars, 4) + 0.0 AS f
+      FROM tokchars tk
+      JOIN spaces sp ON sp.doc_id = tk.doc_id AND sp.n = tk.n)
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           coalesce(max(CASE WHEN fr.n = 5 THEN fr.f END), 0.0)
+             AS dup_5_frac_chars,
+           coalesce(max(CASE WHEN fr.n = 10 THEN fr.f END), 0.0)
+             AS dup_10_frac_chars
+    FROM documents d LEFT JOIN fr ON fr.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def doc_gopher_rep_fracs_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher ``dup_{n}_frac`` in the PAPER'S units (Rae et al. 2021 A1.1
+    defines the duplicate fractions over CHARACTERS — r10 verdict item 5;
+    the default query above keeps the token-position form): per document,
+    the character share of duplicated 5-/10-grams, where covered token
+    positions are char-weighted and an inter-token space counts iff a
+    single duplicated occurrence spans both its neighbors (union
+    semantics both times, so overlapping duplicates are not
+    double-counted).
+
+    Scale: same 12-byte hashed-gram shuffles as the position form, plus
+    one (doc, position)-keyed join against per-position token lengths —
+    linear, fine-grained keys, no global window.
+    Operator: `operators/repetition.py` (``dup_char_ns``)."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition.repetition_signals(
+        d, top_ns=[], dup_ns=[], dup_char_ns=[5, 10]
+    )
+
+
 _PS_SCALE = 1 << 46  # operators/sampling.py SCALE_BITS
 
 
@@ -10726,6 +10794,7 @@ def source_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND 11 WINDOW: new this round.
     "sharded_near_dup",
+    "doc_gopher_rep_fracs_chars",
     # ROUND 10 WINDOW: new LM-perplexity operators + the two queries whose
     # shuffle keying / tie-break changed this round.
     "doc_lm_perplexity",

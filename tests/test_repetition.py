@@ -63,3 +63,35 @@ def test_row_count_and_schema(spark):
         "dup_5_frac", "dup_10_frac",
     ]
     assert out.count() == d.count()
+
+
+def test_dup_char_fraction_hand_computed(spark):
+    """Paper-unit character fraction: tokens char-weighted plus the inner
+    spaces an occurrence spans.  "ab cd ab cd x": dup 2-gram "ab cd" at
+    positions 0 and 2 covers tokens {0,1,2,3} (8 chars) and space slots
+    {0,2} (2 chars) over 13 text chars -> 10/13; the position form says
+    4/5 — the two units genuinely differ on this doc."""
+    d = _docs(spark, [(1, "ab cd ab cd x")])
+    r = _one(
+        repetition_signals(d, top_ns=[], dup_ns=[2], dup_char_ns=[2]), 1
+    )
+    assert r["dup_2_frac"] == round(4 / 5, 4)
+    assert r["dup_2_frac_chars"] == round(10 / 13, 4)
+
+
+def test_dup_char_fraction_space_needs_single_spanning_occurrence(spark):
+    """A space whose two neighbor tokens are covered by DIFFERENT
+    duplicated occurrences is NOT covered: "x y x y" -> "x y" at 0 and 2
+    covers all four tokens, but slot 1 (between the two occurrences) is
+    spanned by no duplicated occurrence -> 6/7, not 7/7."""
+    d = _docs(spark, [(1, "x y x y")])
+    r = _one(repetition_signals(d, top_ns=[], dup_ns=[], dup_char_ns=[2]), 1)
+    assert r["dup_2_frac_chars"] == round(6 / 7, 4)
+
+
+def test_dup_char_ns_rejects_unigrams(spark):
+    import pytest
+
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="dup_char_ns"):
+        repetition_signals(d, dup_char_ns=[1])
