@@ -483,6 +483,52 @@ def _execute(spark, cfg: JdbcConfig, statements: list[str]) -> None:
         conn.close()
 
 
+def _epoch_committed(
+    spark, cfg: JdbcConfig, table: str, checkpoint_id: str, batch_id: int
+) -> bool:
+    """True iff ``(checkpoint_id, batch_id)`` is already recorded in the
+    ``<table>__epochs`` side table (absent table = nothing committed)."""
+    if not table_exists(spark, cfg, f"{table}__epochs"):
+        return False
+    conn = _connection(spark, cfg)
+    try:
+        st = conn.createStatement()
+        try:
+            ck = checkpoint_id.replace("'", "''")
+            rs = st.executeQuery(
+                f"SELECT 1 FROM {table}__epochs "
+                f"WHERE checkpoint_id = '{ck}' AND batch_id = {int(batch_id)}"
+            )
+            try:
+                return rs.next()
+            finally:
+                rs.close()
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def _epoch_insert_sql(table: str, checkpoint_id: str, batch_id: int) -> str:
+    ck = checkpoint_id.replace("'", "''")
+    return (
+        f"INSERT INTO {table}__epochs (checkpoint_id, batch_id) "
+        f"VALUES ('{ck}', {int(batch_id)})"
+    )
+
+
+def _ensure_epochs_table(spark, cfg: JdbcConfig, table: str) -> None:
+    if not table_exists(spark, cfg, f"{table}__epochs"):
+        _execute(
+            spark, cfg,
+            [
+                f"CREATE TABLE {table}__epochs "
+                "(checkpoint_id VARCHAR(512) NOT NULL, "
+                "batch_id BIGINT NOT NULL)"
+            ],
+        )
+
+
 def write_upsert(
     df: DataFrame,
     cfg: JdbcConfig,
@@ -494,11 +540,26 @@ def write_upsert(
     batchsize: int = 10_000,
     column_types: str | None = None,
     tombstones: bool = False,
+    epoch: tuple[str, int] | None = None,
 ) -> None:
     """Idempotent LWW upsert into a JDBC warehouse table — the set-based
     engine-side equivalent of the reference's row-at-a-time ON CONFLICT
     consumer (`mongo_postgres_cdc.py:359-380`) and the JDBC twin of
     :func:`sources.upsert.upsert_parquet`.
+
+    ``epoch=(checkpoint_id, batch_id)`` upgrades replay handling from
+    exactly-once EFFECT to exactly-once WORK (r10 verdict item 6): each
+    committed batch is recorded in a ``<table>__epochs`` side table, a
+    replayed batch is detected up front and skipped entirely — no dedup
+    shuffle, no staging write, no merge — and on the merge path the epoch
+    INSERT executes inside the SAME transaction as the MERGE, so the
+    record and the data commit or roll back together.  On the first-write
+    path (Spark's JDBC writer creates the target; its commit is its own)
+    the epoch is recorded immediately after — a crash in the gap replays
+    the batch through the now-existing merge path, where the version
+    guard makes it a no-op, so the guarantee degrades to exactly-once
+    effect for exactly that window.  One row per batch: retention is a
+    non-issue in practice, and the table doubles as a commit audit log.
 
     Mechanics: LWW-dedup the batch per ``keys`` (``order_cols`` descending,
     full-row content hash tiebreak — deterministic under repartitioning and
@@ -563,6 +624,11 @@ def write_upsert(
             "tombstones=True needs order_cols (version comparison) and "
             "delete_col (which rows ARE tombstones)"
         )
+    if epoch is not None:
+        ckpt_id, batch_id = epoch
+        if _epoch_committed(spark_of(df), cfg, table, ckpt_id, batch_id):
+            return  # replayed batch: zero work, state already committed
+        _ensure_epochs_table(spark_of(df), cfg, table)
     content = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
     order = [F.col(c).desc() for c in order_cols] + [content.desc()]
     winners = lww_dedup(df, list(keys), order)
@@ -600,6 +666,12 @@ def write_upsert(
             # Spark's writer creates the table constraint-free; the next
             # batch's ON CONFLICT (keys) needs this unique index
             _execute(spark, cfg, [unique_index_sql(table, list(keys))])
+        if epoch is not None:
+            # recorded AFTER the writer's own commit: a crash in the gap
+            # replays this batch through the merge path, where the version
+            # guard no-ops it (exactly-once effect for this one window —
+            # see the docstring)
+            _execute(spark, cfg, [_epoch_insert_sql(table, ckpt_id, batch_id)])
         return
 
     import uuid
@@ -645,6 +717,10 @@ def write_upsert(
             table, staging, data_cols, list(keys), list(order_cols),
             delete_col, dialect,
         )
+        if epoch is not None:
+            # same transaction as the merge: the epoch record and the data
+            # become visible atomically (all-or-nothing via _execute)
+            stmts.append(_epoch_insert_sql(table, ckpt_id, batch_id))
         _execute(spark, cfg, stmts)
     finally:
         if pinned is not None:
@@ -670,6 +746,7 @@ def upsert_sink(
     batchsize: int = 10_000,
     column_types: str | None = None,
     tombstones: bool = False,
+    checkpoint_id: str | None = None,
 ):
     """``foreachBatch`` body wiring a stream to the idempotent JDBC
     warehouse sink — the missing half of ST3 for JDBC targets: the
@@ -678,10 +755,20 @@ def upsert_sink(
     exactly-once EFFECT (the same contract streaming/cdc.py gets from
     ``upsert_parquet``).
 
+    ``checkpoint_id`` (recommended: the stream's checkpointLocation, or
+    any string stable across restarts and unique per logical stream)
+    additionally arms the ``<table>__epochs`` guard: a replayed batch id
+    is skipped without re-running its dedup/staging work, and the epoch
+    record commits in the merge's own transaction — exactly-once WORK,
+    not just effect.  Spark batch ids are per-checkpoint counters, so the
+    id must change when the checkpoint directory does (stale ids from a
+    deleted checkpoint would wrongly suppress fresh batches).
+
     Usage::
 
         stream.writeStream.foreachBatch(
-            upsert_sink(cfg, "wh", keys=["id"], order_cols=["ver"])
+            upsert_sink(cfg, "wh", keys=["id"], order_cols=["ver"],
+                        checkpoint_id=ckpt)
         ).option("checkpointLocation", ckpt).start()
     """
 
@@ -691,6 +778,9 @@ def upsert_sink(
             order_cols=order_cols, delete_col=delete_col, dialect=dialect,
             batchsize=batchsize, column_types=column_types,
             tombstones=tombstones,
+            epoch=(
+                (checkpoint_id, epoch_id) if checkpoint_id is not None else None
+            ),
         )
 
     return fold

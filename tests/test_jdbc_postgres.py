@@ -277,3 +277,38 @@ def test_tombstone_retention_postgres(spark, cfg, pg_exec):
     assert read_table(spark, cfg, "wh_tomb").count() == 0
     pg_exec("DROP TABLE IF EXISTS wh_tomb")
     pg_exec("DROP TABLE IF EXISTS wh_tomb__tombstones")
+
+
+def test_epoch_guard_postgres(spark, cfg, pg_exec):
+    """The <table>__epochs exactly-once-work guard on the postgres
+    dialect: a replayed (checkpoint_id, batch_id) with poisoned data must
+    be skipped entirely (state unchanged), and each committed batch
+    leaves exactly one audit row."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import (
+        read_table as _rt,
+        write_upsert,
+    )
+
+    pg_exec("DROP TABLE IF EXISTS wh_epoch")
+    pg_exec("DROP TABLE IF EXISTS wh_epoch__epochs")
+    schema = "id long, amount double, ver long"
+    kw = dict(keys=["id"], order_cols=["ver"], dialect="postgres")
+    b1 = spark.createDataFrame([(1, 10.0, 1), (2, 20.0, 1)], schema)
+    b2 = spark.createDataFrame([(1, 11.0, 2), (3, 30.0, 1)], schema)
+    poison = spark.createDataFrame([(1, 999.0, 99)], schema)
+
+    write_upsert(b1, cfg, "wh_epoch", epoch=("ck", 0), **kw)
+    write_upsert(b2, cfg, "wh_epoch", epoch=("ck", 1), **kw)
+    want = [(1, 11.0, 2), (2, 20.0, 1), (3, 30.0, 1)]
+    state = lambda: sorted(  # noqa: E731
+        (r["id"], r["amount"], r["ver"])
+        for r in _rt(spark, cfg, "wh_epoch").collect()
+    )
+    assert state() == want
+    write_upsert(poison, cfg, "wh_epoch", epoch=("ck", 0), **kw)
+    write_upsert(poison, cfg, "wh_epoch", epoch=("ck", 1), **kw)
+    assert state() == want
+    eps = sorted(
+        tuple(r) for r in _rt(spark, cfg, "wh_epoch__epochs").collect()
+    )
+    assert eps == [("ck", 0), ("ck", 1)]
