@@ -128,6 +128,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 1024,
+    probe: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest candidates.
 
@@ -141,13 +142,26 @@ def cosine_topk(
     only while the broadcast side stays small, so ``max_queries`` bounds it
     structurally (raise it explicitly for a bigger verification run; use
     the LSH/IVF paths for real many-query workloads).
-    """
+
+    ``probe=False`` keeps the bound structural-only (a plain
+    ``limit(max_queries)`` — still a GlobalLimit feeding the broadcast, so
+    the plan can never see an unbounded build) but skips ``bounded()``'s
+    eager materialize-and-count, so constructing the plan runs NO Spark
+    jobs and pins nothing.  For lazy registration surfaces
+    (plans/sql_surface.py) where the caller already limited the query set;
+    the default probe also catches oversized inputs loudly instead of
+    silently truncating, which is the right default for verification
+    callers."""
     cand = (
         ensure_min_parallelism(emb)
         .select(F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("__cvec"))
         .withColumn("__cnorm", l2_norm(F.col("__cvec")))
     )
-    q = bounded(queries, max_queries, "cosine_topk queries", knob="max_queries").select(
+    q = (
+        bounded(queries, max_queries, "cosine_topk queries", knob="max_queries")
+        if probe
+        else queries.limit(max_queries)
+    ).select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qvec")
     ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
 
@@ -672,6 +686,20 @@ def sharded_near_dup(
     shard key so that is semantically acceptable — or run a second pass at
     coarser sharding for the residual.
 
+    NULL shard keys are a real shard, not a silent gap: the candidate
+    join is null-safe (``<=>``), so vectors with a NULL shard dedup among
+    THEMSELVES — they are subject to the same ``n_shard`` bound as any
+    shard, so clean or cap the NULL group upstream if it is large.
+    (A plain equi-join would drop every NULL-shard vector from the
+    output with no error — round-11 review finding.)
+
+    Recall window: the ``target_recall`` guarantee applies AT
+    ``recall_sim`` (default ``max(threshold, 0.9)``); pairs between
+    ``threshold`` and ``recall_sim`` are reported when found but with
+    lower probability — the standard LSH S-curve.  For full recall down
+    to ``threshold``, pass ``recall_sim=threshold`` (≥ ~0.8, or
+    :func:`lsh_auto_params` refuses the diverging band budget).
+
     Deterministic given ``seed`` (:func:`seeded_planes`) — the DuckDB
     oracle can replay the within-shard contract exactly."""
     if dim is None:
@@ -690,9 +718,20 @@ def sharded_near_dup(
     banded = hyperplane_band_keys_vectorized(
         emb, planes, bands, id_col, vec_col, carry_cols=(shard_col,)
     )
+    # null-safe shard equality (<=>): Catalyst hash-partitions null-safe
+    # keys like plain ones (coalesced key structs), so the one-shuffle
+    # plan is unchanged and NULL shards form their own bucket instead of
+    # vanishing from an inner equi-join
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), [shard_col, "band", "key"])
+        .join(
+            banded.alias("b"),
+            [
+                F.col(f"a.{shard_col}").eqNullSafe(F.col(f"b.{shard_col}")),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+            ],
+        )
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

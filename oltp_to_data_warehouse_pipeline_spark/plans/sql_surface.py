@@ -304,17 +304,27 @@ def register_sql_surface(
         ).select(F.date_format("d", "yyyy-MM-dd").alias("grp"), "h")
     if os.path.exists(f"{sf_dir}/embeddings.parquet"):
         emb = load_table(spark, sf_dir, "embeddings")
-        # pinned 100-query set (lowest vec_ids — deterministic), k=5: the
-        # exact top-k view stays inside cosine_topk's structural
-        # max_queries bound at any corpus size
+        # pinned 100-query set (lowest vec_ids — deterministic), k=5.
+        # probe=False keeps registration job-free: the limit(100) already
+        # satisfies cosine_topk's structural bound, so the eager
+        # bounded() materialize-and-count (which would scan embeddings
+        # and pin blocks at REGISTRATION — round-11 review) is redundant
         pinned_q = emb.orderBy("vec_id").limit(100)
-        views["sqlops_cosine_topk"] = _sim.cosine_topk(emb, pinned_q, k=5)
+        views["sqlops_cosine_topk"] = _sim.cosine_topk(
+            emb, pinned_q, k=5, probe=False
+        )
         # within-shard near-dup at fixed per-shard load (the scale-path
         # dedup): id-span shards stand in for the source/language shard
-        # key a real corpus carries
+        # key a real corpus carries.  recall_sim == threshold == 0.85 so
+        # the recall target holds over the WHOLE advertised similarity
+        # range (round-11 review: a 0.4 threshold under the default
+        # recall_sim=0.9 sizing silently missed most mid-sim pairs);
+        # hyperplane LSH is a near-dup surface — mid-similarity retrieval
+        # belongs to sqlops_ivf_topk / the IVF Python API
         views["sqlops_sharded_near_dup"] = _sim.sharded_near_dup(
             emb.withColumn("shard", F.floor(F.col("vec_id") / 250)),
-            "shard", n_shard=250, threshold=0.4, dim=embedding_dim,
+            "shard", n_shard=250, threshold=0.85, recall_sim=0.85,
+            dim=embedding_dim,
         )
         if ivf_index_path is not None:
             views["sqlops_ivf_topk"] = _sim.ivf_topk_indexed(

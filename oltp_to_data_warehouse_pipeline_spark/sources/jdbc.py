@@ -519,12 +519,23 @@ def _epoch_insert_sql(table: str, checkpoint_id: str, batch_id: int) -> str:
 
 def _ensure_epochs_table(spark, cfg: JdbcConfig, table: str) -> None:
     if not table_exists(spark, cfg, f"{table}__epochs"):
+        schema, base = _split_qualified(table)
+        # index name carries the table's schema qualifier (Derby requires
+        # an index to live in its table's schema; an unqualified name
+        # would land in the CURRENT schema and fail for qualified targets)
+        idx = f"{schema}.{base}__epochs_uq" if schema else f"{base}__epochs_uq"
+        # unique index: (a) the per-batch committed-probe is an index seek
+        # instead of a scan that grows with stream lifetime, (b) the
+        # one-row-per-batch audit claim is structural — a racing double
+        # insert fails the transaction instead of silently duplicating
         _execute(
             spark, cfg,
             [
                 f"CREATE TABLE {table}__epochs "
                 "(checkpoint_id VARCHAR(512) NOT NULL, "
-                "batch_id BIGINT NOT NULL)"
+                "batch_id BIGINT NOT NULL)",
+                f"CREATE UNIQUE INDEX {idx} "
+                f"ON {table}__epochs (checkpoint_id, batch_id)",
             ],
         )
 
@@ -626,6 +637,18 @@ def write_upsert(
         )
     if epoch is not None:
         ckpt_id, batch_id = epoch
+        if len(ckpt_id) > 512:
+            # fail FAST at the Python layer: the column is VARCHAR(512),
+            # and a server-side truncation error inside the merge
+            # transaction would fail every retry identically, wedging the
+            # stream (round-11 review).  Deep checkpoint paths should be
+            # hashed or aliased to a short stable id by the caller.
+            raise ValueError(
+                f"write_upsert: checkpoint_id is {len(ckpt_id)} chars "
+                "(max 512 — the __epochs column width). Pass a shorter "
+                "stable id, e.g. a stream name or a hash of the "
+                "checkpoint path."
+            )
         if _epoch_committed(spark_of(df), cfg, table, ckpt_id, batch_id):
             return  # replayed batch: zero work, state already committed
         _ensure_epochs_table(spark_of(df), cfg, table)

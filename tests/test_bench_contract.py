@@ -120,6 +120,18 @@ def test_no_per_query_walltime_regression_between_rounds():
         bad_last = _regressions(base["queries"], last["queries"])
         bad_mid = _regressions(base["queries"], mid["queries"])
         bad = {n: msg for n, msg in bad_last.items() if n in bad_mid}
+        # queries too young to exist in the base round would otherwise be
+        # exempt entirely (round-11 review); for those, fall back to the
+        # single-comparison prev-vs-last gate — one round of potential
+        # noise-sensitivity, bounded to newly-added headline queries
+        young = {n for n in last["queries"] if n not in base["queries"]}
+        bad.update(
+            {
+                n: msg
+                for n, msg in _regressions(mid["queries"], last["queries"]).items()
+                if n in young
+            }
+        )
     assert not bad, (
         "per-query wall-time regressions confirmed across the two most "
         f"recent driver rounds (own-time, >{GROWTH}x share and "

@@ -654,3 +654,17 @@ def test_streaming_upsert_sink_epoch_guard_zero_rework(spark, cfg, tmp_path, mon
     run("ckpt2")  # fresh checkpoint: every batch re-delivered, same ids
     assert _wh(spark, cfg, "wh_ep_stream") == want
     assert calls == []  # the guard skipped every replayed batch up front
+
+
+def test_epoch_guard_rejects_oversized_checkpoint_id(spark, cfg):
+    """A checkpoint_id wider than the VARCHAR(512) __epochs column must
+    fail FAST in Python — a server-side truncation error inside the merge
+    transaction would fail every retry identically and wedge the stream."""
+    from oltp_to_data_warehouse_pipeline_spark.sources.jdbc import write_upsert
+
+    b = spark.createDataFrame([(1, 1.0, 1)], "id long, amount double, ver long")
+    with pytest.raises(ValueError, match="checkpoint_id is 600 chars"):
+        write_upsert(
+            b, cfg, "whlong", keys=["id"], order_cols=["ver"],
+            epoch=("c" * 600, 0),
+        )

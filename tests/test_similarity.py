@@ -479,20 +479,71 @@ def test_sharded_near_dup_respects_shard_boundaries(spark):
     assert (100, 101) not in got
 
 
-def test_sharded_near_dup_band_count_independent_of_corpus_size(spark):
-    """The scale claim in executable form: the band signature is sized by
-    n_shard alone, so growing the corpus 10x at fixed shard size leaves
-    (r, bands) — and with them the per-shard candidate budget — unchanged.
-    The unsharded auto path must widen under the same growth (that widening
-    IS the rho-exponent the shard wrapper exists to cap)."""
+def test_sharded_near_dup_result_stable_under_corpus_growth(spark):
+    """The scale claim in executable form (round-11 review replaced a
+    tautological same-args comparison): appending NEW shards to the corpus
+    at fixed n_shard must leave the original shards' pair set bit-identical
+    — shard-locality plus size-independent sizing together.  The unsharded
+    auto path must widen its signature under the same growth (that
+    widening IS the rho-exponent the shard wrapper exists to cap)."""
     from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
 
-    r_small, b_small = S.lsh_auto_params(275, 0.95, target_recall=0.9999)
-    r_large, b_large = S.lsh_auto_params(275, 0.95, target_recall=0.9999)
-    assert (r_small, b_small) == (r_large, b_large)  # same bound -> same plan
+    state, dim = 4242, 12
+
+    def lcg():
+        nonlocal state
+        state = (state * 48271) % 2147483647
+        return state / 2147483647.0 - 0.5
+
+    schema = "vec_id bigint, shard bigint, embedding array<double>"
+    base = [(i, i // 25, [lcg() for _ in range(dim)]) for i in range(50)]
+    base.append((900, 0, [x * 1.001 for x in base[2][2]]))   # twin in shard 0
+    extra = [(1000 + i, 100 + i // 25, [lcg() for _ in range(dim)]) for i in range(100)]
+    extra.append((1900, 100, [x * 1.001 for x in extra[0][2]]))
+
+    kw = dict(n_shard=30, threshold=0.95, target_recall=0.9999)
+    small = spark.createDataFrame(base, schema)
+    grown = spark.createDataFrame(base + extra, schema)
+    pairs_small = {
+        (r["id_a"], r["id_b"]) for r in S.sharded_near_dup(small, "shard", **kw).collect()
+    }
+    pairs_grown = {
+        (r["id_a"], r["id_b"]) for r in S.sharded_near_dup(grown, "shard", **kw).collect()
+    }
+    old_shards_only = {p for p in pairs_grown if p[0] < 1000 and p[1] < 1000}
+    assert (2, 900) in pairs_small
+    assert old_shards_only == pairs_small  # growth elsewhere changes nothing
+    assert (1000, 1900) in pairs_grown     # and the new shard still dedups
+
+    r_1x, _ = S.lsh_auto_params(275, 0.95, target_recall=0.9999)
     r_10x, _ = S.lsh_auto_params(2750, 0.95, target_recall=0.9999)
     r_100x, _ = S.lsh_auto_params(27500, 0.95, target_recall=0.9999)
-    assert r_10x > r_small and r_100x > r_10x  # unsharded MUST widen
+    assert r_10x > r_1x and r_100x > r_10x  # unsharded MUST widen
+
+
+def test_sharded_near_dup_null_shard_is_its_own_shard(spark):
+    """NULL shard keys dedup among themselves (null-safe join) instead of
+    silently vanishing from an inner equi-join (round-11 review), and a
+    NULL-shard vector never pairs with a non-NULL shard."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import similarity as S
+
+    v = [float(j % 7 - 3) for j in range(8)]
+    rows = [
+        (1, None, v),
+        (2, None, [x * 1.001 for x in v]),   # same vector, both NULL shard
+        (3, 0, [x * 1.002 for x in v]),      # same vector, real shard
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, shard bigint, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.sharded_near_dup(
+            emb, "shard", n_shard=10, threshold=0.95, target_recall=0.9999
+        ).collect()
+    }
+    assert (1, 2) in got          # the NULL shard dedups internally
+    assert not {(1, 3), (2, 3)} & got  # and never crosses into shard 0
 
 
 def test_band_keys_carry_cols_passthrough(spark):

@@ -213,6 +213,12 @@ def test_cosine_topk_sql_equals_dataframe_api(spark, surface):
 
 
 def test_sharded_near_dup_sql_equals_dataframe_api(spark, surface):
+    """View ≡ API at the view's pinned near-dup parameters
+    (threshold = recall_sim = 0.85, so the recall target covers the whole
+    advertised range).  The fixture's max background cosine is ~0.48, so
+    BOTH sides are legitimately empty here — emptiness equality is the
+    contract; nonempty behavior is pinned by the planted-twin operator
+    tests and the oracle-gated sharded_near_dup query."""
     from oltp_to_data_warehouse_pipeline_spark.operators import similarity
 
     got = spark.sql("SELECT * FROM sqlops_sharded_near_dup")
@@ -220,9 +226,36 @@ def test_sharded_near_dup_sql_equals_dataframe_api(spark, surface):
         "shard", F.floor(F.col("vec_id") / 250)
     )
     want = similarity.sharded_near_dup(
-        emb, "shard", n_shard=250, threshold=0.4, dim=64
+        emb, "shard", n_shard=250, threshold=0.85, recall_sim=0.85, dim=64
     )
-    assert _rows(got) == _rows(want) and got.count() > 0
+    assert _rows(got) == _rows(want)
+    assert got.columns == ["id_a", "id_b", "sim"]
+
+
+def test_registration_runs_no_data_jobs_for_lazy_views(spark):
+    """register_sql_surface without ivf_index_path must launch no
+    DATA-scale Spark work (round-11 review: the cosine_topk view's
+    bounded() probe was running a corpus scan and pinning blocks at
+    registration).  The only jobs allowed are load_table's parquet
+    schema/footer reads — single-task metadata jobs, one per catalog
+    table — so the assertion is on task counts, not job counts."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = "sqlsurface-lazy-reg"
+    sc.setJobGroup(group, "registration must be lazy")
+    try:
+        register_sql_surface(spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = tracker.getJobIdsForGroup(group) or []
+    fat = []
+    for j in jobs:
+        info = tracker.getJobInfo(j)
+        for sid in info.stageIds if info else []:
+            s = tracker.getStageInfo(sid)
+            if s and s.numTasks > 1:
+                fat.append((j, sid, s.numTasks))
+    assert not fat, f"registration launched data-scale stages: {fat}"
 
 
 def test_lm_gate_sql_equals_dataframe_api(spark, surface):
