@@ -55,7 +55,10 @@ HEADLINE = [
     # set-similarity family stays covered by minhash_lsh_candidates +
     # prefix_filter_near_pairs; remains oracle-gated
     "cosine_topk",
-    "embedding_near_dup_lsh",
+    # embedding_near_dup_lsh rotated out round 11 for sharded_near_dup —
+    # the fixed-plane LSH stays oracle-gated + in the decade study; the
+    # sharded path is the scale-story representative of the family now
+    "sharded_near_dup",
     "doc_winnowing_fingerprints",
     "curate_corpus",
     "doc_pii_scrub",
