@@ -163,6 +163,24 @@ def minhash_signatures(
     return out.select(F.col(id_col), *sigs)
 
 
+def minhash_band_keys(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """``(doc, band, key)`` band keys from a :func:`minhash_signatures`
+    relation — rows_per_band = num_hashes / bands, key = md5 over the
+    band's signature components.  Shared by the inline candidate join and
+    the persisted index (operators/lshindex.py), so both derive
+    bit-identical keys from the same signature."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")))
+    return sigs.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
@@ -172,14 +190,7 @@ def lsh_candidate_pairs(
     The join is an equi-join on (band_idx, band_key): shuffle-partitioned,
     no cross join anywhere.
     """
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key")))
-    banded = sigs.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = minhash_band_keys(sigs, id_col, num_hashes, bands)
     # Bucket-expand instead of self-join: group the docs of each (band, key)
     # bucket (ONE shuffle — the signatures are derived once, no cached
     # intermediate, no second scan) and expand a<b pairs as array
