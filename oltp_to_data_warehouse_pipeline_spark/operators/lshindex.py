@@ -113,20 +113,28 @@ def lsh_probe(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(probe_id, index_id)`` between the increment and
     the indexed corpus: increment band keys broadcast, index streamed.
     Self-matches (a probe doc already present in the index under the same
     id) are excluded; ordering is NOT imposed between the sides — probe_id
-    is always the increment's id."""
+    is always the increment's id.
+
+    ``exclude_batch_id``: for indexes laid out per-batch
+    (``batch_id=<n>/`` subdirs — the streaming ingest layout,
+    streaming/dedup_ingest.py), exclude that batch's own partition so a
+    REPLAYED micro-batch probes exactly the pre-batch index — the filter
+    is on the partition column, so it prunes statically."""
     spark = new_docs.sparkSession
     m = lsh_read_model(spark, path)
     probe = _band_rows(
         new_docs, id_col, text_col, m["num_hashes"], m["bands"], m["shingle_n"]
     ).select(F.col("doc").alias("probe_id"), "band", "key")
-    index = spark.read.parquet(path).select(
-        F.col("doc").alias("index_id"), "band", "key"
-    )
+    index = spark.read.parquet(path)
+    if exclude_batch_id is not None:
+        index = index.where(F.col("batch_id") != F.lit(exclude_batch_id))
+    index = index.select(F.col("doc").alias("index_id"), "band", "key")
     return (
         index.join(F.broadcast(probe), ["band", "key"])
         .where(F.col("probe_id") != F.col("index_id"))
@@ -142,6 +150,7 @@ def lsh_probe_verified(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """``(probe_id, index_id, jaccard)`` — candidates verified with EXACT
     shingle Jaccard (shingle width from the index model), precision 1.
@@ -150,7 +159,7 @@ def lsh_probe_verified(
     index was built from)."""
     spark = new_docs.sparkSession
     m = lsh_read_model(spark, path)
-    cand = lsh_probe(new_docs, path, id_col, text_col)
+    cand = lsh_probe(new_docs, path, id_col, text_col, exclude_batch_id)
     n = m["shingle_n"]
     p_sh = new_docs.select(
         F.col(id_col).alias("probe_id"),

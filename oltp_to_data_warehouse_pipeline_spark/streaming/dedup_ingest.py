@@ -1,0 +1,181 @@
+"""Dedup-on-ingest: a ``foreachBatch`` sink that rejects near-duplicates
+of the ALREADY-INGESTED corpus at ingestion time.
+
+The LLM-curation pattern this implements: a continuously-ingested corpus
+(crawl snapshots, upload streams) where each arriving document should be
+admitted only if it is not a near-dup of anything already admitted —
+dedup as an ingest gate, not a periodic batch sweep.  Built on the
+persisted MinHash-LSH index (`operators/lshindex.py`): each micro-batch
+is probed against the index (exact-Jaccard verified, precision 1),
+survivors are appended to BOTH the corpus store and the index, rejects
+optionally land in a reject store for audit.
+
+Replay correctness (the part that must be right): Spark's checkpoint
+gives at-least-once batch delivery, so every write is a per-batch
+``batch_id=<epoch>/`` subdirectory written with OVERWRITE — a replayed
+batch rewrites its own partition instead of duplicating rows (the same
+idiom as streaming/trending.py).  The probe excludes the batch's own
+partition (``exclude_batch_id`` — a static partition-prune filter), so a
+batch replayed AFTER its writes landed still probes exactly the
+pre-batch index and admits exactly the same survivors: the whole fold is
+a deterministic function of (pre-batch state, batch), which makes replay
+idempotent end to end.
+
+Within-batch duplicates: the batch is first exact-deduped on the id
+(at-least-once sources can repeat rows) and then near-dup-deduped
+AGAINST ITSELF via the same verified-pair machinery (lowest id wins), so
+two near-dup documents arriving in one micro-batch cannot both slip past
+the gate that would have caught them in separate batches.
+
+Ordering trade (documented, standard for ingest gates): admission is
+batch-atomic — two near-dup documents in DIFFERENT in-flight streams or
+racing writers are out of contract (single-writer, like every store in
+this engine).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oltp_to_data_warehouse_pipeline_spark import fs
+from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
+from oltp_to_data_warehouse_pipeline_spark.operators.dedup import word_shingles
+from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
+
+
+def _self_near_dup_losers(
+    batch: DataFrame, id_col: str, text_col: str,
+    threshold: float, num_hashes: int, bands: int, shingle_n: int,
+) -> DataFrame:
+    """ids to drop so no two admitted docs of one batch are near-dups:
+    candidate pairs within the batch, exact-verified, then every doc that
+    is the HIGHER id of at least one verified pair loses.  Deterministic,
+    and guarantees no two survivors are a verified pair; on chain-shaped
+    clusters (a~b, b~c, not a~c) it over-rejects rather than under-admits
+    (c drops because of b even though b itself drops because of a) — the
+    safe direction for an ingest gate."""
+    from oltp_to_data_warehouse_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sh = batch.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .where(inter / union >= threshold)
+        .select(F.greatest("doc_a", "doc_b").alias(id_col))
+        .distinct()
+    )
+
+
+def dedup_ingest_sink(
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    reject_path: str | None = None,
+):
+    """``foreachBatch`` body.  Usage::
+
+        stream.writeStream.foreachBatch(
+            dedup_ingest_sink("/idx", "/corpus", reject_path="/rejects")
+        ).option("checkpointLocation", ckpt).start()
+
+    Stores: ``corpus_path`` holds admitted documents (all batch columns),
+    ``index_path`` their band keys, ``reject_path`` (optional) the
+    rejected rows plus ``matched_index_id``/``jaccard`` audit columns —
+    each as ``batch_id=<epoch>/`` partitions (see module docstring)."""
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        try:
+            model = {
+                "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+            }
+            try:
+                existing = lshindex.lsh_read_model(spark, index_path)
+                if existing != model:
+                    raise ValueError(
+                        f"dedup_ingest_sink: index at {index_path} was built "
+                        f"with {existing}, sink configured with {model} — "
+                        "band keys would be incomparable; rebuild the index "
+                        "or match the parameters"
+                    )
+            except ValueError:
+                raise
+            except Exception:  # model file absent: first ever batch
+                fs.write_text(
+                    spark, fs.join(index_path, lshindex.MODEL_FILE),
+                    json.dumps(model),
+                )
+
+            # 1. reject near-dups of the already-admitted corpus
+            if fs.has_data_files(spark, index_path):
+                dups = lshindex.lsh_probe_verified(
+                    batch, index_path, spark.read.parquet(corpus_path),
+                    threshold=threshold, id_col=id_col, text_col=text_col,
+                    exclude_batch_id=epoch_id,
+                ).localCheckpoint(eager=True)
+            else:
+                dups = None
+            try:
+                clean = batch
+                if dups is not None:
+                    hits = dups.select(F.col("probe_id").alias(id_col)).distinct()
+                    clean = batch.join(hits, id_col, "left_anti")
+                    if reject_path is not None:
+                        best = dups.groupBy("probe_id").agg(
+                            F.max(F.struct("jaccard", "index_id")).alias("m")
+                        ).select(
+                            F.col("probe_id").alias(id_col),
+                            F.col("m.index_id").alias("matched_index_id"),
+                            F.col("m.jaccard").alias("jaccard"),
+                        )
+                        batch.join(best, id_col).write.mode("overwrite").parquet(
+                            f"{reject_path}/batch_id={epoch_id}"
+                        )
+
+                # 2. reject within-batch near-dups (higher id loses)
+                losers = _self_near_dup_losers(
+                    clean, id_col, text_col, threshold,
+                    num_hashes, bands, shingle_n,
+                )
+                clean = clean.join(losers, id_col, "left_anti").localCheckpoint(
+                    eager=True
+                )
+                try:
+                    # 3. admit: corpus rows + index band rows, one
+                    # OVERWRITTEN partition per batch (replay-idempotent)
+                    clean.write.mode("overwrite").parquet(
+                        f"{corpus_path}/batch_id={epoch_id}"
+                    )
+                    lshindex._band_rows(
+                        clean, id_col, text_col, num_hashes, bands, shingle_n
+                    ).write.mode("overwrite").parquet(
+                        f"{index_path}/batch_id={epoch_id}"
+                    )
+                finally:
+                    release_checkpoint(clean)
+            finally:
+                if dups is not None:
+                    release_checkpoint(dups)
+        finally:
+            release_checkpoint(batch)
+
+    return fold
