@@ -102,7 +102,15 @@ def lsh_append(
     At-least-once ingestion note: appending the same document twice leaves
     duplicate band rows, which the probe's final ``distinct`` absorbs —
     pair output is unaffected."""
-    m = lsh_read_model(new_docs.sparkSession, path)
+    spark = new_docs.sparkSession
+    m = lsh_read_model(spark, path)
+    if "batch_id" in spark.read.parquet(path).columns:
+        raise ValueError(
+            f"lsh_append: index at {path} uses the streaming per-batch "
+            "layout (batch_id= partitions, managed by "
+            "streaming/dedup_ingest.py) — a flat append would corrupt "
+            "partition discovery; ingest through the sink instead"
+        )
     _band_rows(
         new_docs, id_col, text_col, m["num_hashes"], m["bands"], m["shingle_n"]
     ).write.mode("append").parquet(path)
@@ -113,7 +121,7 @@ def lsh_probe(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    exclude_batch_id: int | None = None,
+    before_batch_id: int | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(probe_id, index_id)`` between the increment and
     the indexed corpus: increment band keys broadcast, index streamed.
@@ -121,19 +129,30 @@ def lsh_probe(
     id) are excluded; ordering is NOT imposed between the sides — probe_id
     is always the increment's id.
 
-    ``exclude_batch_id``: for indexes laid out per-batch
-    (``batch_id=<n>/`` subdirs — the streaming ingest layout,
-    streaming/dedup_ingest.py), exclude that batch's own partition so a
-    REPLAYED micro-batch probes exactly the pre-batch index — the filter
-    is on the partition column, so it prunes statically."""
+    ``before_batch_id``: for indexes laid out per-batch (``batch_id=<n>/``
+    subdirs — the streaming ingest layout, streaming/dedup_ingest.py),
+    probe only partitions with ``batch_id < n`` — the state that existed
+    BEFORE batch n.  A replayed batch must not see its own partition NOR
+    any later batch's leftovers (a fresh-checkpoint replay re-runs early
+    batches while later partitions from the previous run still exist —
+    round-11 review: excluding only the batch's own id let those leak in
+    and change admission decisions).  The filter is on the partition
+    column, so it prunes statically."""
     spark = new_docs.sparkSession
     m = lsh_read_model(spark, path)
     probe = _band_rows(
         new_docs, id_col, text_col, m["num_hashes"], m["bands"], m["shingle_n"]
     ).select(F.col("doc").alias("probe_id"), "band", "key")
     index = spark.read.parquet(path)
-    if exclude_batch_id is not None:
-        index = index.where(F.col("batch_id") != F.lit(exclude_batch_id))
+    if before_batch_id is not None:
+        if "batch_id" not in index.columns:
+            raise ValueError(
+                f"lsh_probe: before_batch_id given but the index at {path} "
+                "is not per-batch partitioned (no batch_id column) — it was "
+                "written by lsh_write_index/lsh_append, not the streaming "
+                "ingest sink"
+            )
+        index = index.where(F.col("batch_id") < F.lit(before_batch_id))
     index = index.select(F.col("doc").alias("index_id"), "band", "key")
     return (
         index.join(F.broadcast(probe), ["band", "key"])
@@ -150,30 +169,42 @@ def lsh_probe_verified(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    exclude_batch_id: int | None = None,
+    before_batch_id: int | None = None,
 ) -> DataFrame:
     """``(probe_id, index_id, jaccard)`` — candidates verified with EXACT
     shingle Jaccard (shingle width from the index model), precision 1.
     ``corpus`` supplies the indexed documents' texts (the index stores
     band keys only — at 100 TB the texts live in the lakehouse table the
-    index was built from)."""
+    index was built from).
+
+    Cost shape: the candidate relation (increment-sized) is BROADCAST and
+    the corpus streams past it, so the corpus is scanned but never
+    shuffled, and shingle computation happens AFTER the join — only
+    matched corpus documents are ever shingled (round-11 review: a
+    pre-join shingle projection re-tokenized the whole corpus per probe).
+    The text-column scan itself is the remaining O(corpus) term; a
+    lakehouse deployment prunes it further by sorting/bucketing the
+    corpus table on the id so the candidate ids push down."""
     spark = new_docs.sparkSession
     m = lsh_read_model(spark, path)
-    cand = lsh_probe(new_docs, path, id_col, text_col, exclude_batch_id)
+    cand = lsh_probe(new_docs, path, id_col, text_col, before_batch_id)
     n = m["shingle_n"]
-    p_sh = new_docs.select(
-        F.col(id_col).alias("probe_id"),
-        word_shingles(text_col, n).alias("__psh"),
+    p_txt = new_docs.select(
+        F.col(id_col).alias("probe_id"), F.col(text_col).alias("__ptext")
     )
-    c_sh = corpus.select(
-        F.col(id_col).alias("index_id"),
-        word_shingles(text_col, n).alias("__csh"),
+    # candidates ⋈ increment texts: both increment-sized → broadcast build
+    build = cand.join(p_txt, "probe_id")
+    c_txt = corpus.select(
+        F.col(id_col).alias("index_id"), F.col(text_col).alias("__ctext")
     )
     inter = F.size(F.array_intersect("__psh", "__csh"))
     union = F.size("__psh") + F.size("__csh") - inter
     return (
-        cand.join(F.broadcast(p_sh), "probe_id")
-        .join(c_sh, "index_id")
+        c_txt.join(F.broadcast(build), "index_id")
+        # shingle columns projected AFTER the join — computed once per
+        # matched row, never for unmatched corpus rows
+        .withColumn("__psh", word_shingles(F.col("__ptext"), n))
+        .withColumn("__csh", word_shingles(F.col("__ctext"), n))
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("probe_id", "index_id", F.round("jaccard", 4).alias("jaccard"))

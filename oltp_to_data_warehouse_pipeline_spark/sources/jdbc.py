@@ -518,26 +518,36 @@ def _epoch_insert_sql(table: str, checkpoint_id: str, batch_id: int) -> str:
 
 
 def _ensure_epochs_table(spark, cfg: JdbcConfig, table: str) -> None:
+    schema, base = _split_qualified(table)
+    # index name carries the table's schema qualifier (Derby requires
+    # an index to live in its table's schema; an unqualified name
+    # would land in the CURRENT schema and fail for qualified targets)
+    idx = f"{schema}.{base}__epochs_uq" if schema else f"{base}__epochs_uq"
+    # unique index: (a) the per-batch committed-probe is an index seek
+    # instead of a scan that grows with stream lifetime, (b) the
+    # one-row-per-batch audit claim is structural — a racing double
+    # insert fails the transaction instead of silently duplicating
+    index_sql = (
+        f"CREATE UNIQUE INDEX {idx} "
+        f"ON {table}__epochs (checkpoint_id, batch_id)"
+    )
     if not table_exists(spark, cfg, f"{table}__epochs"):
-        schema, base = _split_qualified(table)
-        # index name carries the table's schema qualifier (Derby requires
-        # an index to live in its table's schema; an unqualified name
-        # would land in the CURRENT schema and fail for qualified targets)
-        idx = f"{schema}.{base}__epochs_uq" if schema else f"{base}__epochs_uq"
-        # unique index: (a) the per-batch committed-probe is an index seek
-        # instead of a scan that grows with stream lifetime, (b) the
-        # one-row-per-batch audit claim is structural — a racing double
-        # insert fails the transaction instead of silently duplicating
         _execute(
             spark, cfg,
             [
                 f"CREATE TABLE {table}__epochs "
                 "(checkpoint_id VARCHAR(512) NOT NULL, "
                 "batch_id BIGINT NOT NULL)",
-                f"CREATE UNIQUE INDEX {idx} "
-                f"ON {table}__epochs (checkpoint_id, batch_id)",
+                index_sql,
             ],
         )
+    elif not has_unique_index(
+        spark, cfg, f"{table}__epochs", ["checkpoint_id", "batch_id"]
+    ):
+        # lazy upgrade: an __epochs table created before the index existed
+        # (round-11 review — the create-branch-only DDL left pre-existing
+        # deployments scanning forever and without the uniqueness guard)
+        _execute(spark, cfg, [index_sql])
 
 
 def write_upsert(

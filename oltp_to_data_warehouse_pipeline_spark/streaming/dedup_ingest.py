@@ -14,18 +14,27 @@ Replay correctness (the part that must be right): Spark's checkpoint
 gives at-least-once batch delivery, so every write is a per-batch
 ``batch_id=<epoch>/`` subdirectory written with OVERWRITE — a replayed
 batch rewrites its own partition instead of duplicating rows (the same
-idiom as streaming/trending.py).  The probe excludes the batch's own
-partition (``exclude_batch_id`` — a static partition-prune filter), so a
-batch replayed AFTER its writes landed still probes exactly the
-pre-batch index and admits exactly the same survivors: the whole fold is
-a deterministic function of (pre-batch state, batch), which makes replay
-idempotent end to end.
+idiom as streaming/trending.py).  The probe reads only partitions
+STRICTLY BEFORE the batch's own id (``before_batch_id`` — a static
+partition-prune filter), so a batch replayed after its writes landed —
+including a fresh-checkpoint replay running while LATER batches'
+partitions from the previous run still exist — probes exactly the
+pre-batch index and admits exactly the same survivors: the whole fold
+is a deterministic function of (pre-batch state, batch), which makes
+replay idempotent end to end.  (Round-11 review: excluding only the
+batch's OWN partition let future partitions leak into early replayed
+batches and flip admission decisions.)
 
-Within-batch duplicates: the batch is first exact-deduped on the id
-(at-least-once sources can repeat rows) and then near-dup-deduped
-AGAINST ITSELF via the same verified-pair machinery (lowest id wins), so
-two near-dup documents arriving in one micro-batch cannot both slip past
-the gate that would have caught them in separate batches.
+Within-batch duplicates: the batch is first LWW-deduped on the id with
+a content-hash tiebreak (at-least-once sources can repeat rows;
+``dropDuplicates`` would keep a task-order-dependent row and break
+replay determinism), rows whose id is ALREADY ADMITTED in an earlier
+batch are dropped as re-deliveries (the probe's self-match exclusion
+would otherwise let an exact re-upload of an admitted document sail
+through — its only jaccard-1 match is itself), and the remainder is
+near-dup-deduped AGAINST ITSELF via the same verified-pair machinery,
+so two near-dup documents arriving in one micro-batch cannot both slip
+past the gate that would have caught them in separate batches.
 
 Ordering trade (documented, standard for ingest gates): admission is
 batch-atomic — two near-dup documents in DIFFERENT in-flight streams or
@@ -102,13 +111,27 @@ def dedup_ingest_sink(
     each as ``batch_id=<epoch>/`` partitions (see module docstring)."""
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
+        from oltp_to_data_warehouse_pipeline_spark.operators.dedup import lww_dedup
+
         spark = batch.sparkSession
-        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        # deterministic winner per id (content-hash order): dropDuplicates
+        # keeps a task-order-dependent row, which would make a crash-replay
+        # of a batch carrying two different texts under one id
+        # nondeterministic (round-11 review)
+        content = F.xxhash64(*[F.col(c) for c in sorted(batch.columns)])
+        batch = lww_dedup(batch, [id_col], [content.desc()]).localCheckpoint(
+            eager=True
+        )
         try:
             model = {
                 "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
             }
-            try:
+            model_path = fs.join(index_path, lshindex.MODEL_FILE)
+            # existence probe, NOT try/except around the read: a transient
+            # read error must fail the batch (checkpoint retries it), never
+            # masquerade as "first batch" and clobber an existing index's
+            # geometry record (round-11 review)
+            if fs.exists(spark, model_path):
                 existing = lshindex.lsh_read_model(spark, index_path)
                 if existing != model:
                     raise ValueError(
@@ -117,28 +140,39 @@ def dedup_ingest_sink(
                         "band keys would be incomparable; rebuild the index "
                         "or match the parameters"
                     )
-            except ValueError:
-                raise
-            except Exception:  # model file absent: first ever batch
-                fs.write_text(
-                    spark, fs.join(index_path, lshindex.MODEL_FILE),
-                    json.dumps(model),
-                )
+            else:
+                fs.write_text(spark, model_path, json.dumps(model))
 
             # 1. reject near-dups of the already-admitted corpus
             if fs.has_data_files(spark, index_path):
+                prior = spark.read.parquet(index_path).where(
+                    F.col("batch_id") < F.lit(epoch_id)
+                )
                 dups = lshindex.lsh_probe_verified(
                     batch, index_path, spark.read.parquet(corpus_path),
                     threshold=threshold, id_col=id_col, text_col=text_col,
-                    exclude_batch_id=epoch_id,
+                    before_batch_id=epoch_id,
                 ).localCheckpoint(eager=True)
             else:
-                dups = None
+                prior, dups = None, None
             try:
                 clean = batch
+                if prior is not None:
+                    # drop re-deliveries: ids already admitted in an EARLIER
+                    # batch (the probe's self-match exclusion would re-admit
+                    # an exact re-upload of an admitted doc).  Batch ids
+                    # broadcast; the index id column streams, no shuffle.
+                    batch_ids = batch.select(F.col(id_col).alias("doc")).distinct()
+                    known = (
+                        prior.select("doc")
+                        .join(F.broadcast(batch_ids), "doc")
+                        .distinct()
+                        .select(F.col("doc").alias(id_col))
+                    )
+                    clean = clean.join(known, id_col, "left_anti")
                 if dups is not None:
                     hits = dups.select(F.col("probe_id").alias(id_col)).distinct()
-                    clean = batch.join(hits, id_col, "left_anti")
+                    clean = clean.join(hits, id_col, "left_anti")
                     if reject_path is not None:
                         best = dups.groupBy("probe_id").agg(
                             F.max(F.struct("jaccard", "index_id")).alias("m")

@@ -112,8 +112,8 @@ def test_full_replay_from_fresh_checkpoint_converges(spark, tmp_path):
 def test_single_batch_refold_is_idempotent(spark, tmp_path):
     """The crash-replay unit: calling the fold twice with the same epoch id
     rewrites the same partitions and admits the same survivors — the probe
-    excludes the batch's own partition, so the second fold sees exactly
-    the pre-batch index."""
+    reads only partitions strictly BEFORE the batch's id, so the second
+    fold sees exactly the pre-batch index."""
     base = str(tmp_path / "store")
     sink = dedup_ingest_sink(f"{base}/idx", f"{base}/corpus")
     b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
@@ -136,3 +136,32 @@ def test_mismatched_index_parameters_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="incomparable"):
         other(b0, 1)
+
+
+def test_same_id_redelivery_is_absorbed(spark, tmp_path):
+    """An admitted document re-delivered in a LATER batch under the same id
+    must not be re-admitted (round-11 review: the probe's self-match
+    exclusion alone would wave an exact re-upload through)."""
+    base = str(tmp_path / "store")
+    sink = dedup_ingest_sink(f"{base}/idx", f"{base}/corpus")
+    b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
+    sink(b0, 0)
+    redeliver = spark.createDataFrame([(1, BASE), (8, FRESH)], "doc_id long, text string")
+    sink(redeliver, 1)
+    rows = spark.read.parquet(f"{base}/corpus").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 8]  # no duplicate id 1
+    assert [r["batch_id"] for r in rows if r["doc_id"] == 1] == [0]
+
+
+def test_within_batch_duplicate_ids_resolve_deterministically(spark, tmp_path):
+    """Two rows sharing an id in one batch pick the SAME winner on every
+    fold (content-hash LWW, not task-order dropDuplicates)."""
+    base1, base2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    b = spark.createDataFrame(
+        [(1, BASE), (1, OTHER)], "doc_id long, text string"
+    ).repartition(8)
+    dedup_ingest_sink(f"{base1}/idx", f"{base1}/corpus")(b, 0)
+    dedup_ingest_sink(f"{base2}/idx", f"{base2}/corpus")(b.repartition(3), 0)
+    t1 = [r["text"] for r in spark.read.parquet(f"{base1}/corpus").collect()]
+    t2 = [r["text"] for r in spark.read.parquet(f"{base2}/corpus").collect()]
+    assert t1 == t2 and len(t1) == 1

@@ -119,3 +119,23 @@ def test_model_file_pins_geometry(spark, tmp_path):
     # band ids in the stored index respect the model's band count
     bands = {r["band"] for r in spark.read.parquet(path).select("band").distinct().collect()}
     assert bands == {0, 1, 2}
+
+
+def test_layout_guards(spark, tmp_path):
+    """Flat and per-batch index layouts refuse each other's operations
+    loudly instead of corrupting partition discovery (round-11 review)."""
+    from oltp_to_data_warehouse_pipeline_spark.streaming.dedup_ingest import (
+        dedup_ingest_sink,
+    )
+
+    corpus, inc = _split(spark)
+    flat = str(tmp_path / "flat")
+    lshindex.lsh_write_index(corpus, flat)
+    with pytest.raises(ValueError, match="not per-batch partitioned"):
+        lshindex.lsh_probe(inc, flat, before_batch_id=3).collect()
+
+    streamed = str(tmp_path / "streamed")
+    b = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    dedup_ingest_sink(f"{streamed}/idx", f"{streamed}/corpus")(b, 0)
+    with pytest.raises(ValueError, match="per-batch layout"):
+        lshindex.lsh_append(corpus, f"{streamed}/idx")
