@@ -10784,6 +10784,238 @@ def source_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_quality_gate(d, slack_bits=1.0)
 
 
+# ---------------------------------------------------------------------------
+# Round 11 (late): persisted LSH index lifecycle + dedup-on-ingest decisions
+# ---------------------------------------------------------------------------
+
+
+def _mh_banded_cte(rel: str) -> str:
+    """DuckDB CTE chain replaying ``minhash_signatures`` (8 hashes) +
+    ``minhash_band_keys`` (4 bands) at shingle_n=3 over ``rel(doc_id, text)``
+    — the same hex-digit folding as `minhash_lsh_candidates`'s oracle, but
+    emitted per-relation so one statement can band two different doc sets
+    (index side vs probe side).  Defines ``sh_{rel}``, ``ab_{rel}``,
+    ``sigs_{rel}``, ``banded_{rel}(doc, band, key)``; the caller supplies
+    surrounding commas."""
+    return f"""
+    sh_{rel} AS (
+      SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+      FROM {rel}
+    ),
+    ab_{rel} AS (
+      SELECT doc,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(sh), i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) % 2147483647 AS a,
+             list_sum(list_transform(generate_series(1, 12), i ->
+               (strpos('0123456789abcdef', substring(md5(sh), 16 + i, 1)) - 1)::BIGINT
+                 << (4 * (12 - i)))) % 2147483647 AS b
+      FROM sh_{rel}
+    ),
+    sigs_{rel} AS (
+      SELECT doc,
+             min((a + 0 * b) % 2147483647) AS sig_0, min((a + 1 * b) % 2147483647) AS sig_1,
+             min((a + 2 * b) % 2147483647) AS sig_2, min((a + 3 * b) % 2147483647) AS sig_3,
+             min((a + 4 * b) % 2147483647) AS sig_4, min((a + 5 * b) % 2147483647) AS sig_5,
+             min((a + 6 * b) % 2147483647) AS sig_6, min((a + 7 * b) % 2147483647) AS sig_7
+      FROM ab_{rel} GROUP BY doc
+    ),
+    banded_{rel} AS (
+      SELECT doc, 0 AS band, md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR) AS key FROM sigs_{rel}
+      UNION ALL SELECT doc, 1, md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR) FROM sigs_{rel}
+      UNION ALL SELECT doc, 2, md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR) FROM sigs_{rel}
+      UNION ALL SELECT doc, 3, md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) FROM sigs_{rel}
+    )"""
+
+
+@query(
+    "lsh_index_probe",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0),
+    {_mh_banded_cte("corpus")},
+    {_mh_banded_cte("inc")},
+    cand AS (
+      SELECT DISTINCT i.doc AS probe_id, c.doc AS index_id
+      FROM banded_inc i JOIN banded_corpus c
+        ON i.band = c.band AND i.key = c.key AND i.doc != c.doc),
+    sizes_i AS (SELECT doc, count(*) AS n FROM sh_inc GROUP BY doc),
+    sizes_c AS (SELECT doc, count(*) AS n FROM sh_corpus GROUP BY doc),
+    inter AS (
+      SELECT p.probe_id, p.index_id, count(*) AS i
+      FROM cand p
+      JOIN sh_inc a ON a.doc = p.probe_id
+      JOIN sh_corpus b ON b.doc = p.index_id AND b.sh = a.sh
+      GROUP BY 1, 2)
+    SELECT n.probe_id, n.index_id,
+           round(n.i / (si.n + sc.n - n.i), 4) + 0.0 AS jaccard
+    FROM inter n
+    JOIN sizes_i si ON si.doc = n.probe_id
+    JOIN sizes_c sc ON sc.doc = n.index_id
+    WHERE n.i / (si.n + sc.n - n.i) >= 0.2
+    """,
+)
+def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full persisted-index lifecycle, hash-checked: write (40% of docs) →
+    append (another 40%, geometry read back from the model file) → probe
+    the remaining 20% plus planted exact twins of every 7th indexed doc,
+    exact-Jaccard verified at τ=0.2 (:mod:`operators/lshindex` — the
+    incremental near-dup path where each document's signature is paid once,
+    at ingest).  The oracle replays the identical md5 double-hash banding
+    over BOTH sides, so a hash match certifies the disk round-trip changed
+    nothing: write→append→probe ≡ inline banding of index ⋈ increment.
+    The planted twins (signature-identical to their parent → all four bands
+    collide) guarantee the result is non-empty at every SF.  Probe plan:
+    increment band keys broadcast, index scanned but never shuffled."""
+    import tempfile
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_a = d.where((F.col("doc_id") % 5).isin(1, 2))
+    corpus_b = d.where((F.col("doc_id") % 5).isin(3, 4))
+    corpus = corpus_a.unionByName(corpus_b)
+    twins = corpus.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    inc = d.where(F.col("doc_id") % 5 == 0).unionByName(twins)
+    path = tempfile.mkdtemp(prefix="spark_graft_lshidx_")
+    lshindex.lsh_write_index(corpus_a, path)
+    lshindex.lsh_append(corpus_b, path)
+    return lshindex.lsh_probe_verified(inc, path, corpus, threshold=0.2)
+
+
+@query(
+    "ingest_gate_batch",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, text FROM corpus WHERE doc_id % 11 = 1
+      UNION ALL SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 13 = 2
+      UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0),
+    {_mh_banded_cte("corpus")},
+    {_mh_banded_cte("batch")},
+    known AS (
+      SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON c.doc_id = b.doc_id),
+    cand AS (
+      SELECT DISTINCT bb.doc AS probe_id, bc.doc AS index_id
+      FROM banded_batch bb JOIN banded_corpus bc
+        ON bb.band = bc.band AND bb.key = bc.key AND bb.doc != bc.doc),
+    sizes_b AS (SELECT doc, count(*) AS n FROM sh_batch GROUP BY doc),
+    sizes_c AS (SELECT doc, count(*) AS n FROM sh_corpus GROUP BY doc),
+    inter AS (
+      SELECT p.probe_id, p.index_id, count(*) AS i
+      FROM cand p
+      JOIN sh_batch a ON a.doc = p.probe_id
+      JOIN sh_corpus b ON b.doc = p.index_id AND b.sh = a.sh
+      GROUP BY 1, 2),
+    hits AS (
+      SELECT DISTINCT n.probe_id AS doc_id
+      FROM inter n
+      JOIN sizes_b sb ON sb.doc = n.probe_id
+      JOIN sizes_c sc ON sc.doc = n.index_id
+      WHERE n.i / (sb.n + sc.n - n.i) >= 0.5),
+    clean AS (
+      SELECT doc_id FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM known)
+        AND doc_id NOT IN (SELECT doc_id FROM hits)),
+    cand2 AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM banded_batch l JOIN banded_batch r
+        ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+      JOIN clean cl ON cl.doc_id = l.doc
+      JOIN clean cr ON cr.doc_id = r.doc),
+    inter2 AS (
+      SELECT p.a, p.b, count(*) AS i
+      FROM cand2 p
+      JOIN sh_batch x ON x.doc = p.a
+      JOIN sh_batch y ON y.doc = p.b AND y.sh = x.sh
+      GROUP BY 1, 2),
+    losers AS (
+      SELECT DISTINCT greatest(n.a, n.b) AS doc_id
+      FROM inter2 n
+      JOIN sizes_b sa ON sa.doc = n.a
+      JOIN sizes_b sb ON sb.doc = n.b
+      WHERE n.i / (sa.n + sb.n - n.i) >= 0.5)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM known) THEN 'redelivery'
+                WHEN b.doc_id IN (SELECT doc_id FROM hits) THEN 'corpus_neardup'
+                WHEN b.doc_id IN (SELECT doc_id FROM losers) THEN 'batch_neardup'
+                ELSE 'admitted' END AS decision
+    FROM batch b
+    """,
+)
+def ingest_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-on-ingest gate's ADMISSION DECISION as a hash-checkable
+    batch function (:mod:`streaming/dedup_ingest` — the streaming fold's
+    per-batch partition/replay mechanics are pinned by
+    tests/test_dedup_ingest.py; this query certifies the decision logic
+    itself against an oracle that replays it relationally).  State: 80% of
+    docs pre-admitted and indexed.  Batch: the fresh 20%, plus planted
+    re-deliveries (every 11th admitted doc, verbatim — the case the probe's
+    self-match exclusion alone would re-admit), planted near-dups of the
+    corpus (every 13th admitted doc under a new id), and planted
+    within-batch twins (every 10th fresh doc under a new id).  Decision
+    precedence mirrors the fold exactly: redelivery → corpus_neardup
+    (probe verified at τ=0.5 over the FULL batch) → batch_neardup (the
+    higher id of a verified within-CLEAN pair loses) → admitted.  The
+    fold's LWW same-id tiebreak is identity here (fixture ids are unique
+    per batch); its unit tests cover that step."""
+    import tempfile
+
+    from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
+    from oltp_to_data_warehouse_pipeline_spark.streaming import dedup_ingest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    fresh = d.where(F.col("doc_id") % 5 == 0)
+    redeliveries = corpus.where(F.col("doc_id") % 11 == 1)
+    near = corpus.where(F.col("doc_id") % 13 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    twins = fresh.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    batch = (
+        fresh.unionByName(redeliveries).unionByName(near).unionByName(twins)
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_gate_")
+    lshindex.lsh_write_index(corpus, path)
+    dups = lshindex.lsh_probe_verified(batch, path, corpus, threshold=0.5)
+    hits = dups.select(F.col("probe_id").alias("doc_id")).distinct()
+    known = batch.select("doc_id").join(
+        corpus.select("doc_id"), "doc_id", "semi"
+    ).distinct()
+    clean = batch.join(known, "doc_id", "left_anti").join(
+        hits, "doc_id", "left_anti"
+    )
+    losers = dedup_ingest.self_near_dup_losers(
+        clean, "doc_id", "text", threshold=0.5, num_hashes=8, bands=4, shingle_n=3
+    )
+    return (
+        batch.select("doc_id")
+        .join(known.withColumn("__r", F.lit(1)), "doc_id", "left")
+        .join(hits.withColumn("__h", F.lit(1)), "doc_id", "left")
+        .join(losers.withColumn("__l", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__r") == 1, F.lit("redelivery"))
+            .when(F.col("__h") == 1, F.lit("corpus_neardup"))
+            .when(F.col("__l") == 1, F.lit("batch_neardup"))
+            .otherwise(F.lit("admitted"))
+            .alias("decision"),
+        )
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -10793,6 +11025,8 @@ def source_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND 11 WINDOW: new this round.
+    "lsh_index_probe",
+    "ingest_gate_batch",
     "sharded_near_dup",
     "doc_gopher_rep_fracs_chars",
     # ROUND 10 WINDOW: new LM-perplexity operators + the two queries whose

@@ -55,7 +55,7 @@ from oltp_to_data_warehouse_pipeline_spark.operators.dedup import word_shingles
 from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
 
 
-def _self_near_dup_losers(
+def self_near_dup_losers(
     batch: DataFrame, id_col: str, text_col: str,
     threshold: float, num_hashes: int, bands: int, shingle_n: int,
 ) -> DataFrame:
@@ -186,7 +186,7 @@ def dedup_ingest_sink(
                         )
 
                 # 2. reject within-batch near-dups (higher id loses)
-                losers = _self_near_dup_losers(
+                losers = self_near_dup_losers(
                     clean, id_col, text_col, threshold,
                     num_hashes, bands, shingle_n,
                 )
