@@ -120,6 +120,15 @@ def data_file_inventory(spark: SparkSession, path: str) -> str:
     return "\n".join(sorted(entries))
 
 
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Sorted child entry names of a directory; empty when absent.
+    Directory metadata only — the caller filters (partition dirs, markers)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(s.getPath().getName() for s in fs.listStatus(p))
+
+
 def join(*parts: str) -> str:
     """URI-safe path join ('/' separator, no scheme mangling)."""
     out = parts[0].rstrip("/")

@@ -91,6 +91,53 @@ def lsh_read_model(spark, path: str) -> dict:
     return json.loads(fs.read_text(spark, fs.join(path, MODEL_FILE)))
 
 
+def ensure_model(spark, path: str, model: dict) -> None:
+    """Create the model file on first use, or refuse a geometry mismatch.
+    Existence probe, NOT try/except around the read: a transient read
+    error must surface, never masquerade as "first write" and clobber an
+    existing index's geometry record."""
+    from oltp_to_data_warehouse_pipeline_spark import fs
+
+    mp = fs.join(path, MODEL_FILE)
+    if fs.exists(spark, mp):
+        existing = lsh_read_model(spark, path)
+        if existing != model:
+            raise ValueError(
+                f"lsh index at {path} was built with {existing}, caller "
+                f"supplied {model} — band keys would be incomparable; "
+                "rebuild the index or match the parameters"
+            )
+    else:
+        fs.write_text(spark, mp, json.dumps(model))
+
+
+def lsh_write_batch(
+    new_docs: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Write one ``batch_id=<n>/`` partition of band rows — the streaming
+    ingest layout (streaming/dedup_ingest.py), for batch callers that
+    manage admission themselves but still want the incremental index +
+    its maintenance ops (operators/batchstore.py: compact below the
+    replay horizon, takedown tombstones).  Partition OVERWRITE, so
+    re-running a batch id is idempotent; the model file is created on
+    first write and later writes must match its geometry."""
+    spark = new_docs.sparkSession
+    ensure_model(
+        spark, path,
+        {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n},
+    )
+    _band_rows(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    ).write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
 def lsh_append(
     new_docs: DataFrame,
     path: str,
@@ -137,7 +184,14 @@ def lsh_probe(
     batches while later partitions from the previous run still exist —
     round-11 review: excluding only the batch's own id let those leak in
     and change admission decisions).  The filter is on the partition
-    column, so it prunes statically."""
+    column, so it prunes statically.
+
+    Takedown tombstones (operators/batchstore.py), when present under the
+    index path, are anti-joined broadcast-side — a removed document stops
+    matching immediately, before compaction physically excises its band
+    rows."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import batchstore
+
     spark = new_docs.sparkSession
     m = lsh_read_model(spark, path)
     probe = _band_rows(
@@ -153,6 +207,7 @@ def lsh_probe(
                 "ingest sink"
             )
         index = index.where(F.col("batch_id") < F.lit(before_batch_id))
+    index = batchstore.apply_tombstones(index, spark, path, "doc")
     index = index.select(F.col("doc").alias("index_id"), "band", "key")
     return (
         index.join(F.broadcast(probe), ["band", "key"])

@@ -44,13 +44,11 @@ this engine).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oltp_to_data_warehouse_pipeline_spark import fs
-from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
+from oltp_to_data_warehouse_pipeline_spark.operators import batchstore, lshindex
 from oltp_to_data_warehouse_pipeline_spark.operators.dedup import word_shingles
 from oltp_to_data_warehouse_pipeline_spark.util import release_checkpoint
 
@@ -88,6 +86,24 @@ def self_near_dup_losers(
     )
 
 
+def takedown(
+    spark,
+    index_path: str,
+    corpus_path: str,
+    ids,
+    id_col: str = "doc_id",
+) -> None:
+    """Remove documents from the ingest stores (right-to-be-forgotten):
+    tombstones both the corpus rows (under ``id_col``) and their index
+    band rows (under the index's ``doc`` column).  Filtering is immediate
+    (every reader and the gate's probe anti-join tombstones); physical
+    excision happens at the next :func:`operators.batchstore.compact` of
+    each store.  Forget semantics — see operators/batchstore.py for why
+    blocklist semantics are not offered."""
+    batchstore.delete_docs(spark, corpus_path, ids, id_col)
+    batchstore.delete_docs(spark, index_path, ids, "doc")
+
+
 def dedup_ingest_sink(
     index_path: str,
     corpus_path: str,
@@ -123,33 +139,35 @@ def dedup_ingest_sink(
             eager=True
         )
         try:
-            model = {
-                "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
-            }
-            model_path = fs.join(index_path, lshindex.MODEL_FILE)
-            # existence probe, NOT try/except around the read: a transient
-            # read error must fail the batch (checkpoint retries it), never
-            # masquerade as "first batch" and clobber an existing index's
-            # geometry record (round-11 review)
-            if fs.exists(spark, model_path):
-                existing = lshindex.lsh_read_model(spark, index_path)
-                if existing != model:
-                    raise ValueError(
-                        f"dedup_ingest_sink: index at {index_path} was built "
-                        f"with {existing}, sink configured with {model} — "
-                        "band keys would be incomparable; rebuild the index "
-                        "or match the parameters"
-                    )
-            else:
-                fs.write_text(spark, model_path, json.dumps(model))
+            # a transient model-read error must fail the batch (checkpoint
+            # retries it), never masquerade as "first batch" — ensure_model
+            # probes existence rather than catching the read (round-11 review)
+            lshindex.ensure_model(
+                spark, index_path,
+                {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n},
+            )
 
             # 1. reject near-dups of the already-admitted corpus
             if fs.has_data_files(spark, index_path):
-                prior = spark.read.parquet(index_path).where(
-                    F.col("batch_id") < F.lit(epoch_id)
+                # tombstone-aware on BOTH sides (operators/batchstore.py):
+                # the probe inside lsh_probe_verified filters the index's
+                # tombstones itself; the corpus read here and the
+                # re-delivery id set below filter theirs, so a taken-down
+                # document neither blocks near-dup admission nor pins its
+                # id against legitimate re-use (forget semantics).  A
+                # takedown BETWEEN a batch and its replay legitimately
+                # changes the admission decision — maintenance ops share
+                # the single-writer contract and move the replay horizon
+                # exactly like compaction does.
+                prior = batchstore.apply_tombstones(
+                    spark.read.parquet(index_path).where(
+                        F.col("batch_id") < F.lit(epoch_id)
+                    ),
+                    spark, index_path, "doc",
                 )
                 dups = lshindex.lsh_probe_verified(
-                    batch, index_path, spark.read.parquet(corpus_path),
+                    batch, index_path,
+                    batchstore.read_batches(spark, corpus_path, id_col=id_col),
                     threshold=threshold, id_col=id_col, text_col=text_col,
                     before_batch_id=epoch_id,
                 ).localCheckpoint(eager=True)
