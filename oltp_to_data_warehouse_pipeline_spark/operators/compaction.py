@@ -65,6 +65,7 @@ def plan_bins(
     file_col: str = "file_id",
     size_col: str = "size_bytes",
     target_bytes: int | Column = 128 * 1024 * 1024,
+    offset_col: str | None = None,
 ) -> DataFrame:
     """Assign every inventory row a ``bin`` within its partition.
 
@@ -85,6 +86,10 @@ def plan_bins(
     ≤ 0 raises, and a Column target is clamped to ≥ 1 — BIGINT ``div`` by
     0 is NULL under non-ANSI semantics, which would silently emit NULL
     bins that :func:`bin_summary` groups into one bogus bin.
+
+    ``offset_col``: optionally also emit ``preceding mod target`` — the
+    row's write offset within its bin's grid cell (:func:`sequence_pack`
+    feeds training-sequence writers with it).
     """
     if isinstance(target_bytes, int) and target_bytes <= 0:
         raise ValueError(
@@ -101,12 +106,17 @@ def plan_bins(
         else F.lit(target_bytes)
     )
     preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
-    return (
+    out = (
         files.withColumn("__preceding", preceding)
         .withColumn("__bin_target", tcol.cast("bigint"))
         .withColumn("bin", F.expr("__preceding div __bin_target"))
-        .drop("__preceding", "__bin_target")
     )
+    if offset_col is not None:
+        # preceding mod target = the write offset within the bin's grid
+        # cell (sequence packing needs it) — emitted here instead of
+        # recomputing the window downstream
+        out = out.withColumn(offset_col, F.expr("__preceding % __bin_target"))
+    return out.drop("__preceding", "__bin_target")
 
 
 def bin_summary(
@@ -121,6 +131,72 @@ def bin_summary(
     return plan.groupBy(*partition_cols, "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),
         F.sum(size_col).cast("bigint").alias("bin_bytes"),
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    blocks: int = 16,
+) -> DataFrame:
+    """Sample packing: assign documents to fixed-``capacity`` training
+    sequences — the step between curation and the data loader (every
+    pretraining pipeline packs shuffled documents into max-seq-length
+    rows; padding thrown away at this step is paid in FLOPs forever).
+
+    Same grid packing as :func:`plan_bins` (literally calls it), with two
+    choices specific to training data:
+
+    - **Shuffle order, not arrival order**: documents pack in
+      ``md5(id)`` order — a deterministic stand-in for the loader's
+      shuffle, so the plan is reproducible and SQL-replayable while still
+      decorrelating neighbors (packing sorted-by-source docs would put
+      near-identical documents in the same context window).
+    - **Two-level for scale**: the first hex digit of the same md5 splits
+      every stratum into ``blocks`` independent packing units, so no
+      window ever sees a data-sized partition — the 100 TB form sizes
+      ``blocks`` so a (stratum, block) fits one task, unlike a flat
+      per-stratum window whose biggest stratum lands on one reducer.
+      Sequences never cross blocks; the cost is at most one underfilled
+      tail sequence per (stratum, block), bounded by
+      ``strata × blocks × capacity`` wasted tokens corpus-wide.
+
+    Output: input columns + ``block`` (int), ``seq`` (bigint, 0-based
+    within (strata…, block)), ``seq_offset`` (bigint — the document's
+    first-token position in its grid cell).  Grid semantics inherited
+    from plan_bins: a document longer than ``capacity`` occupies its cell
+    and overflows (documents are not split — pair with chunking upstream
+    when they must be), and a multi-cell overshoot leaves holes in the
+    ``seq`` numbering (renumber densely downstream if the loader needs
+    contiguous ids)."""
+    mh = F.md5(F.col(id_col).cast("string"))
+    ordered = docs.withColumn(
+        # 8 hex digits = 32 bits, exact in BIGINT, then mod blocks —
+        # engine-portable (the oracle refolds the same digits)
+        "block",
+        F.pmod(
+            F.conv(F.substring(mh, 1, 8), 16, 10).cast("bigint"), F.lit(blocks)
+        ).cast("int"),
+    ).withColumn(
+        # md5 is fixed-width hex, so concatenation with a zero-padded id
+        # keeps lexicographic order = (md5, numeric id) — one sort key
+        # column for plan_bins with a deterministic tie-break
+        "__ord", F.concat(mh, F.lpad(F.col(id_col).cast("string"), 20, "0"))
+    )
+    return (
+        plan_bins(
+            ordered,
+            [*strata_cols, "block"],
+            file_col="__ord",
+            size_col=tokens_col,
+            target_bytes=capacity,
+            offset_col="seq_offset",
+        )
+        .withColumnRenamed("bin", "seq")
+        .drop("__ord")
     )
 
 

@@ -11097,6 +11097,106 @@ def lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing (sample packing): the same grid bin-packing as the
+# compaction planner, applied to the training-loader step.  The oracle
+# refolds the md5 hex digits for the block key exactly as Spark's
+# conv(substring(md5, 1, 8), 16, 10) does.
+_SEQ_PACK_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(generate_series(1, 8), i ->
+               (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+                 << (4 * (8 - i)))) % 16 AS INTEGER) AS block,
+             md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS ord
+      FROM documents),
+    w AS (
+      SELECT doc_id, lang, block, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, block ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS preceding
+      FROM t),
+    plan AS (
+      SELECT doc_id, lang, block, n_tokens,
+             preceding // 512 AS seq, preceding % 512 AS seq_offset
+      FROM w)
+"""
+
+
+@query(
+    "sequence_packing_plan",
+    _SEQ_PACK_SQL
+    + """
+    SELECT doc_id, lang, block, n_tokens, seq, seq_offset FROM plan
+    """,
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing for the training loader
+    (:func:`operators.compaction.sequence_pack` — plan_bins re-applied to
+    documents): every doc gets a (block, seq, seq_offset) slot in a
+    512-token sequence, packed in deterministic md5 order (the shuffle
+    stand-in) within (lang, md5-block).  The block key bounds every
+    window — no data-sized partition anywhere, unlike a flat per-language
+    cumulative window.  Oracle replays the hex fold, the zero-padded
+    order key, and the exclusive-frame running sum verbatim."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import compaction
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return compaction.sequence_pack(d, ["lang"], capacity=512).select(
+        "doc_id", "lang", "block", "n_tokens", "seq", "seq_offset"
+    )
+
+
+@query(
+    "sequence_fill_report",
+    _SEQ_PACK_SQL
+    + """
+    , per_seq AS (
+      SELECT lang, block, seq,
+             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM plan GROUP BY 1, 2, 3)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(512 - seq_tokens, 0)) AS BIGINT) AS padding_tokens,
+           round(sum(seq_tokens) / (count(*) * 512.0), 4) + 0.0 AS fill_ratio
+    FROM per_seq GROUP BY lang
+    """,
+)
+def sequence_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packer's efficiency audit: per language, sequences produced,
+    padding thrown away, and the fill ratio (can exceed 1 — grid packing
+    lets an oversized document overflow its cell rather than split;
+    chunk upstream when that matters).  Padding here is the number every
+    packing change should be judged by: wasted positions are paid in
+    training FLOPs on every epoch."""
+    from oltp_to_data_warehouse_pipeline_spark.operators import compaction
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    plan = compaction.sequence_pack(d, ["lang"], capacity=512)
+    per_seq = plan.groupBy("lang", "block", "seq").agg(
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return per_seq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.greatest(F.lit(512) - F.col("seq_tokens"), F.lit(0)))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        (F.round(F.sum("seq_tokens") / (F.count(F.lit(1)) * F.lit(512.0)), 4) + F.lit(0.0)).alias(
+            "fill_ratio"
+        ),
+    )
+
+
 # The per-round differential gate samples a prefix of the registration order
 # (round 1 recorded verdicts for exactly the first 50 registered names), so
 # ordering is part of the verification strategy: names that still lack a
@@ -11106,6 +11206,8 @@ def lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND 11 WINDOW: new this round.
+    "sequence_packing_plan",
+    "sequence_fill_report",
     "lsh_index_maintenance",
     "lsh_index_probe",
     "ingest_gate_batch",

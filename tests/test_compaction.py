@@ -253,3 +253,58 @@ def test_rewrite_after_tombstone_churn_loses_no_row(spark, tmp_path):
         (r["pt"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert after == before
+
+
+# --- sequence packing (sample packing over the same grid) -------------------
+
+
+def _pack_fixture(spark, sizes, strata="en"):
+    rows = [(i, strata, int(n)) for i, n in enumerate(sizes)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_sequence_pack_deterministic_and_bounded(spark):
+    docs = _pack_fixture(spark, [100, 300, 512, 7, 250, 90, 400, 33])
+    a = {r["doc_id"]: (r["block"], r["seq"], r["seq_offset"])
+         for r in compaction.sequence_pack(docs, ["lang"], capacity=512).collect()}
+    b = {r["doc_id"]: (r["block"], r["seq"], r["seq_offset"])
+         for r in compaction.sequence_pack(docs, ["lang"], capacity=512).collect()}
+    assert a == b and len(a) == 8
+    for blk, _, off in a.values():
+        assert 0 <= blk < 16
+        assert 0 <= off < 512
+
+
+def test_sequence_pack_respects_block_count(spark):
+    docs = _pack_fixture(spark, [10] * 200)
+    plan = compaction.sequence_pack(docs, ["lang"], capacity=64, blocks=4)
+    blocks = {r["block"] for r in plan.select("block").distinct().collect()}
+    assert blocks <= set(range(4)) and len(blocks) > 1
+
+
+def test_sequence_pack_count_bound_and_contiguity(spark):
+    """With every doc <= capacity the grid can never skip a cell, so seq
+    ids are contiguous per (stratum, block) and the plan_bins count bound
+    holds: n_seqs <= total div capacity + 1."""
+    docs = _pack_fixture(spark, [1 + (i * 37) % 512 for i in range(300)])
+    plan = compaction.sequence_pack(docs, ["lang"], capacity=512).collect()
+    per_block: dict = {}
+    for r in plan:
+        per_block.setdefault(r["block"], []).append(r)
+    for blk, rows in per_block.items():
+        seqs = sorted({r["seq"] for r in rows})
+        assert seqs == list(range(len(seqs))), f"block {blk} skipped a seq"
+        total = sum(r["n_tokens"] for r in rows)
+        assert len(seqs) <= total // 512 + 1
+
+
+def test_sequence_pack_strata_are_independent(spark):
+    en = _pack_fixture(spark, [100, 200, 300], strata="en")
+    de = _pack_fixture(spark, [100, 200, 300], strata="de")
+    both = compaction.sequence_pack(en.unionByName(de), ["lang"], capacity=256)
+    only_en = compaction.sequence_pack(en, ["lang"], capacity=256)
+    got_en = {r["doc_id"]: (r["block"], r["seq"], r["seq_offset"])
+              for r in both.where(F.col("lang") == "en").collect()}
+    want_en = {r["doc_id"]: (r["block"], r["seq"], r["seq_offset"])
+               for r in only_en.collect()}
+    assert got_en == want_en
