@@ -74,6 +74,10 @@ QUERIES = [
     # unsharded auto path's rho-exponent; claim under test: shuffle growth
     # <= linear per decade at constant band count
     "sharded_near_dup",
+    # round-11 (late): sample packing — claim under test: the md5-block
+    # two-level window keeps shuffle linear and partitions bounded (no
+    # data-sized per-stratum window anywhere)
+    "sequence_packing_plan",
 ]
 #: tables each query needs present in a fixture dir (gate for 100x)
 NEEDS = {
@@ -95,6 +99,7 @@ NEEDS = {
     "sharded_near_dup": ["embeddings"],
     "lang_priority_sample": ["documents"],
     "source_repetition_gate": ["documents"],
+    "sequence_packing_plan": ["documents"],
 }
 
 
