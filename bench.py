@@ -85,7 +85,10 @@ HEADLINE = [
     # round-3 new operators
     "bm25_search_topk",
     "chunk_dedup_reassemble",
-    "contamination_spans",
+    # round-11 late: sample packing in, contamination_spans rotated out
+    # (stays oracle-gated; the span family keeps dup_span_pairs/excision
+    # + doc_chunk_spans here) — stdout line budget, test_bench_contract
+    "sequence_packing_plan",
     "corpus_epoch_shuffle",
     # round-5 new operators
     "session_funnel_depth",

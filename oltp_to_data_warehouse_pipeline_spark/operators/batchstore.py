@@ -85,14 +85,30 @@ def delete_docs(spark: SparkSession, path: str, ids, id_col: str) -> None:
     a later batch can legitimately re-admit it without the old takedown
     silently filtering the new row (caught by
     test_takedown_filters_immediately_then_readmits_similar).  Repeated
-    requests append; readers take the max horizon per id."""
-    ids = [int(i) for i in ids]
+    requests append; readers take the max horizon per id.
+
+    Ids keep their Python type (int → bigint, str → string — the ingest
+    path accepts string doc ids, so takedown must too) and must match the
+    store's id column type for the anti-join to hit.  Tombstoning an
+    EMPTY store (no partitions, no flat data) is a no-op: there is
+    nothing the id could refer to, and stamping the open-ended flat-store
+    horizon there would pin the id against every FUTURE batch forever
+    (round-11 review)."""
+    ids = list(ids)
     if not ids:
         return
+    if not all(isinstance(i, type(ids[0])) for i in ids):
+        raise ValueError("delete_docs: mixed id types in one request")
+    id_type = "bigint" if isinstance(ids[0], int) else "string"
     parts = batch_partitions(spark, path)
-    horizon = max(parts) if parts else 2**62  # flat store: cover everything
+    if parts:
+        horizon = max(parts)
+    elif fs.has_data_files(spark, path):
+        horizon = 2**62  # flat (non-batch) store: cover everything
+    else:
+        return  # empty store — nothing to take down
     spark.createDataFrame(
-        [(i, horizon) for i in ids], f"{id_col} bigint, upto bigint"
+        [(i, horizon) for i in ids], f"{id_col} {id_type}, upto bigint"
     ).coalesce(1).write.mode("append").parquet(fs.join(path, TOMBSTONE_DIR))
 
 
@@ -157,9 +173,17 @@ def recover(spark: SparkSession, path: str) -> bool:
             fs.delete(spark, tmp_p)
         return False
     man = json.loads(fs.read_text(spark, man_p))
+    tmp_present = fs.exists(spark, tmp_p)
     for name in man["drop"]:
+        # the dest name is in the drop list (its OLD partition must go
+        # before the rename) — but once the tmp dir is gone the rename
+        # already happened and the dest IS the consolidated data: deleting
+        # it here would destroy the only copy of the folded prefix (a
+        # crash in the rename->manifest-delete window, round-11 review)
+        if name == man["dest"] and not tmp_present:
+            continue
         fs.delete(spark, fs.join(path, name))
-    if fs.exists(spark, tmp_p):
+    if tmp_present:
         if not fs.rename(spark, tmp_p, fs.join(path, man["dest"])):
             raise IOError(
                 f"compact recovery: rename {TMP_DIR} -> {man['dest']} "
@@ -194,6 +218,14 @@ def compact(
     recover(spark, path)
     all_parts = batch_partitions(spark, path)
     parts = [i for i in all_parts if i < upto_batch_id]
+    if id_col is None and fs.has_data_files(spark, fs.join(path, TOMBSTONE_DIR)):
+        # folding without applying tombstones would relabel covered rows to
+        # dest = max(parts), which can exceed the tombstone horizon and
+        # RESURRECT taken-down documents on the read side (round-11 review)
+        raise ValueError(
+            f"compact: store at {path} holds tombstones but no id_col was "
+            "given — pass the store's id column so the fold applies them"
+        )
     tomb = tombstones(spark, path, id_col) if id_col is not None else None
     if not parts or (len(parts) < 2 and tomb is None):
         return {"folded": 0, "dest": None, "files": 0, "tombstones_cleared": False}

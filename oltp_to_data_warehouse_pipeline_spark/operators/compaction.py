@@ -167,11 +167,16 @@ def sequence_pack(
     Output: input columns + ``block`` (int), ``seq`` (bigint, 0-based
     within (strata…, block)), ``seq_offset`` (bigint — the document's
     first-token position in its grid cell).  Grid semantics inherited
-    from plan_bins: a document longer than ``capacity`` occupies its cell
-    and overflows (documents are not split — pair with chunking upstream
-    when they must be), and a multi-cell overshoot leaves holes in the
-    ``seq`` numbering (renumber densely downstream if the loader needs
-    contiguous ids)."""
+    from plan_bins — state them precisely, because the writer contract
+    depends on them: a sequence's LAST document may straddle the capacity
+    boundary (any doc whose ``seq_offset + tokens > capacity``, not only
+    docs longer than capacity), so sequences are
+    ``capacity + (last doc's overhang)`` long and the writer either pads
+    the next sequence's start or splits the straddler — this planner
+    never splits (pair with chunking upstream when hard-capacity rows are
+    required).  A multi-cell overshoot leaves holes in the ``seq``
+    numbering (no documents land there; renumber densely downstream if
+    the loader needs contiguous ids)."""
     mh = F.md5(F.col(id_col).cast("string"))
     ordered = docs.withColumn(
         # 8 hex digits = 32 bits, exact in BIGINT, then mod blocks —

@@ -10789,6 +10789,20 @@ def source_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for the index-lifecycle queries, removed at interpreter
+    exit: the returned DataFrame reads it lazily, so it must outlive the
+    query call but need not outlive the process (round-11 review: bare
+    mkdtemp accumulated one band-row tree per sweep invocation)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, True)
+    return path
+
+
 def _mh_banded_cte(rel: str) -> str:
     """DuckDB CTE chain replaying ``minhash_signatures`` (8 hashes) +
     ``minhash_band_keys`` (4 bands) at shingle_n=3 over ``rel(doc_id, text)``
@@ -10873,8 +10887,6 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     The planted twins (signature-identical to their parent → all four bands
     collide) guarantee the result is non-empty at every SF.  Probe plan:
     increment band keys broadcast, index scanned but never shuffled."""
-    import tempfile
-
     from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -10885,7 +10897,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     inc = d.where(F.col("doc_id") % 5 == 0).unionByName(twins)
-    path = tempfile.mkdtemp(prefix="spark_graft_lshidx_")
+    path = _scratch_dir("spark_graft_lshidx_")
     lshindex.lsh_write_index(corpus_a, path)
     lshindex.lsh_append(corpus_b, path)
     return lshindex.lsh_probe_verified(inc, path, corpus, threshold=0.2)
@@ -10969,8 +10981,6 @@ def ingest_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher id of a verified within-CLEAN pair loses) → admitted.  The
     fold's LWW same-id tiebreak is identity here (fixture ids are unique
     per batch); its unit tests cover that step."""
-    import tempfile
-
     from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
     from oltp_to_data_warehouse_pipeline_spark.streaming import dedup_ingest
 
@@ -10987,7 +10997,7 @@ def ingest_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = (
         fresh.unionByName(redeliveries).unionByName(near).unionByName(twins)
     )
-    path = tempfile.mkdtemp(prefix="spark_graft_gate_")
+    path = _scratch_dir("spark_graft_gate_")
     lshindex.lsh_write_index(corpus, path)
     dups = lshindex.lsh_probe_verified(batch, path, corpus, threshold=0.5)
     hits = dups.select(F.col("probe_id").alias("doc_id")).distinct()
@@ -11064,8 +11074,6 @@ def lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     set.  Planted twins of kept docs keep the result non-empty; the
     takedown id list is collected driver-side (request-scale by
     contract, like every takedown)."""
-    import tempfile
-
     from oltp_to_data_warehouse_pipeline_spark.operators import (
         batchstore,
         lshindex,
@@ -11079,7 +11087,7 @@ def lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inc = d.where(F.col("doc_id") % 5 == 0).unionByName(twins)
 
-    path = tempfile.mkdtemp(prefix="spark_graft_lshmaint_")
+    path = _scratch_dir("spark_graft_lshmaint_")
     for b in range(3):
         lshindex.lsh_write_batch(
             corpus.where(F.col("doc_id") % 3 == b), path, batch_id=b
@@ -11168,12 +11176,15 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sequence_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The packer's efficiency audit: per language, sequences produced,
-    padding thrown away, and the fill ratio (can exceed 1 — grid packing
-    lets an oversized document overflow its cell rather than split;
-    chunk upstream when that matters).  Padding here is the number every
-    packing change should be judged by: wasted positions are paid in
-    training FLOPs on every epoch."""
+    """The packer's efficiency audit: per language, sequences produced
+    (non-empty grid cells), padding thrown away, and the fill ratio.
+    Semantics inherited from the grid (see sequence_pack): a sequence's
+    last document may straddle the capacity boundary, so fill_ratio can
+    exceed 1 and padding counts only UNDERFILL — it is the lower bound
+    on wasted positions under a pad-at-boundary writer, exact when no
+    straddlers exist (chunk upstream for that).  Padding is the number
+    every packing change should be judged by: wasted positions are paid
+    in training FLOPs on every epoch."""
     from oltp_to_data_warehouse_pipeline_spark.operators import compaction
 
     d = load_table(spark, sf_dir, "documents").select(

@@ -258,7 +258,9 @@ def register_sql_surface(
     import os
 
     from oltp_to_data_warehouse_pipeline_spark.catalog import load_table
+    from oltp_to_data_warehouse_pipeline_spark.functions import text as _text
     from oltp_to_data_warehouse_pipeline_spark.operators import (
+        compaction as _compaction,
         dedup as _dedup,
         hll as _hll,
         kmv as _kmv,
@@ -288,6 +290,16 @@ def register_sql_surface(
             # doc_id survives per duplicated text)
             "sqlops_dedup_docs": _dedup.lww_dedup(
                 d, ["text"], [F.col("doc_id").asc()]
+            ),
+            # sample packing (round-11 late): doc -> (block, seq,
+            # seq_offset) slots in 512-token training sequences, same
+            # plan as the sequence_packing_plan oracle
+            "sqlops_sequence_pack": _compaction.sequence_pack(
+                d.select(
+                    "doc_id", "lang",
+                    _text.token_count("text").cast("bigint").alias("n_tokens"),
+                ),
+                ["lang"], capacity=512,
             ),
         })
     if os.path.exists(f"{sf_dir}/events.parquet"):

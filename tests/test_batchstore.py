@@ -225,3 +225,66 @@ def test_streaming_run_after_compact_continues_clean(spark, tmp_path):
                                "doc_id long, text string"), 4)
     assert _corpus_ids(spark, base) == [1, 2, 4, 8]
     assert batchstore.batch_partitions(spark, f"{base}/idx") == [2, 3, 4]
+
+
+def test_recover_after_rename_keeps_consolidated_dest(spark, tmp_path):
+    """Crash in the rename->manifest-delete window: the tmp dir is gone and
+    the dest partition IS the consolidated data — recover() must not drop
+    it (round-11 review: it was in the manifest's drop list)."""
+    base = str(tmp_path / "s")
+    _build_store(spark, base)
+    path = f"{base}/corpus"
+    want = _corpus_ids(spark, base)
+
+    rows = spark.read.parquet(path).where("batch_id < 3").drop("batch_id")
+    rows.coalesce(1).write.mode("overwrite").parquet(fs.join(path, batchstore.TMP_DIR))
+    fs.write_text(
+        spark,
+        fs.join(path, batchstore.MANIFEST),
+        json.dumps(
+            {"upto": 3, "dest": "batch_id=2",
+             "drop": ["batch_id=0", "batch_id=1", "batch_id=2"]}
+        ),
+    )
+    for p in ("batch_id=0", "batch_id=1", "batch_id=2"):
+        fs.delete(spark, fs.join(path, p))
+    assert fs.rename(
+        spark, fs.join(path, batchstore.TMP_DIR), fs.join(path, "batch_id=2")
+    )
+    # crash here: manifest still present, tmp gone, dest = only copy
+    assert batchstore.recover(spark, path) is True
+    assert batchstore.batch_partitions(spark, path) == [2]
+    assert _corpus_ids(spark, base) == want
+
+
+def test_compact_refuses_to_skip_existing_tombstones(spark, tmp_path):
+    base = str(tmp_path / "s")
+    _build_store(spark, base)
+    takedown(spark, f"{base}/idx", f"{base}/corpus", [1])
+    with pytest.raises(ValueError, match="tombstones but no id_col"):
+        batchstore.compact(spark, f"{base}/corpus", upto_batch_id=3)
+
+
+def test_takedown_of_empty_store_is_noop(spark, tmp_path):
+    path = str(tmp_path / "never_written")
+    batchstore.delete_docs(spark, path, [1, 2], "doc_id")
+    assert batchstore.tombstones(spark, path, "doc_id") is None
+
+
+def test_string_id_tombstones(spark, tmp_path):
+    base = str(tmp_path / "s")
+    sink = dedup_ingest_sink(f"{base}/idx", f"{base}/corpus", id_col="url")
+    sink(
+        spark.createDataFrame(
+            [("sha1:aa", BASE), ("sha1:bb", OTHER)], "url string, text string"
+        ),
+        0,
+    )
+    takedown(spark, f"{base}/idx", f"{base}/corpus", ["sha1:aa"], id_col="url")
+    left = sorted(
+        r["url"]
+        for r in batchstore.read_batches(
+            spark, f"{base}/corpus", id_col="url"
+        ).collect()
+    )
+    assert left == ["sha1:bb"]

@@ -284,3 +284,22 @@ def test_ivf_topk_sql_equals_dataframe_api(spark, tmp_path):
         spark, path, emb.orderBy("vec_id").limit(100), k=5, nprobe=2
     )
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_sequence_pack_sql_equals_dataframe_api(spark, surface):
+    assert "sqlops_sequence_pack" in surface
+    from oltp_to_data_warehouse_pipeline_spark.functions import text
+    from oltp_to_data_warehouse_pipeline_spark.operators import compaction
+
+    got = spark.sql("SELECT * FROM sqlops_sequence_pack")
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    want = compaction.sequence_pack(d, ["lang"], capacity=512)
+    assert _rows(got) == _rows(want) and got.count() > 0
+    # a SQL client can aggregate the plan directly (the fill audit shape)
+    agg = spark.sql(
+        "SELECT count(DISTINCT (lang, block, seq)) AS n_seqs,"
+        " sum(n_tokens) AS toks FROM sqlops_sequence_pack"
+    ).collect()[0]
+    assert agg["n_seqs"] > 0 and agg["toks"] > 0
