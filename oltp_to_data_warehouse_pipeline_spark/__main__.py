@@ -9,6 +9,10 @@
         [--sf-dir ...]  # fixture tables pre-registered as views
     python -m oltp_to_data_warehouse_pipeline_spark curate --out /path \
         [--quality-min 1.0 --lang en --jaccard 0.2]  # corpus keep-list
+    python -m oltp_to_data_warehouse_pipeline_spark maintain compact \
+        --store /path --upto 120 [--id-col doc_id] [--target-mb 128]
+    python -m oltp_to_data_warehouse_pipeline_spark maintain takedown \
+        --index /idx --corpus /corpus --ids 7,21 [--id-col doc_id]
 """
 
 from __future__ import annotations
@@ -51,6 +55,24 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--quality-min", type=float, default=1.0)
     c.add_argument("--lang", default="en")
     c.add_argument("--jaccard", type=float, default=0.2)
+
+    m = sub.add_parser(
+        "maintain",
+        help="batch-store maintenance: fold batch_id partitions below the "
+        "replay horizon, or tombstone documents (takedown)",
+    )
+    msub = m.add_subparsers(dest="maintain_cmd", required=True)
+    mc = msub.add_parser("compact", help="fold partitions batch_id < upto")
+    mc.add_argument("--store", required=True, help="batch-layout store path")
+    mc.add_argument("--upto", type=int, required=True, help="replay horizon")
+    mc.add_argument("--id-col", default=None, help="doc id column (arms tombstone excision)")
+    mc.add_argument("--target-mb", type=int, default=128)
+    mt = msub.add_parser("takedown", help="tombstone documents in both ingest stores")
+    mt.add_argument("--index", required=True)
+    mt.add_argument("--corpus", required=True)
+    mt.add_argument("--ids", required=True, help="comma-separated ids (int unless --string-ids)")
+    mt.add_argument("--id-col", default="doc_id")
+    mt.add_argument("--string-ids", action="store_true")
 
     args = parser.parse_args(argv)
 
@@ -117,6 +139,30 @@ def main(argv: list[str] | None = None) -> int:
         n_tokens = out.agg({"n_tokens": "sum"}).first()[0]
         print(f"kept {n_docs} docs / {n_tokens} tokens -> {args.out}")
         return 0
+
+    if args.cmd == "maintain":
+        from oltp_to_data_warehouse_pipeline_spark.operators import batchstore
+        from oltp_to_data_warehouse_pipeline_spark.streaming.dedup_ingest import (
+            takedown,
+        )
+
+        if args.maintain_cmd == "compact":
+            stats = batchstore.compact(
+                spark,
+                args.store,
+                upto_batch_id=args.upto,
+                id_col=args.id_col,
+                target_bytes=args.target_mb * 1024 * 1024,
+            )
+            print(stats)
+            return 0
+        if args.maintain_cmd == "takedown":
+            ids = [
+                i if args.string_ids else int(i) for i in args.ids.split(",") if i
+            ]
+            takedown(spark, args.index, args.corpus, ids, id_col=args.id_col)
+            print(f"tombstoned {len(ids)} ids in {args.index} and {args.corpus}")
+            return 0
 
     return 2
 

@@ -56,3 +56,35 @@ def test_adhoc_sql_reaches_operator_surface(spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "n" in out and any(ch.isdigit() and ch != "0" for ch in out)
+
+
+def test_cli_maintain_compact_and_takedown(spark, tmp_path, capsys):
+    from oltp_to_data_warehouse_pipeline_spark.operators import batchstore
+    from oltp_to_data_warehouse_pipeline_spark.streaming.dedup_ingest import (
+        dedup_ingest_sink,
+    )
+
+    base = str(tmp_path / "store")
+    sink = dedup_ingest_sink(f"{base}/idx", f"{base}/corpus")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    sink(spark.createDataFrame([(1, t1)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame([(2, t2)], "doc_id long, text string"), 1)
+
+    rc = main(
+        ["maintain", "takedown", "--index", f"{base}/idx",
+         "--corpus", f"{base}/corpus", "--ids", "1"]
+    )
+    assert rc == 0 and "tombstoned 1" in capsys.readouterr().out
+    rc = main(
+        ["maintain", "compact", "--store", f"{base}/corpus",
+         "--upto", "2", "--id-col", "doc_id"]
+    )
+    assert rc == 0 and "'folded': 2" in capsys.readouterr().out
+    left = [
+        r["doc_id"]
+        for r in batchstore.read_batches(
+            spark, f"{base}/corpus", id_col="doc_id"
+        ).collect()
+    ]
+    assert left == [2]
