@@ -76,9 +76,12 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
 
-    from oltp_to_data_warehouse_pipeline_spark.plans.queryset import registry
+    # the registry build (hundreds of query closures + oracle SQL) is only
+    # needed by list/query — maintenance and SQL commands skip it
+    if args.cmd in ("list", "query"):
+        from oltp_to_data_warehouse_pipeline_spark.plans.queryset import registry
 
-    queries, oracles = registry()
+        queries, oracles = registry()
 
     if args.cmd == "list":
         for name in sorted(queries):
@@ -160,9 +163,17 @@ def main(argv: list[str] | None = None) -> int:
             ids = [
                 i if args.string_ids else int(i) for i in args.ids.split(",") if i
             ]
-            takedown(spark, args.index, args.corpus, ids, id_col=args.id_col)
-            print(f"tombstoned {len(ids)} ids in {args.index} and {args.corpus}")
-            return 0
+            if takedown(spark, args.index, args.corpus, ids, id_col=args.id_col):
+                print(
+                    f"tombstoned {len(ids)} ids in {args.index} and {args.corpus}"
+                )
+                return 0
+            print(
+                "takedown NOT recorded: a store was empty — check the "
+                "--index/--corpus paths",
+                file=sys.stderr,
+            )
+            return 1
 
     return 2
 

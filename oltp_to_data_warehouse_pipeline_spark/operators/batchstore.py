@@ -78,7 +78,7 @@ def batch_partitions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def delete_docs(spark: SparkSession, path: str, ids, id_col: str) -> None:
+def delete_docs(spark: SparkSession, path: str, ids, id_col: str) -> bool:
     """Record takedown tombstones for ``ids``, stamped with the takedown
     horizon — the max batch id present right now.  A tombstone kills only
     rows in partitions AT OR BELOW its horizon, so the id itself is freed:
@@ -90,26 +90,34 @@ def delete_docs(spark: SparkSession, path: str, ids, id_col: str) -> None:
     Ids keep their Python type (int → bigint, str → string — the ingest
     path accepts string doc ids, so takedown must too) and must match the
     store's id column type for the anti-join to hit.  Tombstoning an
-    EMPTY store (no partitions, no flat data) is a no-op: there is
-    nothing the id could refer to, and stamping the open-ended flat-store
-    horizon there would pin the id against every FUTURE batch forever
-    (round-11 review)."""
+    EMPTY store (no partitions, no flat data) is a refused no-op
+    (returns False): there is nothing the id could refer to — a mistyped
+    path must not report a compliance-critical deletion as done — and
+    stamping the open-ended flat-store horizon there would pin the id
+    against every FUTURE batch forever (round-11 review).  Any
+    interrupted compact is finished first, so the mid-recovery
+    "partitions dropped, data in tmp" state can never masquerade as an
+    empty store and swallow the request (second review).
+
+    Returns True when tombstones were recorded."""
     ids = list(ids)
     if not ids:
-        return
+        return False
     if not all(isinstance(i, type(ids[0])) for i in ids):
         raise ValueError("delete_docs: mixed id types in one request")
     id_type = "bigint" if isinstance(ids[0], int) else "string"
+    recover(spark, path)
     parts = batch_partitions(spark, path)
     if parts:
         horizon = max(parts)
     elif fs.has_data_files(spark, path):
         horizon = 2**62  # flat (non-batch) store: cover everything
     else:
-        return  # empty store — nothing to take down
+        return False  # empty store — nothing to take down
     spark.createDataFrame(
         [(i, horizon) for i in ids], f"{id_col} {id_type}, upto bigint"
     ).coalesce(1).write.mode("append").parquet(fs.join(path, TOMBSTONE_DIR))
+    return True
 
 
 def tombstones(spark: SparkSession, path: str, id_col: str) -> DataFrame | None:
@@ -142,6 +150,21 @@ def apply_tombstones(
     return df.join(F.broadcast(t), cond, "left_anti")
 
 
+def check_no_pending_compact(spark: SparkSession, path: str) -> None:
+    """Readers must not see the mid-recovery state of a crashed compact
+    (partitions dropped, data still in the hidden tmp dir) — they would
+    silently read a partial store.  Readers also must not mutate
+    (single-writer contract, and they may lack write permission), so this
+    raises instead of recovering; any maintenance/writer entry point
+    (compact, delete_docs, the ingest sink) finishes the recovery."""
+    if fs.exists(spark, fs.join(path, MANIFEST)):
+        raise RuntimeError(
+            f"store at {path} has an unfinished compact (manifest present) "
+            "— run operators.batchstore.recover() from the writer before "
+            "reading"
+        )
+
+
 def read_batches(
     spark: SparkSession,
     path: str,
@@ -151,7 +174,9 @@ def read_batches(
     """Tombstone-aware reader for a batch-layout store.  ``before_batch_id``
     prunes statically on the partition column; ``id_col`` arms the
     tombstone filter (skip it for stores without a document identity,
-    e.g. the reject audit log)."""
+    e.g. the reject audit log).  Refuses a store left mid-recovery by a
+    crashed compact (see :func:`check_no_pending_compact`)."""
+    check_no_pending_compact(spark, path)
     df = spark.read.parquet(path)
     if before_batch_id is not None:
         df = df.where(F.col("batch_id") < F.lit(before_batch_id))

@@ -193,6 +193,9 @@ def lsh_probe(
     from oltp_to_data_warehouse_pipeline_spark.operators import batchstore
 
     spark = new_docs.sparkSession
+    # refuse the mid-recovery state of a crashed compact — a probe against
+    # a half-dropped index would silently report "no duplicates"
+    batchstore.check_no_pending_compact(spark, path)
     m = lsh_read_model(spark, path)
     probe = _band_rows(
         new_docs, id_col, text_col, m["num_hashes"], m["bands"], m["shingle_n"]

@@ -10849,10 +10849,12 @@ def _mh_banded_cte(rel: str) -> str:
     f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    off AS (SELECT max(doc_id) + 1 AS m FROM documents),
     inc AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
       UNION ALL
-      SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0),
+      SELECT doc_id + (SELECT m FROM off), text
+      FROM corpus WHERE doc_id % 7 = 0),
     {_mh_banded_cte("corpus")},
     {_mh_banded_cte("inc")},
     cand AS (
@@ -10890,11 +10892,15 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oltp_to_data_warehouse_pipeline_spark.operators import lshindex
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # twin ids offset by max(doc_id)+1, not a fixed constant — a constant
+    # collides with real ids on large fixtures (round-11 second review);
+    # the oracle derives the same offset with a scalar subquery
+    m = d.agg(F.max("doc_id")).first()[0] + 1
     corpus_a = d.where((F.col("doc_id") % 5).isin(1, 2))
     corpus_b = d.where((F.col("doc_id") % 5).isin(3, 4))
     corpus = corpus_a.unionByName(corpus_b)
     twins = corpus.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + m).alias("doc_id"), "text"
     )
     inc = d.where(F.col("doc_id") % 5 == 0).unionByName(twins)
     path = _scratch_dir("spark_graft_lshidx_")
@@ -10908,11 +10914,14 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    off AS (SELECT max(doc_id) + 1 AS m FROM documents),
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
       UNION ALL SELECT doc_id, text FROM corpus WHERE doc_id % 11 = 1
-      UNION ALL SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 13 = 2
-      UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0),
+      UNION ALL SELECT doc_id + (SELECT m FROM off), text
+        FROM corpus WHERE doc_id % 13 = 2
+      UNION ALL SELECT doc_id + 2 * (SELECT m FROM off), text
+        FROM documents WHERE doc_id % 10 = 0),
     {_mh_banded_cte("corpus")},
     {_mh_banded_cte("batch")},
     known AS (
@@ -10985,14 +10994,15 @@ def ingest_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oltp_to_data_warehouse_pipeline_spark.streaming import dedup_ingest
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = d.agg(F.max("doc_id")).first()[0] + 1  # collision-proof twin offset
     corpus = d.where(F.col("doc_id") % 5 != 0)
     fresh = d.where(F.col("doc_id") % 5 == 0)
     redeliveries = corpus.where(F.col("doc_id") % 11 == 1)
     near = corpus.where(F.col("doc_id") % 13 == 2).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + m).alias("doc_id"), "text"
     )
     twins = fresh.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        (F.col("doc_id") + 2 * m).alias("doc_id"), "text"
     )
     batch = (
         fresh.unionByName(redeliveries).unionByName(near).unionByName(twins)
@@ -11033,10 +11043,12 @@ def ingest_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
     kept AS (
       SELECT doc_id, text FROM corpus WHERE doc_id % 9 != 0),
+    off AS (SELECT max(doc_id) + 1 AS m FROM documents),
     inc AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
       UNION ALL
-      SELECT doc_id + 1000000, text FROM kept WHERE doc_id % 7 = 0),
+      SELECT doc_id + (SELECT m FROM off), text
+      FROM kept WHERE doc_id % 7 = 0),
     {_mh_banded_cte("kept")},
     {_mh_banded_cte("inc")},
     cand AS (
@@ -11080,10 +11092,11 @@ def lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = d.agg(F.max("doc_id")).first()[0] + 1  # collision-proof twin offset
     corpus = d.where(F.col("doc_id") % 5 != 0)
     kept = corpus.where(F.col("doc_id") % 9 != 0)
     twins = kept.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + m).alias("doc_id"), "text"
     )
     inc = d.where(F.col("doc_id") % 5 == 0).unionByName(twins)
 

@@ -92,16 +92,21 @@ def takedown(
     corpus_path: str,
     ids,
     id_col: str = "doc_id",
-) -> None:
+) -> bool:
     """Remove documents from the ingest stores (right-to-be-forgotten):
     tombstones both the corpus rows (under ``id_col``) and their index
     band rows (under the index's ``doc`` column).  Filtering is immediate
     (every reader and the gate's probe anti-join tombstones); physical
     excision happens at the next :func:`operators.batchstore.compact` of
     each store.  Forget semantics — see operators/batchstore.py for why
-    blocklist semantics are not offered."""
-    batchstore.delete_docs(spark, corpus_path, ids, id_col)
-    batchstore.delete_docs(spark, index_path, ids, "doc")
+    blocklist semantics are not offered.
+
+    Returns True only when BOTH stores recorded tombstones — False means
+    a store was empty (typically a mistyped path; a compliance-critical
+    deletion must not silently report success, round-11 second review)."""
+    a = batchstore.delete_docs(spark, corpus_path, ids, id_col)
+    b = batchstore.delete_docs(spark, index_path, ids, "doc")
+    return a and b
 
 
 def dedup_ingest_sink(
@@ -139,6 +144,15 @@ def dedup_ingest_sink(
             eager=True
         )
         try:
+            # finish any interrupted compact FIRST: a crashed fold left the
+            # store with its partitions dropped and the consolidated data
+            # still in the hidden tmp dir — has_data_files would then read
+            # "empty index" and admit everything unprobed (round-11 second
+            # review).  recover() is an idempotent metadata no-op normally,
+            # and the sink is the single writer, so this cannot race a
+            # live compactor.
+            batchstore.recover(spark, index_path)
+            batchstore.recover(spark, corpus_path)
             # a transient model-read error must fail the batch (checkpoint
             # retries it), never masquerade as "first batch" — ensure_model
             # probes existence rather than catching the read (round-11 review)
@@ -213,14 +227,16 @@ def dedup_ingest_sink(
                 )
                 try:
                     # 3. admit: corpus rows + index band rows, one
-                    # OVERWRITTEN partition per batch (replay-idempotent)
+                    # OVERWRITTEN partition per batch (replay-idempotent);
+                    # the index write goes through lsh_write_batch so the
+                    # partition discipline lives in exactly one place
+                    # (round-11 second review)
                     clean.write.mode("overwrite").parquet(
                         f"{corpus_path}/batch_id={epoch_id}"
                     )
-                    lshindex._band_rows(
-                        clean, id_col, text_col, num_hashes, bands, shingle_n
-                    ).write.mode("overwrite").parquet(
-                        f"{index_path}/batch_id={epoch_id}"
+                    lshindex.lsh_write_batch(
+                        clean, index_path, epoch_id, id_col, text_col,
+                        num_hashes, bands, shingle_n,
                     )
                 finally:
                     release_checkpoint(clean)

@@ -288,3 +288,53 @@ def test_string_id_tombstones(spark, tmp_path):
         ).collect()
     )
     assert left == ["sha1:bb"]
+
+
+def test_reader_and_probe_refuse_mid_recovery_store(spark, tmp_path):
+    """A crashed compact leaves the manifest on disk; readers must fail
+    loudly rather than silently read the half-dropped store."""
+    base = str(tmp_path / "s")
+    _build_store(spark, base)
+    for path in (f"{base}/corpus", f"{base}/idx"):
+        fs.write_text(
+            spark, fs.join(path, batchstore.MANIFEST),
+            json.dumps({"upto": 3, "dest": "batch_id=2", "drop": []}),
+        )
+    with pytest.raises(RuntimeError, match="unfinished compact"):
+        batchstore.read_batches(spark, f"{base}/corpus", id_col="doc_id")
+    probe = spark.createDataFrame([(99, NEAR)], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="unfinished compact"):
+        lshindex.lsh_probe(probe, f"{base}/idx")
+
+
+def test_sink_recovers_crashed_compact_before_probing(spark, tmp_path):
+    """Crash window from the round-11 second review: compact dropped every
+    partition but died before the tmp->dest rename.  The next fold must
+    finish the recovery and probe the REAL index — not read 'empty index'
+    and admit a near-dup unprobed."""
+    base = str(tmp_path / "s")
+    _build_store(spark, base)
+    path = f"{base}/idx"
+    rows = spark.read.parquet(path).where("batch_id < 3").drop("batch_id")
+    rows.coalesce(1).write.mode("overwrite").parquet(fs.join(path, batchstore.TMP_DIR))
+    fs.write_text(
+        spark, fs.join(path, batchstore.MANIFEST),
+        json.dumps({"upto": 3, "dest": "batch_id=2",
+                    "drop": ["batch_id=0", "batch_id=1", "batch_id=2"]}),
+    )
+    for p in ("batch_id=0", "batch_id=1", "batch_id=2"):
+        fs.delete(spark, fs.join(path, p))  # crash: all partitions gone
+
+    sink = dedup_ingest_sink(f"{base}/idx", f"{base}/corpus")
+    sink(spark.createDataFrame([(7, NEAR)], "doc_id long, text string"), 3)
+    # NEAR is a near-dup of admitted doc 1 — it must have been REJECTED,
+    # which is only possible if the fold recovered the index first
+    assert _corpus_ids(spark, base) == [1, 2, 4]
+    assert not fs.exists(spark, fs.join(path, batchstore.MANIFEST))
+
+
+def test_takedown_reports_false_on_missing_store(spark, tmp_path):
+    ok = takedown(
+        spark, str(tmp_path / "no_idx"), str(tmp_path / "no_corpus"), [1]
+    )
+    assert ok is False
