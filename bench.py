@@ -55,9 +55,10 @@ HEADLINE = [
     # set-similarity family stays covered by minhash_lsh_candidates +
     # prefix_filter_near_pairs; remains oracle-gated
     "cosine_topk",
-    # embedding_near_dup_lsh rotated out round 11 for sharded_near_dup —
-    # the fixed-plane LSH stays oracle-gated + in the decade study; the
-    # sharded path is the scale-story representative of the family now
+    # round 11 adds sharded_near_dup beside embedding_near_dup_lsh (the
+    # optimization-round contract is additive: entries recorded in the
+    # driver's BENCH_r10.json are never removed or renamed)
+    "embedding_near_dup_lsh",
     "sharded_near_dup",
     "doc_winnowing_fingerprints",
     "curate_corpus",
@@ -85,9 +86,11 @@ HEADLINE = [
     # round-3 new operators
     "bm25_search_topk",
     "chunk_dedup_reassemble",
-    # round-11 late: sample packing in, contamination_spans rotated out
-    # (stays oracle-gated; the span family keeps dup_span_pairs/excision
-    # + doc_chunk_spans here) — stdout line budget, test_bench_contract
+    # round-11 additions (contamination_spans restored by the additive
+    # contract above; the stdout line budget is re-derived in
+    # test_bench_contract from the all-time per-query maxima, with the
+    # runtime trim loop below as the pathological-host backstop)
+    "contamination_spans",
     "sequence_packing_plan",
     "corpus_epoch_shuffle",
     # round-5 new operators

@@ -371,6 +371,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, cluster_id) where
     cluster_id = min node id reachable through the pair graph.
@@ -388,11 +389,47 @@ def connected_components(
     n²), and ``localCheckpoint`` truncates the lineage so plan size stays
     O(1) across iterations (at 1000 executors the alternative — a 25-deep
     nested plan — stalls the driver, not the cluster).
+
+    Small graphs short-circuit to a driver union-find: a near-dup edge
+    set is usually orders of magnitude smaller than the corpus (it IS
+    the duplication mass), and each distributed round costs several
+    jobs' fixed overhead regardless of size — measured 4.6 s for a
+    920-edge graph at sf0.1 vs ~0.1 s in the driver.  The gate is the
+    broadcast-join trade: ``driver_max_edges`` bounds what the driver
+    may hold (the same sanctioned-bounded-collect posture as centroids /
+    LSH seeds); graphs past the bound take the distributed loop
+    unchanged.  Both paths produce the identical (node, min-reachable-id)
+    relation — tests/test_dedup.py property-checks them against each
+    other.
     """
     sym = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).union(
         pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
     )
     edges = sym.distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()  # over the checkpointed blocks: no recompute
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for s, d in edges.collect():
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)  # union by min id
+        rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        node_t = edges.schema["s"].dataType
+        schema = T.StructType(
+            [T.StructField("node", node_t), T.StructField("lbl", node_t)]
+        )
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("s").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint(eager=True)
@@ -403,26 +440,30 @@ def connected_components(
             .agg(F.min("lbl").alias("nlbl"))
         )
         stepped = labels.join(neigh, "node", "left").select(
-            "node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+            "node",
+            F.col("lbl").alias("__old"),
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
         # pointer doubling: hop to the label's own label (path compression)
-        parent = labels.select(
+        parent_rel = labels.select(
             F.col("node").alias("__pn"), F.col("lbl").alias("__pl")
         )
+        hop = F.least("lbl", F.coalesce("__pl", "lbl"))
         new_labels = (
-            stepped.join(parent, stepped["lbl"] == parent["__pn"], "left")
+            stepped.join(parent_rel, stepped["lbl"] == parent_rel["__pn"], "left")
             .select(
-                "node", F.least("lbl", F.coalesce("__pl", "lbl")).alias("lbl")
+                "node",
+                hop.alias("lbl"),
+                # convergence flag computed IN the materialization job, so
+                # the check below filters cached blocks instead of paying
+                # a join job per round (round-11: halves the loop's job
+                # count)
+                (hop < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") < F.col("o.lbl"))
-            .take(1)
-        )
-        labels = new_labels
+        changed = new_labels.where("__chg").take(1)
+        labels = new_labels.select("node", "lbl")
         if not changed:
             break
     return labels

@@ -56,16 +56,49 @@ def concurrency_timeline(
     instant (``coalesce(end, now)``) — an explicit modeling decision,
     not a default."""
     df = df.where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
-    b = df.select(F.col(start_col).alias("ts"), F.lit(1).alias("delta")).unionByName(
-        df.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
-    )
+    # Both boundaries in ONE pass over the interval relation: a union of
+    # two selects plans the upstream subtree once per arm (and once more
+    # per consumer below) — with a sessionization feeding this operator
+    # that was 4 executions of the expensive subtree.  explode emits the
+    # +1/-1 rows from a single scan.
+    b = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col(end_col).alias("ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.ts", "__e.delta")
     # Per-instant net FIRST: collapsing simultaneous boundaries before any
     # ordering makes the running sum independent of intra-instant order —
     # ties are where naive sweep implementations diverge between engines.
+    #
+    # The net aggregation is keyed (__b, ts) after an explicit
+    # repartition on __b alone: hashpartitioning(__b) satisfies the
+    # clustered distribution of BOTH the (__b, ts) aggregation AND the
+    # within-bucket window AND the bucket-totals aggregation, so the whole
+    # two-phase prefix sum runs off ONE exchange — and because the run and
+    # totals branches share that identical exchange subtree, exchange
+    # reuse executes the upstream (boundary generation + whatever feeds
+    # it) exactly once.  (__b is a function of ts, so grouping by
+    # (__b, ts) collapses exactly the per-ts nets.)
+    # The explicit isnotnull(__b) is a semantic no-op (boundaries are
+    # null-filtered above, and date_trunc of a non-null ts is non-null) —
+    # it exists so BOTH consumers of the exchange see the identical
+    # filtered subtree: the final inner join pushes isnotnull(__b) into
+    # the run branch but cannot push it below the offsets branch's
+    # unpartitioned window, and that asymmetry alone defeated exchange
+    # reuse (round-11 executed-plan audit: the boundary build ran twice).
     net = (
-        b.groupBy("ts")
+        b.withColumn("__b", F.date_trunc(bucket, F.col("ts")))
+        .where(F.col("__b").isNotNull())
+        .repartition("__b")
+        .groupBy("__b", "ts")
         .agg(F.sum("delta").cast("bigint").alias("net"))
-        .withColumn("__b", F.date_trunc(bucket, F.col("ts")))
     )
     w_in = Window.partitionBy("__b").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, 0

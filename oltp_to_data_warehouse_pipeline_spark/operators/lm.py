@@ -70,8 +70,15 @@ def bigram_lm_scores(
     ``ppl`` (2^H, 4dp).  Shorter documents have no bigram and are
     excluded — an LM score over zero events is undefined, not zero."""
     big = _bigram_keys(df, id_col, text_col)
-    c2 = big.groupBy("k2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("k1").agg(F.count(F.lit(1)).alias("c1"))
+    # Bigram counts keyed (k1, k2); context counts DERIVED from them —
+    # sum of per-(k1, k2) counts per k1 IS the per-k1 occurrence count
+    # (arithmetic identity, no new hashing assumption), so the c1
+    # aggregation runs over the distinct-bigram relation instead of
+    # re-tokenizing the corpus: one fewer full scan+explode pass, and the
+    # c1 exchange carries distinct bigrams, not occurrences (round-11
+    # plan audit: 4 corpus passes -> 3).
+    c2 = big.groupBy("k1", "k2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("k1").agg(F.sum("c2").alias("c1"))
     vocab = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .agg(
@@ -82,9 +89,11 @@ def bigram_lm_scores(
         F.col("c1") + F.lit(add_k) * F.col("v").cast("double")
     )
     lp = F.round(F.log2(p), 8).cast("decimal(28,8)")
+    # ONE model join (the (k1, k2)-keyed model carries both counts)
+    # instead of separate c2/c1 probes per occurrence.
+    model = c2.join(c1, "k1")
     scored = (
-        big.join(c2, "k2")
-        .join(c1, "k1")
+        big.join(model, ["k1", "k2"])
         .crossJoin(F.broadcast(vocab))
         .select("id", lp.alias("lp"))
     )
@@ -126,25 +135,41 @@ def lm_quality_gate(
     scores = bigram_lm_scores(df, id_col, text_col)
     hs = F.round(F.col("cross_entropy") * 10000, 0).cast("bigint")
     scaled = scores.select(F.col(id_col).alias("id"), hs.alias("hs"))
-    tot = scaled.agg(
-        F.sum("hs").alias("hsum"), F.count(F.lit(1)).alias("n")
-    )
-    tagged = (
+    # The corpus total and the per-group tail buckets both need the scored
+    # relation; consumed directly, each branch replays the WHOLE scoring
+    # pipeline (two full model-build+score executions — round-11 plan
+    # audit).  Instead, collapse scored docs to (grp, hs) cells first —
+    # bounded by |groups| x |distinct 4dp-scaled entropies|, corpus-size
+    # independent — pin that bounded relation, and derive BOTH the corpus
+    # total and the group aggregates from it (exact integer identities:
+    # hsum = sum(hs*cnt), n = sum(cnt), per-doc tail test applied per cell
+    # with multiplicity).
+    cells = (
         df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
         .join(scaled, "id")
-        .crossJoin(F.broadcast(tot))
+        .groupBy("grp", "hs")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    tot = cells.agg(
+        F.sum(F.col("hs") * F.col("cnt")).alias("hsum"),
+        F.sum("cnt").alias("n"),
+    )
+    tagged = cells.crossJoin(F.broadcast(tot))
     slack_scaled = int(round(slack_bits * 10000))
     is_tail = (F.col("hs") * F.col("n")) > (
         F.col("hsum") + F.lit(slack_scaled) * F.col("n")
     )
     return tagged.groupBy(F.col("grp").alias(group_col)).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
-        F.sum(F.when(is_tail, 1).otherwise(0)).cast("bigint").alias("n_tail"),
+        F.sum("cnt").cast("bigint").alias("n_scored"),
+        F.sum(F.when(is_tail, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tail"),
         (
             F.round(
-                F.lit(100.0) * F.sum(F.when(is_tail, 1).otherwise(0))
-                / F.count(F.lit(1)),
+                F.lit(100.0)
+                * F.sum(F.when(is_tail, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
                 4,
             )
             + F.lit(0.0)

@@ -147,7 +147,11 @@ def qsample_sketch(
     audit = (
         _ns_join(
             thresholds,
-            survivors.groupBy(*g).agg(F.count(F.lit(1)).alias("__nsurv")),
+            # one row per group, checkpoint-derived (unknown size
+            # estimate): hint keeps the audit off SortMergeJoin
+            F.broadcast(
+                survivors.groupBy(*g).agg(F.count(F.lit(1)).alias("__nsurv"))
+            ),
             group_cols,
             "left",
         )

@@ -118,6 +118,16 @@ def repetition_signals(
     # Grouped on the gram HASH (12-byte shuffle rows); the winner is the
     # lexicographic max of struct(count, count*len) — a plain aggregate,
     # no window sort over the gram relation.
+    #
+    # NOTE (round-11 optimization audit): deriving cnt from the dup
+    # branch's (id, n, gh) count window — so both branches share one
+    # occurrence exchange — was tried and REVERTED: per-branch column
+    # pruning keeps the two exchange subtrees non-identical (top needs
+    # gl/chars, dup needs m/i), so reuse never fires, and the counts
+    # branch additionally pays the window's full occurrence sort that the
+    # map-side-partial groupBy avoids (measured +30% on
+    # doc_gopher_rep_fracs at sf0.1).  Two passes over the occurrence
+    # stream is the honest floor for this pair of signals.
     cnt = occ.groupBy("id", "n", "gh").agg(
         F.count(F.lit(1)).alias("c"),
         F.max("gl").alias("gl"),

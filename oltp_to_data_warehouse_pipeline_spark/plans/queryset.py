@@ -9391,6 +9391,10 @@ def kmv_cohort_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
     o = o.withColumn("yr", F.year("o_orderdate"))
     cohorts = o.where(F.col("yr").isin(1995, 1998))
+    # sk stays pinned: kmv_intersect_estimate consumes each cohort slice
+    # twice (union + membership marks), so without the barrier the sketch
+    # tail — including the rescue branch's raw scan — replays per
+    # consumer (round-11 A/B: unpinned 3.57s vs pinned 1.97s at sf0.1).
     sk = kmv.kmv_sketch(
         cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True
     ).localCheckpoint(eager=True)
