@@ -119,6 +119,7 @@ def lm_quality_gate(
     text_col: str = "text",
     group_col: str = "source",
     slack_bits: float = 1.0,
+    pin: bool = True,
 ) -> DataFrame:
     """The LM filter APPLIED as a corpus gate: per ``group_col``, how many
     scored documents cost more than ``slack_bits`` bits/token above the
@@ -144,13 +145,20 @@ def lm_quality_gate(
     # total and the group aggregates from it (exact integer identities:
     # hsum = sum(hs*cnt), n = sum(cnt), per-doc tail test applied per cell
     # with multiplicity).
+    # ``pin=False`` skips the barrier for callers that must build the
+    # PLAN without running jobs (the SQL surface registers this view
+    # lazily — even a lazy localCheckpoint executes the upstream stages
+    # under AQE, kmv_sketch's pin=False precedent); the unpinned form
+    # replays the scoring pipeline once per branch, exactly the
+    # pre-round-11 shape.
     cells = (
         df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
         .join(scaled, "id")
         .groupBy("grp", "hs")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
     )
+    if pin:
+        cells = cells.localCheckpoint(eager=True)
     tot = cells.agg(
         F.sum(F.col("hs") * F.col("cnt")).alias("hsum"),
         F.sum("cnt").alias("n"),

@@ -285,7 +285,10 @@ def register_sql_surface(
             # CCNet-style corpus-trained bigram-LM perplexity + the
             # applied gate (per-source tail-share report)
             "sqlops_lm_scores": _lm.bigram_lm_scores(d),
-            "sqlops_lm_gate": _lm.lm_quality_gate(d, slack_bits=1.0),
+            # pin=False: registration must stay job-free (kmv precedent
+            # below); the SQL view replays the scoring pipeline per
+            # branch when queried, the Python API keeps the pinned form
+            "sqlops_lm_gate": _lm.lm_quality_gate(d, slack_bits=1.0, pin=False),
             # exact dedup winners over documents (deterministic: lowest
             # doc_id survives per duplicated text)
             "sqlops_dedup_docs": _dedup.lww_dedup(
