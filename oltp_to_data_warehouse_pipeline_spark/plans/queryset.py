@@ -11233,6 +11233,15 @@ def sequence_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/diffcheck.py --json, full registry, same compare contract) is the
 # complete record either way.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # ROUND 11 OPTIMIZATION WINDOW: queries whose PHYSICAL PLAN changed in
+    # the optimization round (results must be bit-identical — that is
+    # exactly what the driver should re-verify first).  The other
+    # optimization-touched names (doc_lm_perplexity, source_lm_quality_gate,
+    # kmv_cohort_overlap_sketch, qsketch_price_quantiles_sketch,
+    # dup_span_*, sharded_near_dup) already sit in the windows below.
+    "session_concurrency_peaks",
+    "semantic_dedup_clusters",
+    "near_dup_clusters",
     # ROUND 11 WINDOW: new this round.
     "sequence_packing_plan",
     "sequence_fill_report",

@@ -36,6 +36,12 @@ _ENGINE_CONF: dict[str, str] = {
     # Dimension tables in the star schema are small; let Catalyst broadcast
     # them instead of shuffling the fact table.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # NOT set (round-11 A/B, n=5 min-of-5 with control):
+    # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m — the
+    # AQE sort-merge->shuffled-hash rewrite showed no effect outside host
+    # noise on the sort-heaviest queries (dup_span_pairs/excision,
+    # prefix_filter_near_pairs); the candidate-join sorts it would remove
+    # are adjacent to window sorts that remain either way.
     # Arrow for any pandas_udf / toPandas exchange (vectorized, not per-row).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Python Data Source filter pushdown (the WARC reader drops filtered
