@@ -91,22 +91,38 @@ def test_simhash_hamming(spark):
 
 def test_connected_components_chain_and_clique(spark):
     # graph: chain 1-2-3 (transitive, never directly paired 1-3),
-    # clique 10-11-12, isolated pair 20-21; node 99 absent from any pair
+    # clique 10-11-12, isolated pair 20-21; node 99 absent from any pair.
+    # Run BOTH execution paths: the default size-gated driver union-find
+    # AND the distributed loop (forced with driver_max_edges=0) — the
+    # round-11 gate must never let the two diverge.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
         ["doc_a", "doc_b"],
     )
-    labels = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
-    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    for dme in (1_000_000, 0):
+        labels = {
+            r["node"]: r["lbl"]
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=dme
+            ).collect()
+        }
+        assert labels == want, f"driver_max_edges={dme}"
 
 
 def test_connected_components_long_chain_converges(spark):
     # a 12-node chain needs ~log-diameter rounds of min propagation;
-    # reversed edge order must not matter
+    # reversed edge order must not matter.  Forced onto the DISTRIBUTED
+    # loop (driver_max_edges=0): the chain is the worst case for the
+    # pointer-doubling convergence (and the fused __chg check) that the
+    # driver fast path would otherwise hide.
     pairs = spark.createDataFrame(
         [(i + 1, i) for i in range(1, 12)], ["doc_a", "doc_b"]
     )
-    labels = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
+    labels = {
+        r["node"]: r["lbl"]
+        for r in dedup.connected_components(pairs, driver_max_edges=0).collect()
+    }
     assert set(labels) == set(range(1, 13))
     assert set(labels.values()) == {1}
 
@@ -141,8 +157,17 @@ def test_connected_components_random_graphs_match_union_find(spark):
             continue
         expected = union_find_labels(edges)
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
-        got = {r["node"]: r["lbl"] for r in dedup.connected_components(pairs).collect()}
-        assert got == expected, f"trial {trial}: {sorted(edges)}"
+        # alternate execution paths across trials: even trials take the
+        # driver fast path, odd trials force the distributed loop — both
+        # must match the reference union-find exactly
+        dme = 1_000_000 if trial % 2 == 0 else 0
+        got = {
+            r["node"]: r["lbl"]
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=dme
+            ).collect()
+        }
+        assert got == expected, f"trial {trial} (driver_max_edges={dme}): {sorted(edges)}"
 
 
 def test_containment_catches_quote_that_jaccard_misses(spark):
