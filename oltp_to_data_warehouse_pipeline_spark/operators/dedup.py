@@ -417,11 +417,24 @@ def connected_components(
                 x = parent[x]
             return x
 
+        has_null = False
         for s, d in edges.collect():
+            if s is None or d is None:
+                # parity with the distributed loop: a NULL endpoint never
+                # matches a join key, so it neither receives nor donates
+                # labels — it surfaces as its own (NULL, NULL) row while
+                # the non-null endpoint keeps its self-label
+                has_null = True
+                for x in (s, d):
+                    if x is not None:
+                        find(x)
+                continue
             rs, rd = find(s), find(d)
             if rs != rd:
                 parent[max(rs, rd)] = min(rs, rd)  # union by min id
         rows = [(n, find(n)) for n in parent]
+        if has_null:
+            rows.append((None, None))
         spark = pairs.sparkSession
         from pyspark.sql import types as T
 

@@ -110,6 +110,27 @@ def test_connected_components_chain_and_clique(spark):
         assert labels == want, f"driver_max_edges={dme}"
 
 
+def test_connected_components_null_endpoint_parity(spark):
+    """A NULL endpoint must behave identically on both paths: it joins
+    nothing in the distributed loop (equi-joins drop NULL keys), so it
+    surfaces as its own (NULL, NULL) row and its partner keeps a
+    self-label — the driver union-find replays exactly that instead of
+    raising on a None comparison (round-11 review finding)."""
+    pairs = spark.createDataFrame(
+        [(None, 7), (1, 2)],
+        schema="doc_a bigint, doc_b bigint",
+    )
+    want = {None: None, 7: 7, 1: 1, 2: 1}
+    for dme in (1_000_000, 0):
+        labels = {
+            r["node"]: r["lbl"]
+            for r in dedup.connected_components(
+                pairs, driver_max_edges=dme
+            ).collect()
+        }
+        assert labels == want, f"driver_max_edges={dme}"
+
+
 def test_connected_components_long_chain_converges(spark):
     # a 12-node chain needs ~log-diameter rounds of min propagation;
     # reversed edge order must not matter.  Forced onto the DISTRIBUTED
