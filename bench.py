@@ -19,10 +19,12 @@ the DuckDB side (Spark-only timing).
 Output contract: the driver captures only the LAST ~2000 CHARS of stdout
 and parses the JSON line out of that window (round-5 forensics: a 4.5 KB
 line with embedded per-query oracle timings came back "parsed": null), so
-stdout carries ONE COMPACT line — metric/value/unit/queries/sf plus the
-oracle_total and ratio scalars — and the full per-query oracle timings,
-per-query ratios, and loadavg stamp go to BENCH_DETAIL.json next to this
-file.
+stdout carries ONE COMPACT line — metric/value/unit/queries/sf, the
+oracle_total and ratio scalars, and the round-12 contamination markers
+("ctl": control-query wall, star_join_revenue, quiet-host baseline
+~0.61 s; "lav": [start, end] 1-min loadavg) — and the full per-query
+oracle timings, per-query ratios, and loadavg stamp go to
+BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -280,7 +282,28 @@ def main() -> None:
             n: round(timings[n] / oracle_timings[n], 2) if oracle_timings[n] else None
             for n in shared
         }
-    detail["loadavg"] = {"start": load_start, "end": os.getloadavg()}
+    load_end = os.getloadavg()
+    # Contamination markers ON THE STDOUT LINE (round-11 verdict item 2):
+    # both r11 driver windows failed the repo's control-query gate
+    # (star_join_revenue 1.84x its 0.61s quiet-host baseline with an
+    # untouched plan), but the evidence lived only in BENCH_DETAIL.json,
+    # which the driver never reads.  Two compact additive keys make a
+    # load-contaminated window detectable from BENCH_r{N}.json alone:
+    #   "ctl" — the CONTROL query's wall (star_join_revenue: 1 fact scan +
+    #           3 broadcast dims, plan untouched since round 1; quiet-host
+    #           baseline ~0.61 s at sf0.1 on 32 cores).  ctl > ~1.2x that
+    #           baseline means external load inflated the window and
+    #           per-query walls are not comparable to a quiet window.
+    #   "lav" — [1-min loadavg at bench start, at bench end]; this host
+    #           idles ~1-3 with only the bench running, so values near or
+    #           past 10 mark external-tenant bursts (round-11 forensics).
+    # Short names are budget-driven: the driver parses the JSON line out
+    # of a ~2000-char stdout tail, and the named-key spelling pushed the
+    # realistic 65-query line past the 1900-char budget, which would trim
+    # query entries (worse than terse scalars).
+    out["ctl"] = timings.get("star_join_revenue")
+    out["lav"] = [round(load_start[0], 1), round(load_end[0], 1)]
+    detail["loadavg"] = {"start": load_start, "end": load_end}
 
     # Full record (per-query oracle timings, ratios, loadavg) → file; the
     # stdout line must fit the driver's 2000-char tail window.
@@ -293,7 +316,15 @@ def main() -> None:
     # Mutate out AFTER the detail write so the trim loop below also
     # operates on 2dp values (a throwaway rounded copy here would revert
     # the line to 3dp the moment trimming engages — review finding).
-    out["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    # Values >= 10 s drop to 1dp (4 chars, same as 2dp sub-10s values):
+    # on a pathologically loaded host ANY number of queries can cross 10 s
+    # without widening the line, so the trim loop stays a dead backstop
+    # instead of silently shedding entries (round-11 advisor finding).
+    out["queries"] = {
+        n: round(t, 2) if t < 10 else round(t, 1) for n, t in timings.items()
+    }
+    if out.get("ctl") is not None:
+        out["ctl"] = round(out["ctl"], 2)  # 3dp stays in BENCH_DETAIL
     line = json.dumps(out, separators=(",", ":"))
     # Last-resort trim: the dominant line cost is the per-query dict, not
     # the ~45-char scalars — dropping scalars alone could never bring an
