@@ -91,6 +91,122 @@ def kmv_hash(key: Column | str) -> Column:
     return md5_fold48(key, "kmv|")
 
 
+def is_driver_materialized(df: DataFrame) -> bool:
+    """True when a sketch DataFrame was produced by the bounded driver
+    path (a local relation: already materialized, nothing upstream to
+    pin).  Callers that would otherwise ``localCheckpoint`` the sketch
+    can skip the redundant pin job."""
+    return bool(getattr(df, "_sketch_driver_materialized", False))
+
+
+def driver_rows(df: DataFrame) -> list | None:
+    """The sketch's rows as held by the driver path (list of tuples in
+    the DataFrame's column order), or None for a distributed sketch.
+    Lets a bounded consumer (e.g. the intersect estimator) compute
+    driver-side without re-collecting the local relation (a ``collect``
+    on a parallelized local relation still launches a job)."""
+    return getattr(df, "_sketch_local_rows", None)
+
+
+def _mark_driver_materialized(df: DataFrame, rows: list) -> DataFrame:
+    df._sketch_driver_materialized = True  # type: ignore[attr-defined]
+    df._sketch_local_rows = rows  # type: ignore[attr-defined]
+    return df
+
+
+def _kmv_driver_sketch(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    k: int,
+    max_rows: int,
+) -> DataFrame | None:
+    """Bounded driver path for :func:`kmv_sketch` — the round-12 follow-up
+    to the round-11 checkpoint audit: each eager ``localCheckpoint`` pin
+    costs ~0.5 s of fixed job overhead at sf0.1, and for a sketch whose
+    intermediates are ≤ max_rows BY CONSTRUCTION the cheaper barrier is a
+    driver collect (guide §5: bounded driver work; the
+    ``connected_components`` ``driver_max_edges`` precedent).  Returns the
+    finished ≤ k-rows-per-group sketch as a LOCAL relation (no further
+    jobs to consume it, broadcast-sized for any downstream join), or
+    ``None`` when an intermediate exceeds ``max_rows`` — the caller then
+    takes the distributed path unchanged (no silent cliff; the two wasted
+    sizing jobs are the documented fallback cost).
+
+    Step-for-step parity with the distributed formulation (each step is
+    the same relation, so the output is bit-identical by construction):
+    active thresholds = the ``__t < HASH_SPACE`` rows of ``thresholds``;
+    survivors = raw ∩ (h < t, inactive groups unfiltered), distinct;
+    audit = active groups with < k survivors (zero-survivor active groups
+    INCLUDED — they are absent from the survivor dict and default to 0);
+    rescued = per-audit-group distinct raw hashes, ranked ≤ k
+    distributed-side so the driver never holds an unbounded rescue set;
+    final = per-group k smallest over kept ∪ rescued (disjoint by group,
+    so per-branch ranking equals the union rank).
+    """
+    g = [F.col(c) for c in group_cols]
+    spark = df.sparkSession
+    active = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(*g)
+        .agg(F.approx_count_distinct(key, rsd=0.02).alias("__acd"))
+        .where(F.col("__acd") > _SAFETY * k)
+        .select(
+            *g,
+            (F.lit(float(_SAFETY * k * HASH_SPACE)) / F.col("__acd"))
+            .cast("bigint")
+            .alias("__t"),
+        )
+    )
+    trows = active.limit(max_rows + 1).collect()
+    if len(trows) > max_rows:
+        return None
+    raw = df.where(F.col(key).isNotNull()).select(*g, kmv_hash(key).alias("h"))
+    if trows:
+        lt = spark.createDataFrame(trows, active.schema)
+        survivors = (
+            _ns_join(raw, F.broadcast(lt), group_cols, "left")
+            .where(F.col("h") < F.coalesce(F.col("__t"), F.lit(HASH_SPACE)))
+            .select(*group_cols, "h")
+            .distinct()
+        )
+    else:
+        survivors = raw.distinct()
+    srows = survivors.limit(max_rows + 1).collect()
+    if len(srows) > max_rows:
+        return None
+    ng = len(group_cols)
+    surv: dict[tuple, list] = {}
+    for r in srows:
+        surv.setdefault(tuple(r[:ng]), []).append(r[ng])
+    thr = {tuple(r[:ng]): r[ng] for r in trows}
+    audit = [gk for gk in thr if len(surv.get(gk, ())) < k]
+    out_rows: list[tuple] = []
+    if audit:
+        la = spark.createDataFrame(
+            audit, active.select(*group_cols).schema
+        )
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        resc = (
+            _ns_join(raw, F.broadcast(la), group_cols, "left_semi")
+            .select(*group_cols, "h")
+            .distinct()
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select(*group_cols, "h")
+        )
+        out_rows.extend(tuple(r) for r in resc.collect())
+        for gk in audit:
+            surv.pop(gk, None)
+    for gk, hs in surv.items():
+        hs.sort()
+        out_rows.extend(gk + (h,) for h in hs[:k])
+    schema = raw.schema
+    return _mark_driver_materialized(
+        spark.createDataFrame(out_rows, schema), out_rows
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     key: str,
@@ -98,6 +214,8 @@ def kmv_sketch(
     k: int = 64,
     prefilter: bool = True,
     pin: bool = True,
+    driver_max_rows: int | None = None,
+    bounded_groups: bool = True,
 ) -> DataFrame:
     """``(group…, h)`` — the ≤ k smallest distinct key hashes per group.
 
@@ -113,8 +231,34 @@ def kmv_sketch(
     sf0.1).  Leave True unless the GROUP count itself is too large to
     cache (e.g. sketches per user over 10⁹ users), where recomputation —
     or a caller-owned persist — is the right trade.
+
+    ``driver_max_rows`` (opt-in; None = off) engages the bounded DRIVER
+    path when the prefilter intermediates fit under the bound
+    (:func:`_kmv_driver_sketch`): the checkpoint pins' per-job overhead
+    disappears and the finished sketch comes back as a local relation
+    (check :func:`is_driver_materialized` before re-pinning it).  Size
+    the bound like ``connected_components.driver_max_edges``: the collect
+    holds ≤ max_rows narrow tuples on the driver (~100 B each — 100k rows
+    ≈ 10 MB).  Callers whose group count is unbounded (per-user sketches)
+    must leave it None; past the bound the function falls back to the
+    distributed path at the cost of the two wasted sizing jobs.
+
+    ``bounded_groups`` gates the distributed path's broadcast hints on
+    the GROUP-cardinality-bounded relations (thresholds, survivor counts,
+    audit groups — all "one row per group"; round-11 verdict: a forced
+    broadcast is a driver-OOM cliff when ``group_cols`` is
+    high-cardinality, exactly where the old SortMergeJoin merely
+    crawled).  Leave True when the group count is bounded by
+    construction (days, cohorts, quarters); set False for unbounded
+    group domains — the planner then picks the join from its own size
+    estimates (shuffle join on checkpoint-derived inputs).
     """
     g = [F.col(c) for c in group_cols]
+    if prefilter and driver_max_rows is not None:
+        local = _kmv_driver_sketch(df, key, group_cols, k, driver_max_rows)
+        if local is not None:
+            return local
+    bhint = F.broadcast if bounded_groups else (lambda d: d)
     raw = df.where(F.col(key).isNotNull()).select(*g, kmv_hash(key).alias("h"))
     if prefilter:
         # Coarse: per-group HLL estimate -> hash admission threshold.
@@ -137,7 +281,7 @@ def kmv_sketch(
         if pin:
             thresholds = thresholds.localCheckpoint(eager=True)
         survivors = (
-            _ns_join(raw, F.broadcast(thresholds), group_cols, "inner")
+            _ns_join(raw, bhint(thresholds), group_cols, "inner")
             .where(F.col("h") < F.col("__t"))
             .select(*group_cols, "h")
             .distinct()
@@ -162,7 +306,7 @@ def kmv_sketch(
                 # one row per group, but checkpoint-derived (unknown size
                 # estimate) — without the hint the planner sort-merges two
                 # group-count relations (round-11 plan audit)
-                F.broadcast(
+                bhint(
                     survivors.groupBy(*g).agg(F.count(F.lit(1)).alias("__nsurv"))
                 ),
                 group_cols,
@@ -174,9 +318,9 @@ def kmv_sketch(
             )
             .select(*group_cols)
         )
-        kept = _ns_join(survivors, F.broadcast(audit), group_cols, "left_anti")
+        kept = _ns_join(survivors, bhint(audit), group_cols, "left_anti")
         rescued = (
-            _ns_join(raw, F.broadcast(audit), group_cols, "left_semi")
+            _ns_join(raw, bhint(audit), group_cols, "left_semi")
             .select(*group_cols, "h")
             .distinct()
         )
@@ -287,6 +431,45 @@ def kmv_intersect_estimate(
         )
         .cast("bigint")
         .alias("est_common"),
+    )
+
+
+def kmv_intersect_estimate_rows(
+    spark, hashes_a: list[int], hashes_b: list[int], k: int
+) -> DataFrame:
+    """Driver-side twin of :func:`kmv_intersect_estimate` for sketches the
+    bounded driver path already holds as rows (≤ k hashes each): the
+    distributed version's plan — union + distinct + global rank window +
+    two broadcast joins + aggregate — costs ~1.2 s of pure per-exchange
+    fixed overhead at local[32] over ≤ 2k-row inputs (round-12 profile),
+    while the arithmetic is a few hundred exact integer ops.  Python ints
+    replicate the BIGINT math bit-for-bit: ``//`` floors positive
+    quotients exactly like SQL ``div``, and Python ints cannot overflow,
+    so ``n_common · est_union ≤ k · 2^48`` needs no clamping argument
+    beyond the domain clamp the SQL version applies.  Same output schema
+    (one row: union_m, n_common, est_union, est_common — BIGINT)."""
+    from pyspark.sql import types as T
+
+    sa, sb = set(hashes_a), set(hashes_b)
+    union = sorted(sa | sb)[:k]
+    m = len(union)
+    n_common = sum(1 for h in union if h in sa and h in sb)
+    if m < k:
+        est_union, est_common = m, n_common
+    else:
+        hk = union[k - 1]
+        est_union = min(((k - 1) * HASH_SPACE) // max(hk, 1), HASH_SPACE)
+        est_common = (n_common * est_union) // k
+    schema = T.StructType(
+        [
+            T.StructField("union_m", T.LongType()),
+            T.StructField("n_common", T.LongType()),
+            T.StructField("est_union", T.LongType()),
+            T.StructField("est_common", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(m, n_common, est_union, est_common)], schema
     )
 
 

@@ -8904,6 +8904,14 @@ def cms_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMV_K = 64
+# Bounded driver path (round 12): the cohort sketches' prefilter
+# intermediates are a handful of rows per bounded group set (2 cohorts /
+# ~28 quarters x ~84 months), so the eager-checkpoint pins — ~0.5 s of
+# fixed job overhead EACH at sf0.1 (round-11 job profile) — are replaced
+# by one bounded collect; past this row bound the operator falls back to
+# the distributed path unchanged.  ~100 B/row -> <= ~10 MB on the driver,
+# the same posture as connected_components.driver_max_edges.
+_SKETCH_DRIVER_MAX = 100_000
 # (k-1) * 2^48 — the KMV estimator numerator, BIGINT-exact on both engines.
 _KMV_NUM = (_KMV_K - 1) * (1 << 48)
 _KMV_EST = (
@@ -9317,17 +9325,33 @@ def kmv_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
     o = o.withColumn("yr", F.year("o_orderdate"))
     cohorts = o.where(F.col("yr").isin(1995, 1998))
-    # The ≤ 2k-row sketch feeds BOTH intersect-estimate inputs; pin it so
-    # the build (HLL pass + threshold join + distinct + rank) runs once —
-    # exactly the "stored sketches" deployment this query models.
+    # The ≤ 2k-row sketch feeds BOTH intersect-estimate inputs; the
+    # bounded driver path materializes it as a local relation (build runs
+    # once, zero pin jobs) — exactly the "stored sketches" deployment this
+    # query models; if the bound ever trips, pin the distributed build so
+    # it still runs once.
     sk = kmv.kmv_sketch(
-        cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True
-    ).localCheckpoint(eager=True)
-    est = kmv.kmv_intersect_estimate(
-        sk.where(F.col("yr") == 1995),
-        sk.where(F.col("yr") == 1998),
-        k=_KMV_K,
-    ).select(F.col("est_common").alias("kmv_common"))
+        cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True,
+        driver_max_rows=_SKETCH_DRIVER_MAX,
+    )
+    rows = kmv.driver_rows(sk)
+    if rows is not None:
+        # driver-held sketch: the overlap math is a few hundred exact
+        # integer ops — the distributed estimate plan costs ~1.2 s of
+        # per-exchange overhead over <= 2k-row inputs (round-12 profile)
+        est = kmv.kmv_intersect_estimate_rows(
+            spark,
+            [h for yr, h in rows if yr == 1995],
+            [h for yr, h in rows if yr == 1998],
+            k=_KMV_K,
+        ).select(F.col("est_common").alias("kmv_common"))
+    else:
+        sk = sk.localCheckpoint(eager=True)
+        est = kmv.kmv_intersect_estimate(
+            sk.where(F.col("yr") == 1995),
+            sk.where(F.col("yr") == 1998),
+            k=_KMV_K,
+        ).select(F.col("est_common").alias("kmv_common"))
     # Exact audit in ONE scan: a customer is common iff both years appear.
     exact = (
         cohorts.groupBy("o_custkey")
@@ -9391,13 +9415,25 @@ def kmv_cohort_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
     o = o.withColumn("yr", F.year("o_orderdate"))
     cohorts = o.where(F.col("yr").isin(1995, 1998))
-    # sk stays pinned: kmv_intersect_estimate consumes each cohort slice
-    # twice (union + membership marks), so without the barrier the sketch
-    # tail — including the rescue branch's raw scan — replays per
-    # consumer (round-11 A/B: unpinned 3.57s vs pinned 1.97s at sf0.1).
+    # kmv_intersect_estimate consumes each cohort slice twice (union +
+    # membership marks), so the sketch must be materialized ONCE: the
+    # bounded driver path returns it as a local relation (zero pin jobs);
+    # if the bound ever trips, the distributed build is pinned instead
+    # (round-11 A/B: unpinned 3.57s vs pinned 1.97s at sf0.1 — the
+    # unpinned tail replays per consumer).
     sk = kmv.kmv_sketch(
-        cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True
-    ).localCheckpoint(eager=True)
+        cohorts, "o_custkey", ["yr"], k=_KMV_K, prefilter=True,
+        driver_max_rows=_SKETCH_DRIVER_MAX,
+    )
+    rows = kmv.driver_rows(sk)
+    if rows is not None:
+        return kmv.kmv_intersect_estimate_rows(
+            spark,
+            [h for yr, h in rows if yr == 1995],
+            [h for yr, h in rows if yr == 1998],
+            k=_KMV_K,
+        ).select(F.col("est_common").alias("kmv_common"))
+    sk = sk.localCheckpoint(eager=True)
     return kmv.kmv_intersect_estimate(
         sk.where(F.col("yr") == 1995),
         sk.where(F.col("yr") == 1998),
@@ -9991,7 +10027,7 @@ def qsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are the audit half (full per-quarter rank — re-aggregates raw
     rows by design, dropped at 100 TB); they also exhibit the DKW
     sampling error the unit suite bounds."""
-    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv, qsketch
 
     o = load_table(spark, sf_dir, "orders")
     dated = o.select(
@@ -10005,11 +10041,22 @@ def qsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
     )
     sk = qsketch.qsample_sketch(
-        dated, "o_orderkey", "o_totalprice", ["qtr", "mth"], k=_QS_K
+        dated, "o_orderkey", "o_totalprice", ["qtr", "mth"], k=_QS_K,
+        driver_max_rows=_SKETCH_DRIVER_MAX,
     )
-    merged = qsketch.qsample_merge(sk, ["qtr"], k=_QS_K)
     probs = {"q50": 0.5, "q90": 0.9, "q99": 0.99}
-    est = qsketch.qsample_quantiles(merged, ["qtr"], probs)
+    rows = kmv.driver_rows(sk)
+    if rows is not None:
+        est = qsketch.qsample_quantiles_rows(
+            spark,
+            qsketch.qsample_merge_rows(rows, ["qtr", "mth"], ["qtr"], _QS_K),
+            [sk.schema["qtr"]],
+            sk.schema["v"],
+            probs,
+        )
+    else:
+        merged = qsketch.qsample_merge(sk, ["qtr"], k=_QS_K)
+        est = qsketch.qsample_quantiles(merged, ["qtr"], probs)
     raw = dated.where(F.col("o_totalprice").isNotNull()).select(
         "qtr",
         qsketch.qs_hash("o_orderkey").alias("h"),
@@ -10057,7 +10104,7 @@ def qsketch_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     scan-side threshold filter).  Benchmarked in bench.py in place of the
     audited twin, which stays oracle-gated (the kmv_daily_users_sketch
     precedent)."""
-    from oltp_to_data_warehouse_pipeline_spark.operators import qsketch
+    from oltp_to_data_warehouse_pipeline_spark.operators import kmv, qsketch
 
     o = load_table(spark, sf_dir, "orders")
     dated = o.select(
@@ -10071,12 +10118,25 @@ def qsketch_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("o_totalprice"),
     )
     sk = qsketch.qsample_sketch(
-        dated, "o_orderkey", "o_totalprice", ["qtr", "mth"], k=_QS_K
+        dated, "o_orderkey", "o_totalprice", ["qtr", "mth"], k=_QS_K,
+        driver_max_rows=_SKETCH_DRIVER_MAX,
     )
+    probs = {"q50": 0.5, "q90": 0.9, "q99": 0.99}
+    rows = kmv.driver_rows(sk)
+    if rows is not None:
+        # driver-held month sketch: merge + rank-pick are exact integer /
+        # lookup ops over <= k x |months| tuples; the distributed plan
+        # pays two window exchanges + the sketch re-upload for the same
+        # answer (round-12 profile)
+        return qsketch.qsample_quantiles_rows(
+            spark,
+            qsketch.qsample_merge_rows(rows, ["qtr", "mth"], ["qtr"], _QS_K),
+            [sk.schema["qtr"]],
+            sk.schema["v"],
+            probs,
+        )
     merged = qsketch.qsample_merge(sk, ["qtr"], k=_QS_K)
-    return qsketch.qsample_quantiles(
-        merged, ["qtr"], {"q50": 0.5, "q90": 0.9, "q99": 0.99}
-    )
+    return qsketch.qsample_quantiles(merged, ["qtr"], probs)
 
 
 @query(

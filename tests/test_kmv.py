@@ -204,3 +204,71 @@ def test_intersect_safe_on_duplicate_hashes(spark):
     assert row["union_m"] == 20
     assert row["n_common"] == 20
     assert row["est_common"] == 20
+
+
+# ---------------------------------------------------------------------------
+# Round-12 bounded driver path (driver_max_rows) + broadcast-hint gate
+# (bounded_groups): the checkpoint-pin job floor replaced by one bounded
+# collect, with the distributed path as the past-the-bound fallback.
+# ---------------------------------------------------------------------------
+
+
+def _nrows(df):
+    # None-aware variant of _rows for fixtures with NULL group keys
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, 0 if x is None else x) for x in t),
+    )
+
+
+def test_driver_path_matches_plain(spark):
+    """The bounded driver path must return the EXACT relation of the plain
+    formulation (which the oracle replays) — including NULL group keys
+    (a real group for groupBy) and the skewed case where thresholds
+    activate."""
+    ev = load_table(spark, SF, "events").withColumn("d", F.col("ts").cast("date"))
+    drv = kmv.kmv_sketch(ev, "user_id", ["d"], k=K, driver_max_rows=100_000)
+    assert kmv.is_driver_materialized(drv)
+    plain = kmv.kmv_sketch(ev, "user_id", ["d"], k=K, prefilter=False)
+    assert _nrows(drv) == _nrows(plain)
+
+    rows = [(g, v) for g in ("a", "b") for v in range(2000 if g == "a" else 20)]
+    rows += [(None, v) for v in range(500)]  # NULL group key is a group
+    df = spark.createDataFrame(rows, "g string, v int")
+    for k in (4, 16):
+        drv = kmv.kmv_sketch(df, "v", ["g"], k=k, driver_max_rows=100_000)
+        assert kmv.is_driver_materialized(drv)
+        plain = kmv.kmv_sketch(df, "v", ["g"], k=k, prefilter=False)
+        assert _nrows(drv) == _nrows(plain), f"k={k}"
+
+
+def test_driver_path_falls_back_past_bound(spark):
+    """driver_max_rows=1 trips the gate: the function must return the
+    distributed formulation (not a truncated local relation) and flag it
+    as NOT driver-materialized so callers re-pin."""
+    rows = [("a", v) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = kmv.kmv_sketch(df, "v", ["g"], k=8, driver_max_rows=1)
+    assert not kmv.is_driver_materialized(out)
+    plain = kmv.kmv_sketch(df, "v", ["g"], k=8, prefilter=False)
+    assert _nrows(out) == _nrows(plain)
+
+
+def test_unbounded_groups_gate_drops_broadcast_hints(spark):
+    """bounded_groups=False must leave the group-keyed audit joins to the
+    planner (round-11 verdict: a forced broadcast of one-row-per-group
+    relations is a driver OOM at high group cardinality).  With pinned
+    (stats-less) inputs the planner then sort-merges, which is the point;
+    the default keeps the round-11 broadcast shape."""
+    rows = [("a", v) for v in range(2000)] + [("b", v) for v in range(20)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    hinted = kmv.kmv_sketch(df, "v", ["g"], k=4)._jdf.queryExecution().executedPlan().toString()
+    unhinted = kmv.kmv_sketch(
+        df, "v", ["g"], k=4, bounded_groups=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in hinted
+    assert "SortMergeJoin" in unhinted
+    # and the gate changes the PLAN, not the relation
+    assert _nrows(kmv.kmv_sketch(df, "v", ["g"], k=4, bounded_groups=False)) == _nrows(
+        kmv.kmv_sketch(df, "v", ["g"], k=4, prefilter=False)
+    )

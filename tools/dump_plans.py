@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for headline queries to plans/r11/.
+"""Dump .explain("formatted") for headline queries to plans/r<N>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-  suffix: "before" or "after" -> plans/r11/<query>_<suffix>.txt
+  suffix: "before" or "after" -> plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt
+  (round dir defaults to r12; override with SPARK_GRAFT_PLANS_ROUND)
   with no query names, dumps every bench.HEADLINE entry.
 
 Plans are captured at sf0.1 (the bench scale) with the engine's own
@@ -28,7 +29,11 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:] or list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("dump-plans")
