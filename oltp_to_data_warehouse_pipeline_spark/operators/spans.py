@@ -104,23 +104,43 @@ def duplicated_span_pairs(
     pairs = a.join(b, "sh").where(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("off")
     )
-    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
-    runs = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    # Island merge WITHOUT a sort exchange (round 12, guide §2.1: avoid
+    # the sort, don't tune it).  The old formulation sorted every matched
+    # position through a (doc_a, doc_b, off)-keyed window (row_number
+    # gaps-and-islands) and re-aggregated the windowed rows; at sf0.1
+    # that is a full sort + second aggregation pass over 1.26M pair rows.
+    # Per (doc_a, doc_b, off) the pa values are UNIQUE (for a fixed
+    # alignment, a position pairs with exactly one partner), so islands
+    # of consecutive integers can be read off a sorted array in one
+    # expression scan: ONE hash aggregation collects each alignment's
+    # positions (ObjectHashAggregate with map-side partial merge — no
+    # sort anywhere), sort_array orders them in-memory per group (group
+    # width ≤ one document's shingle count, never data-sized), and the
+    # i-th run start pairs with the i-th run end (starts/ends interleave
+    # s₁ ≤ e₁ < s₂ ≤ e₂ … by construction).  Output rows are identical
+    # to the window formulation: a run of consecutive pa values at fixed
+    # off ⇔ one (a_start = min pa, span_len = max pa − min pa + n) span.
+    islands = pairs.groupBy("doc_a", "doc_b", "off").agg(
+        F.sort_array(F.collect_list("pa")).alias("ps")
+    )
+    run = F.expr(
+        "zip_with("
+        "  filter(sequence(0, size(ps) - 1),"
+        "         i -> i = 0 OR ps[i] != ps[i - 1] + 1),"
+        "  filter(sequence(0, size(ps) - 1),"
+        "         i -> i = size(ps) - 1 OR ps[i + 1] != ps[i] + 1),"
+        f" (s, e) -> struct(ps[s] AS a_start,"
+        f"                  ps[e] - ps[s] + {int(shingle_n)} AS span_len))"
+    )
     return (
-        runs.groupBy("doc_a", "doc_b", "off", "grp")
-        .agg(
-            F.min("pa").alias("a_start"),
-            (F.max("pa") - F.min("pa") + F.lit(shingle_n))
-            .cast("bigint")
-            .alias("span_len"),
-        )
-        .where(F.col("span_len") >= min_len)
+        islands.select("doc_a", "doc_b", "off", F.explode(run).alias("sp"))
+        .where(F.col("sp.span_len") >= min_len)
         .select(
             "doc_a",
             "doc_b",
-            F.col("a_start").cast("bigint").alias("a_start"),
-            (F.col("a_start") - F.col("off")).cast("bigint").alias("b_start"),
-            "span_len",
+            F.col("sp.a_start").cast("bigint").alias("a_start"),
+            (F.col("sp.a_start") - F.col("off")).cast("bigint").alias("b_start"),
+            F.col("sp.span_len").cast("bigint").alias("span_len"),
         )
     )
 
